@@ -1,0 +1,222 @@
+"""Golden unit tests for the pure kernels (SURVEY.md §5 step 2).
+
+Goldens are derived from the reference's documented semantics (file:line
+cited in each kernel's docstring), computed by hand here — not by running
+the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from web_crawler_search_engine_ray.functions import hashing as H
+from web_crawler_search_engine_ray.functions import text as T
+from web_crawler_search_engine_ray.functions import urls as U
+from web_crawler_search_engine_ray.functions.porter import stem
+
+
+class TestNormalize:
+    # web_crawler/utils/__init__.py:34-38 semantics
+    def test_lowercase_and_scheme(self):
+        assert U.normalize("HTTP://W0.Example.org/Path") == "https://w0.example.org/path"
+
+    def test_unquote(self):
+        assert U.normalize("https://a.org/%7Euser") == "https://a.org/~user"
+        assert U.normalize("https://a.org/%73") == "https://a.org/s"
+
+    def test_trailing_slashes_all_stripped(self):
+        assert U.normalize("https://a.org/x///") == "https://a.org/x"
+        assert U.normalize("https://a.org/x") == "https://a.org/x"
+
+    def test_batch_matches_scalar(self):
+        urls = ["HTTP://A.org/", "https://b.org/%20x/", "https://c.org/y"]
+        assert U.normalize_batch(urls) == [U.normalize(u) for u in urls]
+
+
+class TestValidity:
+    ROOTS = ("example.org",)
+
+    @pytest.mark.parametrize(
+        "url,ok",
+        [
+            ("https://w0.example.org/a/b", True),
+            ("ftp://w0.example.org/a", False),          # scheme
+            ("mailto:x@example.org", False),            # scheme
+            ("https://evil.net/a", False),              # domain
+            ("https://w0.example.org/a/b/a", False),    # duplicate segments
+            ("https://w0.example.org/wiki/doku.php", False),
+            ("https://w0.example.org/f.pdf", False),    # extension blacklist
+            ("https://w0.example.org/f.pdf?x=1", False),  # path keeps .pdf
+            ("https://w0.example.org/p?ical=1", False),
+            ("https://w0.example.org/p?afg12_page_id=3", False),
+            ("https://w0.example.org/p?color_filter=x", False),
+            ("https://w0.example.org/p?page=2", True),
+            ("https://w0.example.org", True),           # empty path valid
+        ],
+    )
+    def test_is_valid(self, url, ok):
+        assert U.is_valid(url, self.ROOTS) is ok
+
+    def test_batch_matches_scalar(self):
+        urls = [
+            "https://w0.example.org/a",
+            "https://other.net/a",
+            "https://w0.example.org/x/x",
+            "https://w0.example.org/q?share=1",
+        ]
+        mask = U.is_valid_batch(urls, self.ROOTS)
+        assert mask.tolist() == [U.is_valid(u, self.ROOTS) for u in urls]
+
+
+class TestResolveLinks:
+    def test_relative_absolute_fragment(self):
+        base = "https://w0.example.org/s0/p1"
+        out = U.resolve_links(base, ["/s0/p2", "p3", "https://w1.example.org/x#frag", "#here"])
+        assert out == [
+            "https://w0.example.org/s0/p2",
+            "https://w0.example.org/s0/p3",
+            "https://w1.example.org/x",
+            "https://w0.example.org/s0/p1",
+        ]
+
+
+class TestTokenizers:
+    def test_t1_ascii_alnum_runs(self):
+        # shared/tokenizer.py:27-46: maximal ASCII-alnum runs, lowercased
+        assert T.tokenize("Hello, WORLD-42!") == ["hello", "world", "42"]
+        assert T.tokenize("naïve café") == ["na", "ve", "caf"]  # non-ascii splits
+        assert T.tokenize("foo_bar") == ["foo", "bar"]  # '_' is not alnum
+
+    def test_word_tokens_boundary_semantics(self):
+        # \b[a-zA-Z0-9]+\b: underscore is a word char, so foo_bar yields nothing
+        assert T.word_tokens("foo_bar") == []
+        assert T.word_tokens("Hello, WORLD-42!") == ["hello", "world", "42"]
+
+    def test_word_tokens_numeric_filter(self):
+        # numbers longer than 4 digits dropped (shared/tokenizer.py:54)
+        assert T.word_tokens("1234 12345 a12345") == ["1234", "a12345"]
+
+    def test_ngram_counts(self):
+        # per-fragment 1/2/3-grams; all-numeric n-grams dropped
+        c = T.tokenize_with_ngrams(["big data rocks"])
+        assert c["big"] == 1 and c["big data"] == 1 and c["big data rocks"] == 1
+        c2 = T.tokenize_with_ngrams(["12 34"])
+        assert "12 34" not in c2 and c2["12"] == 1  # all-numeric bigram dropped
+
+    def test_ngrams_do_not_cross_fragments(self):
+        c = T.tokenize_with_ngrams(["big data", "rocks hard"])
+        assert "data rocks" not in c
+        assert c["big data"] == 1 and c["rocks hard"] == 1
+
+    def test_word_frequencies(self):
+        assert T.compute_word_frequencies(["a", "b", "a"]) == {"a": 2, "b": 1}
+
+    def test_query_tokens_ngram_width(self):
+        # n = clamp(len-1, 1, 3): 3 tokens -> bigrams
+        primary, fallback = T.query_tokens("machine learning systems")
+        assert "machine learning" in primary and "learning systems" in primary
+        assert fallback == [stem("machine"), stem("learning"), stem("systems")]
+        p1, _ = T.query_tokens("database")
+        assert p1 == ["database"] + ([stem("database")] if stem("database") != "database" else [])
+
+
+class TestProfiles:
+    SPANS_KINDS = ["title", "text", "script", "link", "style", "h1", "code", "image"]
+    SPANS_TEXTS = ["My  Title", "body one", "var x", "anchor", ".x{}", " head ", "print", "alt"]
+
+    def test_posting_profile_keeps_title(self):
+        frags = T.extract_profile_text(self.SPANS_KINDS, self.SPANS_TEXTS, T.PROFILE_POSTING)
+        assert frags == ["My Title", "body one", "anchor", "head", "alt"] or frags == [
+            "My Title", "body one", "anchor", "head"]
+
+    def test_crawl_profile_drops_title(self):
+        frags = T.extract_profile_text(self.SPANS_KINDS, self.SPANS_TEXTS, T.PROFILE_CRAWL)
+        assert "My Title" not in frags
+        assert "body one" in frags and "anchor" in frags and "head" in frags
+        assert "var x" not in frags and ".x{}" not in frags and "print" not in frags
+
+
+class TestPorter:
+    # classic Porter (1980) examples from the published paper
+    @pytest.mark.parametrize(
+        "word,expected",
+        [
+            ("caresses", "caress"),
+            ("ponies", "poni"),
+            ("caress", "caress"),
+            ("cats", "cat"),
+            ("feed", "feed"),
+            ("agreed", "agre"),
+            ("plastered", "plaster"),
+            ("motoring", "motor"),
+            ("conflated", "conflat"),
+            ("troubled", "troubl"),
+            ("sized", "size"),
+            ("hopping", "hop"),
+            ("falling", "fall"),
+            ("hissing", "hiss"),
+            ("failing", "fail"),
+            ("happy", "happi"),
+            ("relational", "relat"),
+            ("conditional", "condit"),
+            ("rational", "ration"),
+            ("digitizer", "digit"),
+            ("conformabli", "conform"),
+            ("triplicate", "triplic"),
+            ("formative", "form"),
+            ("formalize", "formal"),
+            ("revival", "reviv"),
+            ("allowance", "allow"),
+            ("inference", "infer"),
+            ("adjustment", "adjust"),
+            ("probate", "probat"),
+            ("controll", "control"),
+            ("roll", "roll"),
+        ],
+    )
+    def test_paper_examples(self, word, expected):
+        assert stem(word) == expected
+
+
+class TestHashing:
+    def test_poly_hash_matches_reference_arithmetic(self):
+        # h = ((h*31)+ord(c)) mod 2^32, computed here by the direct loop
+        def ref(s):
+            h = 0
+            for ch in s:
+                h = (h * 31 + ord(ch)) % (2**32)
+            return h
+
+        for s in ["", "a", "hello world", "x" * 1000, "unicode: héllo ☃"]:
+            assert H.poly_hash(s) == ref(s)
+
+    def test_poly_hash_batch(self):
+        texts = ["abc", "", "same", "same"]
+        out = H.poly_hash_batch(texts)
+        assert out[2] == out[3] and out[0] != out[2]
+
+    def test_hash64_deterministic(self):
+        a = U.hash64_batch(["x", "y", "x"])
+        b = U.hash64_batch(["x", "y", "x"])
+        assert (a == b).all() and a[0] == a[2] and a[0] != a[1]
+
+    def test_minhash_similarity_monotone(self):
+        t1 = "the quick brown fox jumps over the lazy dog again and again".split()
+        t2 = "the quick brown fox jumps over the lazy cat again and again".split()
+        t3 = "completely different words here nothing shared at all today now".split()
+        s1 = H.minhash_signature(H.shingle_hashes(t1))
+        s2 = H.minhash_signature(H.shingle_hashes(t2))
+        s3 = H.minhash_signature(H.shingle_hashes(t3))
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        assert sim12 > sim13
+        assert (s1 == H.minhash_signature(H.shingle_hashes(t1))).all()
+
+    def test_simhash_close_for_similar(self):
+        t1 = "alpha beta gamma delta epsilon zeta".split() * 3
+        t2 = (t1 + ["extra"])
+        d = bin(H.simhash64(t1) ^ H.simhash64(t2)).count("1")
+        assert d <= 12
+        far = bin(H.simhash64(t1) ^ H.simhash64("one two three four five six".split())).count("1")
+        assert far > d

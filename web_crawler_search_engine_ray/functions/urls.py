@@ -1,0 +1,204 @@
+"""URL canonicalization, hashing and validity predicates (batch kernels).
+
+Semantics re-derived from the reference (cited per function); all entry
+points take/return sequences so stages can call them once per Arrow batch.
+The stdlib ``urllib.parse`` functions are kept (reference parity: parsing
+corner cases like params/fragments must match exactly), but everything is
+structured batch-first: one compiled regex set per process, single pass per
+batch, numpy boolean masks out.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import sha256
+from typing import Iterable, List, Sequence
+from urllib.parse import parse_qs, unquote, urljoin, urlparse
+
+import numpy as np
+
+__all__ = [
+    "normalize",
+    "normalize_batch",
+    "get_urlhash",
+    "hash64_batch",
+    "host_of",
+    "host_batch",
+    "is_valid_scheme",
+    "is_valid_domain",
+    "is_valid_path",
+    "is_valid_query",
+    "is_valid",
+    "is_valid_batch",
+    "resolve_links",
+]
+
+
+def normalize(url: str) -> str:
+    """Canonicalize a URL.
+
+    Reference semantics (web_crawler/utils/__init__.py:34-38): lowercase,
+    percent-unquote, coerce http->https (str.replace, all occurrences), and
+    strip ALL trailing slashes when the URL ends with one.
+    """
+    url = unquote(url.lower()).replace("http://", "https://")
+    if url.endswith("/"):
+        return url.rstrip("/")
+    return url
+
+
+def normalize_batch(urls: Sequence[str]) -> List[str]:
+    """Vectorized-ish normalize: fast path skips unquote when no '%'."""
+    out = []
+    for u in urls:
+        u = u.lower()
+        if "%" in u:
+            u = unquote(u)
+        u = u.replace("http://", "https://")
+        if u.endswith("/"):
+            u = u.rstrip("/")
+        out.append(u)
+    return out
+
+
+def get_urlhash(url: str) -> str:
+    """sha256 hex of the URL sans scheme (web_crawler/utils/__init__.py:27-32)."""
+    p = urlparse(url)
+    return sha256(
+        f"{p.netloc}/{p.path}/{p.params}/{p.query}/{p.fragment}".encode("utf-8")
+    ).hexdigest()
+
+
+def hash64_batch(urls: Sequence[str]) -> np.ndarray:
+    """Stable 64-bit hash per URL (seen-set shard key + fingerprint).
+
+    Stand-in for xxhash64 (not installed in this environment): FNV-1a 64-bit,
+    computed vectorized via polars when available, else a python loop.
+    Deterministic across processes and sessions (unlike builtin ``hash``).
+    """
+    try:
+        import polars as pl
+
+        # polars' hash is a seeded xxhash-family hash — stable within a
+        # polars version, which covers a run + its checkpoints.
+        return (
+            pl.Series(list(urls), dtype=pl.String).hash(seed=0).to_numpy().astype(np.uint64)
+        )
+    except Exception:  # pragma: no cover - fallback path
+        out = np.empty(len(urls), dtype=np.uint64)
+        for i, u in enumerate(urls):
+            h = np.uint64(0xCBF29CE484222325)
+            for b in u.encode("utf-8"):
+                h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            out[i] = h
+        return out
+
+
+def host_of(url: str) -> str:
+    return urlparse(url).netloc
+
+
+def host_batch(urls: Sequence[str]) -> List[str]:
+    return [urlparse(u).netloc for u in urls]
+
+
+# --- validity predicates (web_crawler/utils/scraper.py:29-88) ---------------
+
+_VALID_SCHEMES = frozenset({"http", "https"})
+
+# Extension blacklist regex, reference scraper.py:57-65 (same alternation).
+_EXT_BLACKLIST_RE = re.compile(
+    r".*\.(css|js|bmp|gif|jpe?g|ico|java|rb|json|xml|yaml"
+    r"|png|tiff?|mid|mp2|mp3|mp4|sql|c|cpp|py|js|sh|ts"
+    r"|wav|avi|mov|mpeg|ram|m4v|mkv|ogg|ogv|pdf|bat|yml"
+    r"|ps|eps|tex|ppt|pptx|doc|docx|xls|xlsx|names|ps1|scss|sass"
+    r"|data|dat|exe|bz2|tar|msi|bin|7z|psd|dmg|iso|nb|swift"
+    r"|epub|dll|cnf|tgz|sha1|ppsx|txt|war|r|z|data|jsx|tsx"
+    r"|thmx|mso|arff|rtf|jar|csv|bib|odc|php|data-original"
+    r"|rm|smil|wmv|swf|wma|zip|rar|gz)$"
+)
+
+_BANNED_QUERY_PARAMS = frozenset({"ical", "share", "action", "ucinetid", "image"})
+_AFG_PARAM_RE = re.compile(r"afg\d+_page_id")
+_QUERY_KEYWORDS = ("filter",)
+
+
+def is_valid_scheme(scheme: str) -> bool:
+    """scheme in {http, https} (scraper.py:29-32)."""
+    return scheme in _VALID_SCHEMES
+
+
+def is_valid_domain(domain: str, root_domains: Sequence[str]) -> bool:
+    """netloc suffix-matches a configured root domain (scraper.py:34-38)."""
+    return any(domain.endswith(rd) for rd in root_domains)
+
+
+def is_valid_path(path: str) -> bool:
+    """Trap detector (scraper.py:40-65): duplicate path segments, doku.php,
+    or a blacklisted file extension -> invalid."""
+    if not path:
+        return True
+    segments = path.strip("/").split("/")
+    seg_set = set(segments)
+    if len(segments) != len(seg_set):
+        return False
+    if "doku.php" in seg_set:
+        return False
+    return not _EXT_BLACKLIST_RE.match(path.lower())
+
+
+def is_valid_query(query: str) -> bool:
+    """Trap detector (scraper.py:67-77): banned params / afg\\d+_page_id /
+    any param containing 'filter' -> invalid."""
+    for param in parse_qs(query):
+        if param in _BANNED_QUERY_PARAMS:
+            return False
+        if _AFG_PARAM_RE.match(param):
+            return False
+        if any(kw in param for kw in _QUERY_KEYWORDS):
+            return False
+    return True
+
+
+def is_valid(url: str, root_domains: Sequence[str]) -> bool:
+    """Conjunction of the four predicates over urlparse (scraper.py:79-88)."""
+    p = urlparse(url)
+    return (
+        is_valid_scheme(p.scheme)
+        and is_valid_domain(p.netloc, root_domains)
+        and is_valid_path(p.path)
+        and is_valid_query(p.query)
+    )
+
+
+def is_valid_batch(urls: Sequence[str], root_domains: Sequence[str]) -> np.ndarray:
+    """Boolean mask over a batch of URLs; one urlparse per URL, no per-row
+    Python beyond the stdlib parse the semantics require."""
+    roots = tuple(root_domains)
+    mask = np.empty(len(urls), dtype=bool)
+    for i, u in enumerate(urls):
+        p = urlparse(u)
+        mask[i] = (
+            p.scheme in _VALID_SCHEMES
+            and any(p.netloc.endswith(rd) for rd in roots)
+            and is_valid_path(p.path)
+            and (not p.query or is_valid_query(p.query))
+        )
+    return mask
+
+
+def resolve_links(base_url: str, hrefs: Iterable[str]) -> List[str]:
+    """Absolutize hrefs against the fetched page URL and strip fragments.
+
+    Reference semantics (scraper.py:25-27): ``urldefrag(urljoin(base, href))``.
+    Fragment stripping is done by splitting on '#' (equivalent for already
+    joined absolute URLs and cheaper than urldefrag's re-parse).
+    """
+    out = []
+    for href in hrefs:
+        u = urljoin(base_url, href)
+        hash_pos = u.find("#")
+        if hash_pos != -1:
+            u = u[:hash_pos]
+        out.append(u)
+    return out
