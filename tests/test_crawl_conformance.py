@@ -1,0 +1,110 @@
+"""End-to-end crawl conformance: Ray pipeline ≡ oracle (SURVEY.md §5 step 4,
+north_rule: crawl ordering + URL-seen set equality under the same seed list
+and politeness budget; per-row span-sequence equality)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from web_crawler_search_engine_ray.oracle import oracle_crawl
+from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
+from web_crawler_search_engine_ray.sources.synthetic_web import (
+    CrawlConfig,
+    write_web,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(ray_session, micro_web, tmp_path_factory):
+    """Run oracle and engine over the same micro web; return both results."""
+    cfg = CrawlConfig()
+    seeds = micro_web["seeds"].column("url").to_pylist()
+
+    oracle = oracle_crawl(micro_web["docs"], micro_web["robots"], seeds, cfg)
+
+    data_dir = str(tmp_path_factory.mktemp("web"))
+    write_web(micro_web, data_dir)
+    workdir = str(tmp_path_factory.mktemp("crawl"))
+    robots_bodies = {
+        r["host"]: r["body"] for r in micro_web["robots"].to_pylist()
+    }
+    outputs = run_crawl(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies=robots_bodies,
+        seed_urls=seeds,
+        config=cfg,
+        workdir=workdir,
+    )
+    return oracle, outputs
+
+
+def test_lineage_order_equality(crawl_pair):
+    """Crawl (dispatch) ordering equality — the riskiest conformance
+    surface (SURVEY.md §7.6 hazard 1)."""
+    oracle, outputs = crawl_pair
+    eng = outputs.lineage().to_pandas()
+    got = list(
+        zip(eng["seq"], eng["wave"], eng["url"], eng["host"], eng["virtual_ts"], eng["status"])
+    )
+    want = oracle.lineage
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[2] == w[2], (g, w)          # seq, url
+        assert g[1] == w[1] and g[3] == w[3], (g, w)          # wave, host
+        assert abs(g[4] - w[4]) < 1e-9, (g, w)                # virtual_ts
+        assert g[5] == w[5], (g, w)                           # status
+
+
+def test_seen_set_equality(crawl_pair):
+    oracle, outputs = crawl_pair
+    eng = {
+        r["url"]: (r["downloaded"], r["length"])
+        for r in outputs.seen().to_pylist()
+    }
+    want = dict(oracle.seen)
+    assert eng == want
+
+
+def test_frequencies_equality(crawl_pair):
+    oracle, outputs = crawl_pair
+    eng = {
+        r["token"]: r["count"] for r in outputs.frequencies().to_pandas().to_dict("records")
+    }
+    assert eng == oracle.frequencies
+
+
+def test_page_lengths_equality(crawl_pair):
+    oracle, outputs = crawl_pair
+    eng = {
+        r["url"]: r["length"]
+        for r in outputs.page_lengths().to_pandas().to_dict("records")
+    }
+    assert eng == oracle.page_lengths
+
+
+def test_span_sequence_equality(crawl_pair, micro_web):
+    """Per-row invariant: fetched pages carry the exact span sequence
+    (kind, text, media_ref, order) of the docs table (input_hint)."""
+    oracle, outputs = crawl_pair
+    docs = {r["doc_id"]: r["spans"] for r in micro_web["docs"].to_pylist()}
+    pages = outputs.pages().take_all()  # micro web: small
+    checked = 0
+    for row in pages:
+        want = docs.get(row["url"])
+        if want is None:
+            assert row["status"] == 404
+            continue
+        got = row["spans"] or []
+        assert len(got) == len(want)
+        for g, w in zip(
+            sorted(got, key=lambda s: s["offset"]),
+            sorted(want, key=lambda s: s["offset"]),
+        ):
+            assert (g["kind"], g["text"], g["media_ref"], g["offset"]) == (
+                w["kind"], w["text"], w["media_ref"], w["offset"]
+            )
+        checked += 1
+    assert checked > 0

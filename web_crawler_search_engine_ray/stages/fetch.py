@@ -1,0 +1,131 @@
+"""Fetch stage: the synthetic-web lookup join (reference ``download()``,
+web_crawler/utils/download.py:4-18 → SURVEY.md S1/J4).
+
+A wave's dispatched URLs are joined against the docs table by ``doc_id``
+(canonical URL). Missing doc_id ⇒ fabricated 404 row with empty content,
+mirroring download.py:13-18. Implemented as an ACTOR-POOL ``map_batches``
+stage: each actor opens the docs store once (``__init__``) and serves
+batched keyed reads (``__call__``) — the Lance-`take` pattern. Storage here
+is Parquet (Lance is not installed): large stores use per-batch predicate
+pushdown (`doc_id isin batch`) against sorted row groups; small stores are
+memoized in actor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..schema import DOCS_SCHEMA
+
+# Docs stores under this many rows are cached fully in each fetch actor
+# (a broadcast-small-side join); larger stores use pushdown reads.
+_IN_MEMORY_ROWS = 2_000_000
+
+
+class DocStore:
+    """Keyed access to the docs table (the 'network')."""
+
+    def __init__(self, docs_path: str):
+        self.dataset = pads.dataset(docs_path, format="parquet")
+        self._mem: Optional[pa.Table] = None
+        self._index: Optional[dict] = None
+        if self.dataset.count_rows() <= _IN_MEMORY_ROWS:
+            self._mem = self.dataset.to_table()
+            self._index = {
+                u: i for i, u in enumerate(self._mem.column("doc_id").to_pylist())
+            }
+
+    def take(self, urls: list) -> tuple:
+        """Return (pos, table): ``pos[i]`` is the row index of ``urls[i]``
+        within the returned table, or -1 on miss."""
+        if self._mem is not None:
+            mem_pos = np.fromiter(
+                (self._index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
+            )
+            hit = mem_pos >= 0
+            tbl = self._mem.take(pa.array(mem_pos[hit], pa.int64()))
+            pos = np.full(len(urls), -1, dtype=np.int64)
+            pos[hit] = np.arange(int(hit.sum()), dtype=np.int64)
+            return pos, tbl
+        tbl = self.dataset.to_table(
+            filter=pc.field("doc_id").isin(pa.array(urls, pa.string()))
+        )
+        idx = {u: i for i, u in enumerate(tbl.column("doc_id").to_pylist())}
+        pos = np.fromiter(
+            (idx.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
+        )
+        return pos, tbl
+
+
+class FetchStage:
+    """map_batches callable class → actor pool. Input batch: scheduled
+    frontier rows (seq, wave, url, host, virtual_ts, discovery_seq, depth);
+    output: those columns + status, content_bytes, is_html, spans."""
+
+    def __init__(self, docs_path: str):
+        self.store = DocStore(docs_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        pos, docs_tbl = self.store.take(urls)
+        n = len(urls)
+
+        status = np.full(n, 404, dtype=np.int32)
+        content_bytes = np.zeros(n, dtype=np.int64)
+        is_html = np.zeros(n, dtype=bool)
+
+        hit_mask = pos >= 0
+        hit_rows = np.nonzero(hit_mask)[0]
+        if len(hit_rows):
+            take_idx = pa.array(pos[hit_mask], pa.int64())
+            aligned = docs_tbl.take(take_idx)
+            status[hit_mask] = aligned.column("status").to_numpy()
+            content_bytes[hit_mask] = aligned.column("content_bytes").to_numpy()
+            is_html[hit_mask] = aligned.column("is_html").to_numpy(zero_copy_only=False)
+            spans_aligned = aligned.column("spans")
+        # spans column: null for misses, aligned values for hits
+        spans_type = DOCS_SCHEMA.field("spans").type
+        if len(hit_rows) == n:
+            spans_col = spans_aligned.combine_chunks()
+        else:
+            py = [None] * n
+            if len(hit_rows):
+                vals = spans_aligned.to_pylist()
+                for j, i in enumerate(hit_rows):
+                    py[i] = vals[j]
+            spans_col = pa.array(py, spans_type)
+
+        out = batch
+        for name, arr in (
+            ("status", pa.array(status, pa.int32())),
+            ("content_bytes", pa.array(content_bytes, pa.int64())),
+            ("is_html", pa.array(is_html, pa.bool_())),
+            ("spans", spans_col),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+
+def should_scrape_mask(batch: pa.Table) -> np.ndarray:
+    """Vectorized should_scrape gates (worker.py:53-71): status 200,
+    ≥256 bytes, html sniff."""
+    return (
+        pc.and_(
+            pc.and_(
+                pc.equal(batch.column("status"), 200),
+                pc.greater_equal(batch.column("content_bytes"), 256),
+            ),
+            batch.column("is_html"),
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+
+
+def filter_scrapeable(batch: pa.Table) -> pa.Table:
+    return batch.filter(pa.array(should_scrape_mask(batch)))

@@ -1,0 +1,85 @@
+"""Politeness wave scheduler: groupby(host) + per-group virtual-time slots.
+
+Re-expression of Frontier.get_tbd_url's politeness/robots gate
+(web_crawler/crawler/frontier.py:84-135) under the virtual-time wave model
+(SURVEY.md §7.4, same spec as oracle.oracle_crawl):
+
+- the ``groupby("host")`` hash shuffle is the per-host serialization the
+  reference got from its shared clock dict — each host's pending URLs land
+  in one group, ordered by discovery_seq (FIFO);
+- effective delay d = max(robots crawl_delay, politeness)
+  (frontier.py:128); slots per wave = max(1, ⌊Δ/d⌋); slot i dispatches at
+  virtual_ts = wave_start + i·d; a host's first-ever wave spends slot 0 on
+  the robots fetch (create_robot clock stamp, frontier.py:75-77);
+- robots-disallowed URLs are marked complete without burning a slot
+  (frontier.py:112-114);
+- unscheduled URLs carry over with preserved discovery order (the
+  reference's requeue-to-tail busy-rotation becomes explicit carryover —
+  no spinning).
+
+ACTION_FETCH rows then sort globally by (virtual_ts, host, discovery_seq)
+— the deterministic total dispatch order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+ACTION_FETCH = 0
+ACTION_CARRY = 1
+ACTION_BLOCKED = 2
+
+
+def make_schedule_fn(
+    host_meta_ref,
+    robots_shards,
+    num_robot_shards: int,
+    user_agent: str,
+    wave_start: float,
+    wave_span: float,
+    politeness: float,
+):
+    """Build the per-host map_groups callable. host_meta_ref is a ray.put
+    broadcast of {host: (crawl_delay, is_first_wave)} computed once per wave
+    on the driver; robots_shards are read-only cache actors used for
+    per-URL can_fetch."""
+    from ..functions.urls import hash64_batch
+
+    def schedule_group(df: pd.DataFrame) -> pd.DataFrame:
+        host_meta: Dict[str, tuple] = ray.get(host_meta_ref)
+        df = df.sort_values("discovery_seq", kind="stable").reset_index(drop=True)
+        host = df["host"].iloc[0]
+        crawl_delay, first_wave = host_meta[host]
+
+        shard = robots_shards[
+            int(hash64_batch([host])[0] % np.uint64(num_robot_shards))
+        ]
+        allowed = ray.get(
+            shard.can_fetch.remote(host, user_agent, df["url"].tolist())
+        )
+
+        delay = max(crawl_delay, politeness)
+        slots = max(1, int(wave_span / delay))
+        slot = 1 if first_wave else 0
+
+        n = len(df)
+        action = np.full(n, ACTION_CARRY, dtype=np.int8)
+        vts = np.full(n, np.nan, dtype=np.float64)
+        for i in range(n):
+            if not allowed[i]:
+                action[i] = ACTION_BLOCKED
+                continue
+            if slot < slots:
+                action[i] = ACTION_FETCH
+                vts[i] = wave_start + slot * delay
+                slot += 1
+        df["action"] = action
+        df["virtual_ts"] = vts
+        return df
+
+    return schedule_group

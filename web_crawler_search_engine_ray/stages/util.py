@@ -1,0 +1,40 @@
+"""Small Ray Data utilities used by the wave loop."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+def _block_count(table: pa.Table) -> int:
+    return table.num_rows
+
+
+@ray.remote
+def _with_index(table: pa.Table, col: str, start: int) -> pa.Table:
+    idx = pa.array(range(start, start + table.num_rows), pa.int64())
+    if col in table.column_names:
+        table = table.drop_columns([col])
+    return table.append_column(col, idx)
+
+
+def zip_with_index(ds: "ray.data.Dataset", col: str, start: int) -> "ray.data.Dataset":
+    """Append a dense int64 index column following the dataset's current
+    block order (caller sorts first). Two passes over block refs: count,
+    then offset-stamp — wave-bounded datasets only (the frontier delta is
+    ~100 bytes/URL, so materializing it is cheap relative to fetched bytes).
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_block_count.remote(r) for r in refs])
+    out_refs = []
+    off = start
+    for r, c in zip(refs, counts):
+        out_refs.append(_with_index.remote(r, col, off))
+        off += c
+    if not out_refs:
+        return mat
+    return ray.data.from_arrow_refs(out_refs)
