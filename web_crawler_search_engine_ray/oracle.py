@@ -37,6 +37,7 @@ import pyarrow as pa
 from .functions import text as T
 from .functions import urls as U
 from .functions.hashing import poly_hash
+from .functions.postings import dedup_text, doc_term_frequencies, page_title
 from .sources.synthetic_web import CrawlConfig
 
 
@@ -187,54 +188,6 @@ class IndexResult:
     catalog: List[Tuple[int, str, str]]          # (doc_id, url, title)
     duplicates: List[Tuple[int, str, int, str]]  # (dup_doc_id, dup_url, kept_doc_id, kept_url)
     n_indexed: int
-
-
-_TAG_WEIGHTS = (
-    ("title", 100000), ("h1", 10000), ("h2", 1000), ("h3", 100), ("strong", 10),
-)
-
-
-def doc_term_frequencies(spans: List[dict]) -> Dict[str, int]:
-    """Posting.get_postings term-frequency map (shared/posting.py:7-28):
-    unstemmed ∪ stemmed-first-wins n-gram counts over the posting profile,
-    then per-tag-occurrence emphasis of weight-1 for already-present tokens."""
-    spans = sorted(spans, key=lambda s: s["offset"])
-    kinds = [s["kind"] for s in spans]
-    texts = [s["text"] for s in spans]
-    frags = T.extract_profile_text(kinds, texts, T.PROFILE_POSTING)
-    freqs = dict(T.tokenize_with_ngrams(frags))
-    for token, count in T.tokenize_with_ngrams(frags, stem_tokens=True).items():
-        if token not in freqs:
-            freqs[token] = count
-    for tag_kind, weight in _TAG_WEIGHTS:
-        for s in spans:
-            if s["kind"] != tag_kind:
-                continue
-            # posting.py:23: tag text reduced to one space-joined lowercase
-            # fragment, tokenized both ways; membership only.
-            tag_string = " ".join(
-                m.lower() for m in T._WORD_RE.findall(s["text"])
-            )
-            tag_tokens = dict(T.tokenize_with_ngrams([tag_string]))
-            tag_tokens.update(T.tokenize_with_ngrams([tag_string], stem_tokens=True))
-            for token in freqs:
-                if token in tag_tokens:
-                    freqs[token] += weight - 1
-    return freqs
-
-
-def dedup_text(spans: List[dict]) -> str:
-    spans = sorted(spans, key=lambda s: s["offset"])
-    frags = T.extract_profile_text(
-        [s["kind"] for s in spans], [s["text"] for s in spans], T.PROFILE_DEDUP
-    )
-    return " ".join(frags)
-
-
-def page_title(spans: List[dict], url: str) -> str:
-    """Last <title> text stripped, else the url (shared/webpage.py:22-25)."""
-    titles = [s["text"] for s in sorted(spans, key=lambda s: s["offset"]) if s["kind"] == "title"]
-    return titles[-1].strip() if titles else url
 
 
 def oracle_index(crawl: CrawlResult, min_ngram_df: int = 10) -> IndexResult:

@@ -1,0 +1,125 @@
+"""Index build pipeline: crawl pages → postings + catalog + duplicates.
+
+Dataflow (all Ray Data; see stages/index.py for reference citations):
+
+    pages (wave-partitioned parquet from the crawl)
+      └─ filter: status==200 ∧ is_html ∧ ≤10MB         (M11 + size gate)
+      └─ map_batches(add_page_hash)                     (F6)
+      └─ groupby(page_hash).map_groups(first_wins)      (D2, global)
+            ├─ duplicates sink
+            └─ kept pages
+                 ├─ map_batches(catalog_batch) → catalog sink (S8)
+                 └─ map_batches(TokenizeStage, actor pool) → (token,doc_id,tf)
+                      └─ groupby(token).map_groups(score(N)) (A4/A5)
+                           └─ sort(token, doc_id) → postings sink (O2)
+
+The reference's partial-index spill files + two k-way merges are replaced
+by the token-range shuffle; byte-offset seek indexes are replaced by
+columnar predicate pushdown at query time (S9/S10 obsolete).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.index import (
+    TokenizeStage,
+    add_page_hash,
+    catalog_batch,
+    first_wins_dedup,
+    make_score_fn,
+)
+
+
+@dataclass
+class IndexPaths:
+    postings: str
+    catalog: str
+    duplicates: str
+    n_indexed: int
+
+
+def _valid_pages(batch: pa.Table) -> pa.Table:
+    mask = pc.and_(
+        pc.and_(
+            pc.equal(batch.column("status"), 200),
+            batch.column("is_html"),
+        ),
+        pc.less_equal(batch.column("content_bytes"), 10_000_000),
+    )
+    return batch.filter(mask)
+
+
+def build_index(
+    pages_path: str,
+    out_dir: str,
+    tokenize_concurrency: int = 4,
+    min_ngram_df: int = 10,
+) -> IndexPaths:
+    """Build the inverted index from crawled pages. Ray must be initialised
+    by the caller."""
+    os.makedirs(out_dir, exist_ok=True)
+    pages = ray.data.read_parquet(pages_path)
+
+    valid = pages.map_batches(_valid_pages, batch_format="pyarrow")
+    hashed = valid.map_batches(add_page_hash, batch_format="pyarrow")
+
+    marked = (
+        hashed.groupby("page_hash")
+        .map_groups(first_wins_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    duplicates = marked.filter(expr="dup_of >= 0").select_columns(
+        ["seq", "url", "dup_of"]
+    )
+    dup_dir = os.path.join(out_dir, "duplicates")
+    os.makedirs(dup_dir, exist_ok=True)
+    if duplicates.count() > 0:
+        duplicates.write_parquet(dup_dir)
+    else:  # write_parquet emits nothing for an empty dataset
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pylist(
+                [],
+                schema=pa.schema(
+                    [("seq", pa.int64()), ("url", pa.string()), ("dup_of", pa.int64())]
+                ),
+            ),
+            os.path.join(dup_dir, "empty.parquet"),
+        )
+
+    kept = marked.filter(expr="dup_of < 0").materialize()
+    n_indexed = kept.count()
+
+    catalog = kept.map_batches(catalog_batch, batch_format="pyarrow")
+    cat_dir = os.path.join(out_dir, "catalog")
+    catalog.write_parquet(cat_dir)
+
+    postings_raw = kept.map_batches(
+        TokenizeStage,
+        batch_format="pyarrow",
+        concurrency=tokenize_concurrency,
+        batch_size=64,
+        num_cpus=1,
+    )
+    scored = postings_raw.groupby("token").map_groups(
+        make_score_fn(n_indexed, min_ngram_df), batch_format="pandas"
+    )
+    post_dir = os.path.join(out_dir, "postings")
+    scored.sort(["token", "doc_id"]).write_parquet(post_dir)
+
+    return IndexPaths(
+        postings=post_dir,
+        catalog=cat_dir,
+        duplicates=dup_dir,
+        n_indexed=n_indexed,
+    )

@@ -1,0 +1,70 @@
+"""Query serving over the columnar index (start_search_engine.py:13-115).
+
+The reference's byte-seek text files (index_of_index / index_of_crawled)
+are replaced by Parquet predicate pushdown: postings are read with a
+``token IN (...)`` filter (a semi-join, SURVEY.md J3) and the tiny result
+is aggregated driver-side — the reference's own query path is
+single-process too (§3.3). The catalog is loaded once (small).
+
+Divergence kept deliberately: the reference's ``index_of_index.get(token)``
+treats a token stored at byte offset 0 as missing (falsy-offset bug,
+start_search_engine.py:92); exact token matching has no such artifact.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..functions.text import query_tokens
+
+
+class SearchService:
+    def __init__(self, postings_path: str, catalog_path: str):
+        self.postings = pads.dataset(postings_path, format="parquet")
+        cat = pads.dataset(catalog_path, format="parquet").to_table()
+        self.catalog = {
+            r["doc_id"]: (r["url"], r["title"]) for r in cat.to_pylist()
+        }
+
+    def _lookup(self, tokens: List[str]) -> pa.Table:
+        return self.postings.to_table(
+            filter=pc.field("token").isin(pa.array(tokens, pa.string()))
+        )
+
+    def search(self, query: str, k: int = 5) -> List[Tuple[int, float, str, str]]:
+        """Top-k (doc_id, score, url, title); falls back to stemmed
+        unigrams when the n-gram pass finds nothing
+        (start_search_engine.py:38-43)."""
+        primary, fallback = query_tokens(query)
+        results = self._run(primary, k)
+        if not results:
+            results = self._run(fallback, k)
+        return results
+
+    def _run(self, tokens: List[str], k: int) -> List[Tuple[int, float, str, str]]:
+        if not tokens:
+            return []
+        tbl = self._lookup(tokens)
+        if tbl.num_rows == 0:
+            return []
+        df = tbl.to_pandas()
+        # A6: group postings by doc, sum tf_idf (start_search_engine.py:99-115)
+        scores = df.groupby("doc_id")["tf_idf"].sum()
+        ranked = scores.sort_values(ascending=False, kind="stable")
+        # deterministic tiebreak on doc_id (reference tie order is dict order)
+        ranked = (
+            pd.DataFrame({"doc_id": ranked.index, "score": ranked.values})
+            .sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+            .head(k)
+        )
+        out = []
+        for _, row in ranked.iterrows():
+            doc_id = int(row["doc_id"])
+            url, title = self.catalog.get(doc_id, ("", ""))
+            out.append((doc_id, float(row["score"]), url, title))
+        return out
