@@ -1,44 +1,404 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per operator, oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every SQL-expressible operator has a DuckDB oracle whose output columns,
+types and rounding exactly mirror the Ray pipeline (see
+web_crawler_search_engine_ray/pipelines/corpus.py's determinism contract).
+Crawl-loop / LSH-internal / IVF / multimodal queries are rows-only (no
+oracle entry); their conformance lives in tests/ against the pure-Python
+reference oracle (web_crawler_search_engine_ray/oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_POSTINGS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter({_TOK}, t -> NOT regexp_full_match(t, '[0-9]{{5,}}')) AS ts
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+bi AS (
+  SELECT doc_id, p[1] || ' ' || p[2] AS token
+  FROM (SELECT doc_id, unnest(list_zip(ts, ts[2:])) AS p FROM toks)
+  WHERE p[2] IS NOT NULL
+    AND NOT (regexp_full_match(p[1], '[0-9]+') AND regexp_full_match(p[2], '[0-9]+'))
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+postings AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         floor((1.0 + ln(tf.tf)) * ln(n.n / df.df) * 1000.0 + 0.5) / 1000.0 AS tf_idf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE tf.token NOT LIKE '% %' OR df.df >= 10
+)
+"""
+
+_POLY_HASH = (
+    "list_reduce(list_transform(string_split_regex({col}, ''), "
+    "x -> ord(x)::BIGINT), (acc, x) -> (acc * 31 + x) % 4294967296)"
+)
+
+_SHINGLE_CTE = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(
+           list_filter(list_zip(ts, ts[2:], ts[3:]), p -> p[3] IS NOT NULL),
+           p -> p[1] || ' ' || p[2] || ' ' || p[3]))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.s, sb.s)) AS i,
+         len(list_distinct(list_concat(sa.s, sb.s))) AS u
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(floor(1000.0 * i / u + 0.5) AS BIGINT) AS jaccard_milli
+FROM j WHERE u > 0 AND 1.0 * i / u >= 0.8
+"""
+
+_SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# cached micro-crawl for the rows-only crawl/index/search queries
+# ---------------------------------------------------------------------------
+
+_MICRO: dict[str, Any] = {}
+
+
+def _micro_crawl() -> dict[str, Any]:
+    """Run the synthetic-web crawl once per process; reuse for all
+    crawl-derived queries (deterministic: seed=42 micro web)."""
+    if _MICRO:
+        return _MICRO
+    from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
+    from web_crawler_search_engine_ray.pipelines.index_pipeline import build_index
+    from web_crawler_search_engine_ray.sources.synthetic_web import (
+        CrawlConfig,
+        generate_and_write,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="wcse_entry_")
+    web_dir = os.path.join(workdir, "web")
+    tables = generate_and_write(web_dir, seed=42, num_hosts=5, num_docs=50)
+    robots = {
+        r["host"]: r["body"] for r in tables["robots"].to_pylist()
+    }
+    seeds = tables["seeds"].column("url").to_pylist()
+    config = CrawlConfig()
+    out = run_crawl(
+        docs_path=os.path.join(web_dir, "docs.parquet"),
+        robots_bodies=robots,
+        seed_urls=seeds,
+        config=config,
+        workdir=os.path.join(workdir, "crawl"),
+    )
+    idx = build_index(
+        os.path.join(workdir, "crawl", "pages"),
+        os.path.join(workdir, "index"),
+        tokenize_concurrency=2,
+        min_ngram_df=3,
+    )
+    _MICRO.update({"crawl": out, "index": idx, "web_dir": web_dir})
+    return _MICRO
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents → n-gram postings → tf-idf → top-5
+    search (the index+search pipeline end-to-end over testdata)."""
+    from web_crawler_search_engine_ray.pipelines.corpus import search_topk
+
+    return search_topk(_SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from web_crawler_search_engine_ray.pipelines import corpus as C
+    from web_crawler_search_engine_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_lineage(sf_dir: str) -> Any:
+        return _micro_crawl()["crawl"].lineage()
+
+    def crawl_frequencies(sf_dir: str) -> Any:
+        return _micro_crawl()["crawl"].frequencies()
+
+    def crawl_page_lengths(sf_dir: str) -> Any:
+        return _micro_crawl()["crawl"].page_lengths()
+
+    def index_postings(sf_dir: str) -> Any:
+        import ray.data
+
+        return ray.data.read_parquet(_micro_crawl()["index"].postings)
+
+    def search_results(sf_dir: str) -> Any:
+        import pandas as pd
+
+        from web_crawler_search_engine_ray.pipelines.search import SearchService
+
+        m = _micro_crawl()
+        svc = SearchService(m["index"].postings, m["index"].catalog)
+        rows = svc.search("data stream engine", k=5)
+        return pd.DataFrame(
+            rows, columns=["doc_id", "score", "url", "title"]
+        )
+
+    def multimodal_features(sf_dir: str) -> Any:
+        import ray.data
+
+        from web_crawler_search_engine_ray.stages.multimodal import MediaFeatureStage
+
+        m = _micro_crawl()
+        docs = ray.data.read_parquet(os.path.join(m["web_dir"], "docs.parquet"))
+        return docs.map_batches(
+            MediaFeatureStage,
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=16,
+            num_cpus=1,
+        ).drop_columns(["feature"])
+
+    return {
+        # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
+        "word_frequencies": C.word_frequencies,
+        "doc_token_counts": C.doc_token_counts,
+        "postings_tfidf": C.postings_tfidf,
+        "search_topk": C.search_topk,
+        # --- text analysis ---
+        "quality_scores": C.quality_scores,
+        "lang_profile": C.lang_profile,
+        "token_count_bpe": C.token_count_bpe,
+        "doc_fingerprints": C.doc_fingerprints,
+        # --- URL kernels (M1-M8) ---
+        "url_normalize_validate": C.url_normalize_validate,
+        # --- dedup family ---
+        "dedup_exact": C.dedup_exact,
+        "dedup_minhash_lsh": C.dedup_minhash_lsh,
+        "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
+        "dedup_simhash": C.dedup_simhash,
+        "embedding_neardup": C.embedding_neardup_pairs,
+        # --- similarity search ---
+        "ann_topk": C.ann_topk_bruteforce,
+        "ann_topk_ivf": C.ann_topk_ivf,
+        # --- relational dataflow ---
+        "pricing_summary": R.pricing_summary,
+        "top_customers": R.top_customers,
+        "events_hourly": R.events_hourly,
+        "events_user_stats": R.events_user_stats,
+        "brand_part_stats": R.brand_part_stats,
+        # --- crawl/index/search over the synthetic web (rows-only;
+        #     conformance vs the python oracle lives in tests/) ---
+        "crawl_lineage": crawl_lineage,
+        "crawl_frequencies": crawl_frequencies,
+        "crawl_page_lengths": crawl_page_lengths,
+        "index_postings": index_postings,
+        "search_results": search_results,
+        "multimodal_features": multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp_text = _POLY_HASH.format(col="text")
+    fp_token = _POLY_HASH.format(col="token")
+    stop = "', '".join(
+        "the a of and to in is on for with as by at from this that it be are".split()
+    )
+    langs = {
+        "de": "der die das und ist nicht mit ein eine zu",
+        "en": "the and of to in is that it was for",
+        "es": "el la los las que y en un una por",
+        "fr": "le les des et est que une du dans pour",
+        "zh": "de shi le zai he you wo ta men zhe",
+    }
+    hit_cols = ",\n  ".join(
+        "len(list_filter(ts, x -> list_contains(['"
+        + "', '".join(ws.split())
+        + f"'], x)))::BIGINT AS {lang}_hits"
+        for lang, ws in langs.items()
+    )
+
+    return {
+        "word_frequencies": f"""
+            SELECT t AS token, count(*)::BIGINT AS count
+            FROM (SELECT unnest({_TOK}) AS t FROM documents)
+            GROUP BY t
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents
+        """,
+        "postings_tfidf": _POSTINGS_CTE
+        + "SELECT doc_id, token, tf, tf_idf FROM postings",
+        "search_topk": _POSTINGS_CTE
+        + """,
+        q AS (SELECT unnest(['data', 'stream', 'merge', 'sort']) AS token),
+        s AS (
+          SELECT doc_id, sum(CAST(floor(tf_idf * 1000.0 + 0.5) AS BIGINT)) AS score_milli
+          FROM postings JOIN q USING (token) GROUP BY doc_id
+        )
+        SELECT doc_id, score_milli / 1000.0 AS score
+        FROM s ORDER BY score_milli DESC, doc_id LIMIT 5
+        """,
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, length(text) AS nc, {_TOK} AS ts FROM documents)
+            SELECT doc_id,
+                   nc::BIGINT AS n_chars,
+                   len(ts)::BIGINT AS n_tokens,
+                   len(list_filter(ts, x -> list_contains(['{stop}'], x)))::BIGINT AS n_stopwords,
+                   len(list_filter(ts, x -> regexp_full_match(x, '[0-9]+')))::BIGINT AS n_numeric,
+                   len(list_distinct(ts))::BIGINT AS n_unique
+            FROM t
+        """,
+        "lang_profile": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            h AS (SELECT doc_id, {hit_cols} FROM t)
+            SELECT doc_id, de_hits, en_hits, es_hits, fr_hits, zh_hits,
+              CASE
+                WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+                WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+                WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+                WHEN fr_hits >= zh_hits THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+            FROM h
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id,
+                   (CASE WHEN length(text) = 0 THEN 0 ELSE {fp_text} END)::BIGINT AS fingerprint
+            FROM documents
+        """,
+        "url_normalize_validate": """
+            WITH b AS (
+              SELECT doc_id,
+                     'w' || (doc_id % 7) || '.example.org' AS host,
+                     '/s' || (doc_id % 7) || '/p' || doc_id AS path,
+                     doc_id % 10 AS m
+              FROM documents),
+            raw AS (SELECT doc_id, CASE m
+              WHEN 0 THEN 'HTTP://' || host || path
+              WHEN 1 THEN 'https://' || host || path || '/'
+              WHEN 2 THEN 'https://' || host || '/%73' || (doc_id % 7) || '/p' || doc_id
+              WHEN 3 THEN 'https://' || host || '/a/b/a/b'
+              WHEN 4 THEN 'https://' || host || path || '.pdf'
+              WHEN 5 THEN 'https://' || host || path || '?ical=1'
+              WHEN 6 THEN 'https://' || host || path || '?color_filter=red'
+              WHEN 7 THEN 'ftp://' || host || path
+              WHEN 8 THEN 'https://ext.other.net' || path
+              ELSE 'https://' || host || path || '?afg3_page_id=2' END AS u FROM b),
+            norm AS (SELECT doc_id,
+              rtrim(replace(replace(lower(u), '%73', 's'), 'http://', 'https://'), '/') AS url_norm
+              FROM raw)
+            SELECT doc_id, url_norm,
+              (regexp_matches(url_norm, '^https://([a-z0-9.-]*\\.)?example\\.org(/|\\?|$)')
+               AND NOT regexp_matches(url_norm, '/a/b/a/b')
+               AND NOT regexp_matches(url_norm, '\\.(pdf|css|js|zip|gz|png|jpe?g|gif|mp[234])(\\?|$)')
+               AND NOT regexp_matches(url_norm, '[?&](ical|share|action|ucinetid|image)=')
+               AND NOT regexp_matches(url_norm, '[?&]afg[0-9]+_page_id')
+               AND NOT regexp_matches(url_norm, '[?&][^=&]*filter[^=&]*=')) AS valid
+            FROM norm
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_minhash_lsh": _SHINGLE_CTE,
+        "ngram_jaccard_pairs": _SHINGLE_CTE,
+        "dedup_simhash": f"""
+            WITH tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS c
+              FROM (SELECT doc_id, unnest({_TOK}) AS token FROM documents)
+              GROUP BY doc_id, token),
+            th AS (SELECT doc_id, c, {fp_token} AS h FROM tf),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS s
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+              GROUP BY doc_id, b),
+            agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(agg.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000.0 + 0.5) AS BIGINT) AS sim_e4
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        """,
+        "ann_topk": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   CAST(floor(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000.0 + 0.5) AS BIGINT) AS sim_e4
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 8
+            QUALIFY row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+            ) <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   floor(sum(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                   floor(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 100.0 + 0.5) / 100.0 AS sum_charge,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o.o_custkey AS c_custkey,
+                   coalesce(c.c_name, '') AS c_name,
+                   floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
+                   count(*)::BIGINT AS n_orders
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY sum(o.o_totalprice) DESC, o.o_custkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+                   floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "brand_part_stats": """
+            SELECT p_brand, count(*)::BIGINT AS n_parts,
+                   sum(p_size)::BIGINT AS sum_size,
+                   floor(sum(p_retailprice) / count(*) * 100.0 + 0.5) / 100.0 AS avg_price
+            FROM part GROUP BY p_brand
+        """,
+    }

@@ -1,0 +1,848 @@
+"""Corpus analytics over the testdata ``documents`` / ``embeddings`` tables.
+
+The crawl/index operators (SURVEY.md §2) re-applied to a flat document
+corpus, plus the beyond-reference training-data operators (dedup families,
+similarity search, text analysis). Every function takes ``sf_dir`` and
+returns a Ray Dataset / pyarrow Table; each has a DuckDB oracle in
+``__ray_entry__.oracle_sql`` (or is flagged rows-only there).
+
+Determinism contract with the oracles: any float that feeds a comparison,
+ranking or output is either (a) integer-ized (milli/e4 fixed point via the
+shared ``floor(x*K + 0.5)`` formula — DuckDB ROUND-half-away semantics,
+identical in numpy/math.floor) or (b) rounded after exact integer
+summation, so Ray's float-sum order can never flip a rank or a hash.
+
+Scale notes (100 TB posture):
+- every read prunes columns at the parquet scan;
+- per-doc token work is a compiled-regex batch loop feeding *partial*
+  (token, count) tables, so the global ``groupby`` shuffles unique tokens
+  per batch, not raw token streams (SURVEY.md §7.6 hazard 8);
+- pairwise ops (near-dup, ANN) never materialize O(n²): MinHash-LSH buckets
+  via ``groupby(band)``, ANN keeps per-batch top-k before the per-query
+  merge, and the small side (query matrix / candidate shingles) is
+  broadcast once with ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import (
+    minhash_band_keys,
+    minhash_signature,
+    poly_hash,
+    shingle_hashes,
+    stable_text_digest,
+)
+
+# T1 tokenizer applied to a flat text corpus: maximal [a-z0-9] runs over the
+# lowercased text (shared/tokenizer.py:27-46 semantics; regex-equivalent).
+_TOK_RE = re.compile(r"[a-z0-9]+")
+# BPE-ish pretokenizer (GPT-2 style split, simplified to RE2-compatible
+# alternation shared verbatim with the DuckDB oracle).
+_BPE_RE = re.compile(r"[a-z]+|[0-9]|[^a-z0-9 ]")
+_WS_RE = re.compile(r"[^ ]+")
+
+# 5+-digit purely-numeric tokens are dropped (shared/tokenizer.py:54-56).
+_LONG_NUM_RE = re.compile(r"[0-9]{5,}$")
+_NUM_RE = re.compile(r"[0-9]+$")
+
+STOPWORDS = (
+    "the a of and to in is on for with as by at from this that it be are".split()
+)
+
+LANG_WORDLISTS: Dict[str, Tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es": ("el", "la", "los", "las", "que", "y", "en", "un", "una", "por"),
+    "fr": ("le", "les", "des", "et", "est", "que", "une", "du", "dans", "pour"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"),
+}
+LANGS = tuple(sorted(LANG_WORDLISTS))  # tie-break order: alphabetical
+
+SEARCH_QUERY_TOKENS = ("data", "stream", "merge", "sort")
+
+NGRAM_MIN_DF = 10           # A5 pruning threshold (indexer/__init__.py:188-190)
+JACCARD_THRESHOLD = 0.8     # near-dup acceptance (exact, verified)
+MINHASH_PERMS = 128
+MINHASH_BANDS = 32          # 4 rows/band: P(catch | j=0.8) ≈ 1 - 5e-8
+EMBED_DUP_THRESHOLD = 0.45  # pair threshold for embedding near-dup
+ANN_NUM_QUERIES = 8
+ANN_TOP_K = 10
+
+
+def _docs(sf_dir: str, columns: List[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _emb(sf_dir: str, columns: List[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
+    )
+
+
+def _fixed(x: float, scale: int) -> int:
+    """Shared fixed-point formula — identical expression in the oracles."""
+    return int(math.floor(x * scale + 0.5))
+
+
+def collect_table(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialize a SMALL dataset to one Arrow table (driver-side)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+    return pa.concat_tables(tables)
+
+
+def _dedup_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct (doc_a, doc_b) rows — pairs repeat across LSH bands."""
+    return ds.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def tokens_of(text: str) -> List[str]:
+    return _TOK_RE.findall(text.lower())
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 analytics on the document corpus
+# ---------------------------------------------------------------------------
+
+
+def word_frequencies(sf_dir: str) -> "ray.data.Dataset":
+    """A1 global word-frequency sum (worker.py:93-97): per-batch Counter
+    partials, then one small groupby — the token shuffle carries unique
+    tokens per batch only."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_TOK_RE.findall(t.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "count": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+
+def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """A2 page length per document (worker.py:98)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [len(_TOK_RE.findall(t.lower())) for t in texts]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# T3 + A4/A5: n-gram postings with tf-idf
+# ---------------------------------------------------------------------------
+
+
+def _doc_grams(text: str) -> Counter:
+    """Unigrams + bigrams with the reference's numeric-token rules
+    (shared/tokenizer.py:50-63): drop 5+-digit numeric tokens; keep a bigram
+    only if at least one member is non-numeric."""
+    toks = [t for t in _TOK_RE.findall(text.lower()) if not _LONG_NUM_RE.match(t)]
+    grams = list(toks)
+    for i in range(len(toks) - 1):
+        a, b = toks[i], toks[i + 1]
+        if not (_NUM_RE.match(a) and _NUM_RE.match(b)):
+            grams.append(a + " " + b)
+    return Counter(grams)
+
+
+def _postings_tf(sf_dir: str) -> Tuple["ray.data.Dataset", int]:
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        doc_ids, tokens, tfs = [], [], []
+        for did, text in zip(ids, texts):
+            c = _doc_grams(text)
+            doc_ids.extend([did] * len(c))
+            tokens.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(tf_batch, batch_format="pyarrow")
+    return tf, n_docs
+
+
+def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
+    """A4/A5: group per-(doc, token) tf by token; df = group size; idf =
+    ln(N/df); tf_idf = (1 + ln tf)·idf rounded to 3 decimals
+    (indexer/__init__.py:192-198); multi-word tokens with df < 10 pruned."""
+    tf, n_docs = _postings_tf(sf_dir)
+
+    def score(group: pa.Table) -> pa.Table:
+        token = group.column("token")[0].as_py()
+        df = group.num_rows
+        if " " in token and df < NGRAM_MIN_DF:
+            return group.slice(0, 0).append_column(
+                "tf_idf", pa.array([], pa.float64())
+            )
+        idf = math.log(n_docs / df)
+        tfs = group.column("tf").to_numpy()
+        raw = (1.0 + np.log(tfs)) * idf
+        rounded = np.floor(raw * 1000.0 + 0.5) / 1000.0
+        return group.append_column("tf_idf", pa.array(rounded, pa.float64()))
+
+    return tf.groupby("token").map_groups(score, batch_format="pyarrow")
+
+
+def search_topk(sf_dir: str) -> pa.Table:
+    """O3/A6 top-5 search for a fixed unigram query: per-doc score = sum of
+    matching tf_idf, summed in exact milli-units so ranking is
+    order-independent (start_search_engine.py:99-115 + :75)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    postings = postings_tfidf(sf_dir)
+    query_arr = pa.array(list(SEARCH_QUERY_TOKENS), pa.string())
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("token"), value_set=query_arr))
+        milli = np.floor(
+            b.column("tf_idf").to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "milli": pa.array(milli, pa.int64())}
+        )
+
+    scores = (
+        postings.map_batches(to_milli, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("milli", alias_name="score_milli"))
+        .sort(["score_milli", "doc_id"], descending=[True, False])
+        .limit(5)
+    )
+    tbl = collect_table(scores)
+    score = np.asarray(tbl.column("score_milli"), dtype=np.float64) / 1000.0
+    return pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality, language-ID, token counting, fingerprints
+# ---------------------------------------------------------------------------
+
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-signal columns as exact integers (no float ratios → no
+    rounding drift): chars, tokens, stopwords, numeric tokens, distinct
+    tokens."""
+    stop = frozenset(STOPWORDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars, n_tok, n_stop, n_num, n_uniq = [], [], [], [], []
+        for t in texts:
+            toks = _TOK_RE.findall(t.lower())
+            n_chars.append(len(t))
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for x in toks if x in stop))
+            n_num.append(sum(1 for x in toks if _NUM_RE.match(x)))
+            n_uniq.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_numeric": pa.array(n_num, pa.int64()),
+                "n_unique": pa.array(n_uniq, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+def lang_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Stopword-hit language-ID heuristic: per-language hit counts plus the
+    argmax (ties broken by language code, ascending)."""
+    wordsets = {lang: frozenset(ws) for lang, ws in LANG_WORDLISTS.items()}
+
+    def profile(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hits = {lang: [] for lang in LANGS}
+        preds = []
+        for t in texts:
+            toks = _TOK_RE.findall(t.lower())
+            best_lang, best_hits = None, -1
+            for lang in LANGS:
+                h = sum(1 for x in toks if x in wordsets[lang])
+                hits[lang].append(h)
+                if h > best_hits:
+                    best_lang, best_hits = lang, h
+            preds.append(best_lang)
+        cols = {"doc_id": batch.column("doc_id")}
+        for lang in LANGS:
+            cols[f"{lang}_hits"] = pa.array(hits[lang], pa.int64())
+        cols["pred_lang"] = pa.array(preds, pa.string())
+        return pa.table(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(profile, batch_format="pyarrow")
+
+
+def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pretokenizer (same RE2-compatible pattern as the oracle)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_ws = [len(_WS_RE.findall(t)) for t in texts]
+        n_bpe = [len(_BPE_RE.findall(t.lower())) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pa.array(n_ws, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """F6 32-bit polynomial rolling hash of the raw text per document
+    (indexer/worker.py:138-142 arithmetic, vectorized)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [poly_hash(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup: hash-partition on a 128-bit content digest, keep the
+    lowest doc_id per group (D2 first-wins made global/deterministic)."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        keys = [d.hex() for d in stable_text_digest(batch.column("text").to_pylist())]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "tkey": pa.array(keys, pa.string())}
+        )
+
+    def first(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(ids.min())], pa.int64()),
+                "n_copies": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("tkey")
+        .map_groups(first, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_copies"])
+    )
+
+
+def _doc_shingle_strings(text: str, k: int = 3) -> frozenset:
+    toks = _TOK_RE.findall(text.lower())
+    if len(toks) >= k:
+        return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    return frozenset([" ".join(toks)]) if toks else frozenset()
+
+
+def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingle(3-gram) → 128-perm minhash → 32 band keys → groupby(band)
+    candidate pairs → exact Jaccard ≥ 0.8 on the candidates only. At
+    10 TB+ the candidate verify joins shingles by doc_id partition; here the
+    candidate set is tiny and broadcast.
+    """
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        band_ids, band_keys, doc_ids = [], [], []
+        for did, text in zip(ids, texts):
+            toks = _TOK_RE.findall(text.lower())
+            sh = shingle_hashes(toks, k=3)
+            sig = minhash_signature(sh, num_perm=MINHASH_PERMS)
+            for b, key in enumerate(minhash_band_keys(sig, num_bands=MINHASH_BANDS)):
+                band_ids.append(b)
+                band_keys.append(key.hex())
+                doc_ids.append(did)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_key": pa.array(band_keys, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a_col, b_col = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_col.append(ids[i])
+                b_col.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a_col, pa.int64()), "doc_b": pa.array(b_col, pa.int64())}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    candidates = (
+        docs.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    candidates = _dedup_pairs(candidates)
+    # candidate set is small (near-dup pairs + LSH false positives)
+    cand = [(r["doc_a"], r["doc_b"]) for r in candidates.take_all()]
+    if not cand:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_milli": pa.array([], pa.int64()),
+            }
+        )
+    needed = {d for pair in cand for d in pair}
+
+    def shingles_of_needed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_sh = [], []
+        for did, text in zip(ids, texts):
+            if did in needed:
+                out_ids.append(did)
+                out_sh.append(sorted(_doc_shingle_strings(text)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "shingles": pa.array(out_sh, pa.list_(pa.string())),
+            }
+        )
+
+    sh_tbl = collect_table(docs.map_batches(shingles_of_needed, batch_format="pyarrow"))
+    sh_map = {
+        r["doc_id"]: frozenset(r["shingles"]) for r in sh_tbl.to_pylist()
+    }
+    rows = []
+    for a, b in sorted(cand):
+        A, B = sh_map[a], sh_map[b]
+        union = len(A | B)
+        if union == 0:
+            continue
+        inter = len(A & B)
+        if inter / union >= JACCARD_THRESHOLD:
+            rows.append((a, b, _fixed(1000.0 * inter / union, 1)))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_milli": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
+    """32-bit SimHash (Charikar 2002) with the F6 polynomial token hash so
+    the oracle can reproduce it in SQL: bit b set iff
+    sum_tokens(tf * sign(bit b of poly_hash(token))) > 0."""
+
+    def sim(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            c = Counter(_TOK_RE.findall(t.lower()))
+            if not c:
+                out.append(0)
+                continue
+            hashes = np.fromiter(
+                (poly_hash(tok) for tok in c), dtype=np.uint32, count=len(c)
+            )
+            weights = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            bits = ((hashes[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1).astype(np.int64)
+            scores = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+            out.append(int((np.uint64(1) << np.arange(32, dtype=np.uint64))[scores > 0].sum()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(out, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(sim, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.8. Candidate
+    generation is the exact shingle-share join (a pair with j>0 shares ≥1
+    shingle), so no approximation — the all-pairs scan is avoided by
+    bucketing on shingles (groupby), mirroring the SQL oracle's semi-join."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        dids, shs = [], []
+        for did, text in zip(ids, texts):
+            for s in _doc_shingle_strings(text):
+                dids.append(did)
+                shs.append(s)
+        return pa.table(
+            {"doc_id": pa.array(dids, pa.int64()), "shingle": pa.array(shs, pa.string())}
+        )
+
+    def share_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a_col, b_col = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_col.append(ids[i])
+                b_col.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a_col, pa.int64()), "doc_b": pa.array(b_col, pa.int64())}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    candidates = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(share_pairs, batch_format="pyarrow")
+    )
+    candidates = _dedup_pairs(candidates)
+    cand = [(r["doc_a"], r["doc_b"]) for r in candidates.take_all()]
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_milli": pa.array([], pa.int64()),
+        }
+    )
+    if not cand:
+        return empty
+    needed = {d for pair in cand for d in pair}
+
+    def shingles_of_needed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_sh = [], []
+        for did, text in zip(ids, texts):
+            if did in needed:
+                out_ids.append(did)
+                out_sh.append(sorted(_doc_shingle_strings(text)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "shingles": pa.array(out_sh, pa.list_(pa.string())),
+            }
+        )
+
+    sh_tbl = collect_table(docs.map_batches(shingles_of_needed, batch_format="pyarrow"))
+    sh_map = {r["doc_id"]: frozenset(r["shingles"]) for r in sh_tbl.to_pylist()}
+    rows = []
+    for a, b in sorted(cand):
+        A, B = sh_map[a], sh_map[b]
+        union = len(A | B)
+        if union == 0:
+            continue
+        inter = len(A & B)
+        if 1.0 * inter / union >= JACCARD_THRESHOLD:
+            rows.append((a, b, _fixed(1000.0 * inter / union, 1)))
+    if not rows:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_milli": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: near-dup pairs + ANN top-k
+# ---------------------------------------------------------------------------
+
+
+def _load_embedding_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Driver-side load of the (small) embedding side that gets broadcast;
+    at 100 TB this side would be the IVF centroid/codebook table instead."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _cosine(q: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """cos = dot/(|a||b|) in float64 — the oracle's DOUBLE[] formula."""
+    dots = q @ m.T
+    nq = np.sqrt((q * q).sum(axis=1))
+    nm = np.sqrt((m * m).sum(axis=1))
+    return dots / (nq[:, None] * nm[None, :])
+
+
+def embedding_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup: all pairs (a<b) with cosine ≥ threshold.
+    One side streams in batches; the other is a broadcast matrix
+    (ray.put once, read per task — never re-shipped per batch)."""
+    ids, mat = _load_embedding_matrix(sf_dir)
+    ref = ray.put((ids, mat))
+    thr = EMBED_DUP_THRESHOLD
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sims = _cosine(bmat, all_mat)
+        # keep only a<b to emit each pair once
+        keep = (sims >= thr) & (bids[:, None] < all_ids[None, :])
+        bi, aj = np.nonzero(keep)
+        sim_e4 = np.floor(sims[bi, aj] * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(all_ids[aj], pa.int64()),
+                "sim_e4": pa.array(sim_e4, pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def ann_topk_bruteforce(sf_dir: str) -> "ray.data.Dataset":
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
+    per-batch top-k prune, per-query merge via groupby — the baseline the
+    IVF variant is measured against."""
+    ids, mat = _load_embedding_matrix(sf_dir)
+    qmask = ids < ANN_NUM_QUERIES
+    q_ids, q_mat = ids[qmask], mat[qmask]
+    qref = ray.put((q_ids, q_mat))
+    k = ANN_TOP_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(qref)
+        bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sims = _cosine(qm, bmat)  # (nq, nb)
+        out_q, out_v, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            if len(row) > k:
+                top = np.argpartition(-row, k)[:k]
+            else:
+                top = np.arange(len(row))
+            out_q.extend([int(qi[r])] * len(top))
+            out_v.extend(bids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("sim", "descending"), ("vec_id", "ascending")],
+        )
+        g = group.take(order[:k])
+        sim_e4 = np.floor(
+            g.column("sim").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "vec_id": g.column("vec_id"),
+                "sim_e4": pa.array(sim_e4, pa.int64()),
+            }
+        )
+
+    return (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def ann_topk_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> "ray.data.Dataset":
+    """IVF-flat ANN (scale path): deterministic centroids (first nlist
+    vectors), assign each vector to its nearest centroid inside
+    map_batches, probe the nprobe closest lists per query. Rows-only
+    conformance; recall vs brute force asserted in tests."""
+    ids, mat = _load_embedding_matrix(sf_dir)
+    cents = mat[: min(nlist, len(mat))]
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qmask = ids < ANN_NUM_QUERIES
+    q_ids, q_mat = ids[qmask], mat[qmask]
+    # probe lists per query
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe = np.argsort(-(q_norm @ cents.T), axis=1)[:, :nprobe]
+    probe_sets = [frozenset(p.tolist()) for p in probe]
+    bref = ray.put((q_ids, q_mat, cents, probe_sets))
+    k = ANN_TOP_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, C, psets = ray.get(bref)
+        bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bnorm = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+        assign = np.argmax(bnorm @ C.T, axis=1)
+        sims = _cosine(qm, bmat)
+        out_q, out_v, out_s = [], [], []
+        for r in range(len(qi)):
+            in_probe = np.isin(assign, list(psets[r]))
+            idxs = np.nonzero(in_probe)[0]
+            if len(idxs) == 0:
+                continue
+            row = sims[r, idxs]
+            top = np.argpartition(-row, k)[:k] if len(row) > k else np.arange(len(row))
+            out_q.extend([int(qi[r])] * len(top))
+            out_v.extend(bids[idxs[top]].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        g = group.take(order[:k])
+        sim_e4 = np.floor(
+            g.column("sim").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "vec_id": g.column("vec_id"),
+                "sim_e4": pa.array(sim_e4, pa.int64()),
+            }
+        )
+
+    return (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL kernel conformance over constructed inputs (M1-M8)
+# ---------------------------------------------------------------------------
+
+
+def url_normalize_validate(sf_dir: str) -> "ray.data.Dataset":
+    """Exercise normalize (M1) + the validity chain (M4-M8) on URLs
+    constructed deterministically from doc_id (the testdata has no URL
+    column); the oracle builds the identical strings in SQL."""
+    from ..functions.urls import is_valid_batch, normalize_batch
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        raws = []
+        for d in ids:
+            host = f"w{d % 7}.example.org"
+            path = f"/s{d % 7}/p{d}"
+            m = d % 10
+            if m == 0:
+                raws.append(f"HTTP://{host}{path}")
+            elif m == 1:
+                raws.append(f"https://{host}{path}/")
+            elif m == 2:
+                raws.append(f"https://{host}/%73{d % 7}/p{d}")
+            elif m == 3:
+                raws.append(f"https://{host}/a/b/a/b")
+            elif m == 4:
+                raws.append(f"https://{host}{path}.pdf")
+            elif m == 5:
+                raws.append(f"https://{host}{path}?ical=1")
+            elif m == 6:
+                raws.append(f"https://{host}{path}?color_filter=red")
+            elif m == 7:
+                raws.append(f"ftp://{host}{path}")
+            elif m == 8:
+                raws.append(f"https://ext.other.net{path}")
+            else:
+                raws.append(f"https://{host}{path}?afg3_page_id=2")
+        normd = normalize_batch(raws)
+        valid = is_valid_batch(normd, ("example.org",))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url_norm": pa.array(normd, pa.string()),
+                "valid": pa.array(valid.tolist(), pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(build, batch_format="pyarrow")
