@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) printing ONE JSON line.
+
+    python bench.py              # full benchmark at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same headline job at 8 and 32 CPUs in fresh
+                                 # processes -> throughput + scaling efficiency
+
+The headline metric follows BASELINE.json: sustained pages-fetched/sec and
+frontier-URLs-processed/sec of the crawl loop over the synthetic web (the
+engine's Lance/parquet "network"), plus per-pipeline wall times for the
+corpus/dedup/similarity/relational queries at sf0.1.
+
+This script OWNS its Ray session (ray.init/shutdown) — the only places
+allowed to besides tests/conftest.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench crawl web: fixed size, politeness kept at the reference default but
+# a wide virtual-time wave (throughput mode; conformance tests use narrow
+# waves to exercise carryover).
+BENCH_WEB = dict(seed=11, num_hosts=32, num_docs=2000)
+BENCH_WAVE_SPAN = 256.0
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _bench_crawl(num_cpus: int) -> dict:
+    from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
+    from web_crawler_search_engine_ray.pipelines.index_pipeline import build_index
+    from web_crawler_search_engine_ray.sources.synthetic_web import (
+        CrawlConfig,
+        generate_and_write,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="wcse_bench_")
+    web_dir = os.path.join(workdir, "web")
+    tables = generate_and_write(web_dir, **BENCH_WEB)
+    robots = {r["host"]: r["body"] for r in tables["robots"].to_pylist()}
+    seeds = tables["seeds"].column("url").to_pylist()
+    config = CrawlConfig(wave_span=BENCH_WAVE_SPAN)
+
+    t0 = time.time()
+    out = run_crawl(
+        docs_path=os.path.join(web_dir, "docs.parquet"),
+        robots_bodies=robots,
+        seed_urls=seeds,
+        config=config,
+        workdir=os.path.join(workdir, "crawl"),
+        fetch_concurrency=max(2, num_cpus // 4),
+    )
+    crawl_s = time.time() - t0
+
+    t0 = time.time()
+    build_index(
+        os.path.join(workdir, "crawl", "pages"),
+        os.path.join(workdir, "index"),
+        tokenize_concurrency=max(2, num_cpus // 4),
+        min_ngram_df=3,
+    )
+    index_s = time.time() - t0
+
+    return {
+        "crawl_sec": round(crawl_s, 2),
+        "index_sec": round(index_s, 2),
+        "pages_fetched": out.pages_fetched,
+        "urls_discovered": out.urls_discovered,
+        "waves": out.waves,
+        "pages_per_sec": round(out.pages_fetched / crawl_s, 2),
+        "urls_per_sec": round(out.urls_discovered / crawl_s, 2),
+        "docs_indexed_per_sec": round(out.pages_fetched / index_s, 2),
+    }
+
+
+def _bench_queries(sf_dir: str) -> dict:
+    import ray.data
+
+    from web_crawler_search_engine_ray.pipelines import corpus as C
+    from web_crawler_search_engine_ray.pipelines import relational as R
+
+    def consume(res):
+        if isinstance(res, ray.data.Dataset):
+            return res.materialize().count()
+        return res.num_rows if hasattr(res, "num_rows") else len(res)
+
+    out = {}
+    for name, fn in [
+        ("word_frequencies", C.word_frequencies),
+        ("doc_token_counts", C.doc_token_counts),
+        ("postings_tfidf", C.postings_tfidf),
+        ("search_topk", C.search_topk),
+        ("quality_scores", C.quality_scores),
+        ("lang_profile", C.lang_profile),
+        ("doc_fingerprints", C.doc_fingerprints),
+        ("dedup_exact", C.dedup_exact),
+        ("dedup_minhash_lsh", C.dedup_minhash_lsh),
+        ("ngram_jaccard_pairs", C.ngram_jaccard_pairs),
+        ("dedup_simhash", C.dedup_simhash),
+        ("embedding_neardup", C.embedding_neardup_pairs),
+        ("ann_topk", C.ann_topk_bruteforce),
+        ("ann_topk_ivf", C.ann_topk_ivf),
+        ("pricing_summary", R.pricing_summary),
+        ("top_customers", R.top_customers),
+        ("events_hourly", R.events_hourly),
+        ("events_user_stats", R.events_user_stats),
+    ]:
+        t0 = time.time()
+        consume(fn(sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once(num_cpus: int, with_queries: bool = True) -> dict:
+    import ray
+
+    _init_ray(num_cpus)
+    try:
+        crawl = _bench_crawl(num_cpus)
+        queries = _bench_queries(SF_DIR) if with_queries else {}
+    finally:
+        ray.shutdown()
+    total = crawl["crawl_sec"] + crawl["index_sec"] + sum(queries.values())
+    return {
+        "metric": "headline wall time (crawl+index+corpus queries)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "crawl": crawl,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    """Same headline job at two parallelism levels in FRESH processes —
+    the sandbox stand-in for the north_rule's N vs 4N cluster sizes."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    tput_lo = results[lo]["crawl"]["pages_per_sec"]
+    tput_hi = results[hi]["crawl"]["pages_per_sec"]
+    q_lo = results[lo]["crawl"]["docs_indexed_per_sec"]
+    q_hi = results[hi]["crawl"]["docs_indexed_per_sec"]
+    factor = hi / lo
+    return {
+        "metric": "scaling efficiency (pages/sec, N->4N cpus)",
+        "value": round(tput_hi / (factor * tput_lo), 3),
+        "unit": "efficiency",
+        "index_efficiency": round(q_hi / (factor * q_lo), 3),
+        "lo": {"num_cpus": lo, "pages_per_sec": tput_lo, "docs_indexed_per_sec": q_lo},
+        "hi": {"num_cpus": hi, "pages_per_sec": tput_hi, "docs_indexed_per_sec": q_hi},
+        "sf": SF_DIR,
+        "num_cpus": hi,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true", help="internal: one scaling leg")
+    args = ap.parse_args()
+    if args.child:
+        print(json.dumps(run_once(NUM_CPUS, with_queries=False)))
+    elif args.scaling:
+        print(json.dumps(run_scaling(8, 32)))
+    else:
+        print(json.dumps(run_once(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

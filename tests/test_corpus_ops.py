@@ -1,0 +1,213 @@
+"""Tests for the corpus analytics / dedup / similarity / multimodal ops
+(pipelines/corpus.py, stages/multimodal.py) over the read-only testdata."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _exact_jaccard_pairs(docs, threshold=0.8):
+    from web_crawler_search_engine_ray.pipelines.corpus import _doc_shingle_strings
+
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    sh = {d: _doc_shingle_strings(t) for d, t in zip(ids, texts)}
+    out = []
+    for a, b in itertools.combinations(sorted(ids), 2):
+        A, B = sh[a], sh[b]
+        u = len(A | B)
+        if u and len(A & B) / u >= threshold:
+            out.append((a, b))
+    return sorted(out)
+
+
+def test_minhash_lsh_matches_exact(ray_session, docs_table):
+    """LSH candidate generation + exact verify finds exactly the true
+    near-dup pairs (recall 1 at these parameters)."""
+    from web_crawler_search_engine_ray.pipelines.corpus import dedup_minhash_lsh
+
+    got = dedup_minhash_lsh(SF)
+    pairs = sorted(zip(got.column("doc_a").to_pylist(), got.column("doc_b").to_pylist()))
+    assert pairs == _exact_jaccard_pairs(docs_table)
+
+
+def test_ngram_jaccard_matches_exact(ray_session, docs_table):
+    from web_crawler_search_engine_ray.pipelines.corpus import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(SF)
+    pairs = sorted(zip(got.column("doc_a").to_pylist(), got.column("doc_b").to_pylist()))
+    assert pairs == _exact_jaccard_pairs(docs_table)
+
+
+def test_simhash_neardups_are_close(ray_session, docs_table):
+    """Near-dup docs should have much closer simhashes than random docs."""
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        collect_table,
+        dedup_simhash,
+    )
+
+    tbl = collect_table(dedup_simhash(SF))
+    sh = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("simhash").to_pylist()))
+    near = _exact_jaccard_pairs(docs_table)
+    assert near, "fixture should contain near-dups"
+    near_d = np.mean([bin(sh[a] ^ sh[b]).count("1") for a, b in near])
+    ids = sorted(sh)
+    rng = np.random.RandomState(0)
+    rand_pairs = [(ids[i], ids[j]) for i, j in rng.randint(0, len(ids), (200, 2)) if i != j]
+    rand_d = np.mean([bin(sh[a] ^ sh[b]).count("1") for a, b in rand_pairs])
+    assert near_d < rand_d / 2
+
+
+def test_dedup_exact_all_distinct(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import collect_table, dedup_exact
+
+    tbl = collect_table(dedup_exact(SF))
+    assert tbl.num_rows == 500
+    assert set(tbl.column("n_copies").to_pylist()) == {1}
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF probe misses some lists; recall@10 vs brute force must stay high."""
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        collect_table,
+    )
+
+    bf = collect_table(ann_topk_bruteforce(SF)).to_pylist()
+    ivf = collect_table(ann_topk_ivf(SF)).to_pylist()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert np.mean(recalls) >= 0.5  # nprobe=4/16 lists on unclustered vectors
+    # brute force itself: self-hit must rank (query is its own best match)
+    for q, s in bf_sets.items():
+        assert q in s
+
+
+def test_embedding_neardup_symmetric_ground_truth(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        collect_table,
+        embedding_neardup_pairs,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    S = mn @ mn.T
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= 0.45
+    }
+    got = collect_table(embedding_neardup_pairs(SF))
+    pairs = set(zip(got.column("vec_a").to_pylist(), got.column("vec_b").to_pylist()))
+    assert pairs == exp
+
+
+def test_quality_and_counts_invariants(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        collect_table,
+        quality_scores,
+    )
+
+    tbl = collect_table(quality_scores(SF)).to_pylist()
+    assert len(tbl) == 500
+    for r in tbl:
+        assert 0 <= r["n_unique"] <= r["n_tokens"]
+        assert 0 <= r["n_stopwords"] <= r["n_tokens"]
+        assert r["n_chars"] > 0
+
+
+def test_url_validate_partition(ray_session):
+    """Constructed URL forms: doc_id%10 in {0,1,2} valid, rest invalid."""
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        collect_table,
+        url_normalize_validate,
+    )
+
+    tbl = collect_table(url_normalize_validate(SF)).to_pylist()
+    for r in tbl:
+        assert r["valid"] == (r["doc_id"] % 10 in (0, 1, 2)), r
+        assert r["url_norm"].startswith(("https://", "ftp://"))
+        assert not r["url_norm"].endswith("/")
+
+
+def test_search_topk_ranked(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import search_topk
+
+    tbl = search_topk(SF)
+    scores = tbl.column("score").to_pylist()
+    assert len(scores) == 5
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_multimodal_feature_stage(ray_session, micro_web):
+    """Media stage: one row per image span, deterministic features,
+    fixed-size list schema; 'real' decode raises."""
+    import ray
+
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        FEATURE_DIM,
+        MediaFeatureStage,
+    )
+
+    docs = ray.data.from_arrow(micro_web["docs"])
+    out = docs.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    ).to_pandas()
+    n_images = sum(
+        1
+        for r in micro_web["docs"].to_pylist()
+        for s in r["spans"]
+        if s["kind"] == "image" and s["media_ref"]
+    )
+    assert len(out) == n_images
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    # determinism: same media_ref -> same norm
+    again = docs.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    ).to_pandas()
+    a = out.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    assert (a["feat_norm_e4"] == b["feat_norm_e4"]).all()
+
+    with pytest.raises(NotImplementedError):
+        MediaFeatureStage(decode="real")._decode("media://x")
+
+
+def test_lang_profile_pred_matches_argmax(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        LANGS,
+        collect_table,
+        lang_profile,
+    )
+
+    tbl = collect_table(lang_profile(SF)).to_pylist()
+    for r in tbl:
+        hits = {lang: r[f"{lang}_hits"] for lang in LANGS}
+        best = max(LANGS, key=lambda l: (hits[l], -LANGS.index(l)))
+        # max() keeps the first maximal lang in LANGS order (alphabetical)
+        best = next(l for l in LANGS if hits[l] == max(hits.values()))
+        assert r["pred_lang"] == best
