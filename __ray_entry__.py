@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
         "word_frequencies": C.word_frequencies,
         "doc_token_counts": C.doc_token_counts,
+        "top_words": C.top_words,
+        "longest_pages": C.longest_pages,
+        "subdomain_counts": C.subdomain_counts,
         "postings_tfidf": C.postings_tfidf,
         "search_topk": C.search_topk,
         # --- text analysis ---
@@ -247,6 +250,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents
+        """,
+        "top_words": f"""
+            SELECT t AS token, count(*)::BIGINT AS count
+            FROM (SELECT unnest({_TOK}) AS t FROM documents)
+            GROUP BY t ORDER BY count(*) DESC, t LIMIT 50
+        """,
+        "longest_pages": f"""
+            SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents
+            ORDER BY len({_TOK}) DESC, doc_id LIMIT 20
+        """,
+        "subdomain_counts": """
+            WITH b AS (
+              SELECT doc_id, 'w' || (doc_id % 7) || '.example.org' AS host,
+                     doc_id % 10 AS m
+              FROM documents)
+            SELECT host, count(*)::BIGINT AS n_pages
+            FROM b WHERE m IN (0, 1, 2) GROUP BY host
         """,
         "postings_tfidf": _POSTINGS_CTE
         + "SELECT doc_id, token, tf, tf_idf FROM postings",

@@ -211,3 +211,54 @@ def test_lang_profile_pred_matches_argmax(ray_session):
         # max() keeps the first maximal lang in LANGS order (alphabetical)
         best = next(l for l in LANGS if hits[l] == max(hits.values()))
         assert r["pred_lang"] == best
+
+
+def test_top_words_and_longest_pages(ray_session, docs_table):
+    """Top-50 words / longest-20 pages agree with a driver-side recount."""
+    from collections import Counter
+
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        longest_pages,
+        top_words,
+        tokens_of,
+    )
+
+    texts = docs_table.column("text").to_pylist()
+    ids = docs_table.column("doc_id").to_pylist()
+    c = Counter()
+    for t in texts:
+        c.update(tokens_of(t))
+    want_top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = top_words(SF)
+    got_top = list(zip(got.column("token").to_pylist(), got.column("count").to_pylist()))
+    assert got_top == want_top
+
+    lens = sorted(
+        ((d, len(tokens_of(t))) for d, t in zip(ids, texts)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    got = longest_pages(SF)
+    got_lens = list(
+        zip(got.column("doc_id").to_pylist(), got.column("n_tokens").to_pylist())
+    )
+    assert got_lens == lens
+
+
+def test_subdomain_counts_partition(ray_session, docs_table):
+    """Valid URL modes are doc_id%10 in {0,1,2}; counts group by w{id%7}."""
+    from collections import Counter
+
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        collect_table,
+        subdomain_counts,
+    )
+
+    ids = docs_table.column("doc_id").to_pylist()
+    want = Counter(
+        f"w{d % 7}.example.org" for d in ids if d % 10 in (0, 1, 2)
+    )
+    got = collect_table(subdomain_counts(SF))
+    got_map = dict(
+        zip(got.column("host").to_pylist(), got.column("n_pages").to_pylist())
+    )
+    assert got_map == dict(want)

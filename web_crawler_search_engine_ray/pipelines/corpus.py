@@ -107,9 +107,53 @@ def collect_table(ds: "ray.data.Dataset") -> pa.Table:
 
 
 def _dedup_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Distinct (doc_a, doc_b) rows — pairs repeat across LSH bands."""
-    return ds.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    """Distinct (doc_a, doc_b) rows — pairs repeat across LSH bands.
+    Count-aggregate (C-side sort shuffle) instead of per-group Python."""
+    from ray.data.aggregate import Count
+
+    return (
+        ds.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+_PAIR_BUCKETS = 256  # coarse shuffle buckets for pair emission
+
+
+def _emit_run_pairs(keys: np.ndarray, docs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """All (doc_a < doc_b) pairs of docs sharing a key, vectorized.
+
+    Sorts by (key, doc); equal-key runs emit their doc combinations via
+    triu indices. The per-run Python loop touches only runs with >1 doc
+    (bounded by bucket skew, not corpus size)."""
+    if len(keys) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    order = np.lexsort((docs, keys))
+    k, d = keys[order], docs[order]
+    # run boundaries over equal keys
+    starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+    ends = np.concatenate((starts[1:], [len(k)]))
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        c = e - s
+        if c < 2:
+            continue
+        ii, jj = np.triu_indices(c, 1)
+        run = d[s:e]
+        a_parts.append(run[ii])
+        b_parts.append(run[jj])
+    if not a_parts:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    a = np.concatenate(a_parts).astype(np.int64)
+    b = np.concatenate(b_parts).astype(np.int64)
+    keep = a < b  # drop self-pairs if a doc repeats within a run
+    return (a[keep], b[keep])
+
+
+def _pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
     )
 
 
@@ -158,6 +202,61 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
+
+
+def top_words(sf_dir: str, k: int = 50) -> pa.Table:
+    """Top-50-words analytic (crawler checkpoint ordering O1,
+    crawler/__init__.py:44): global word frequencies sorted count desc /
+    token asc, limit 50. The groupby shrinks the data to unique tokens
+    before the sort, so the sort input is small at any corpus scale."""
+    ds = (
+        word_frequencies(sf_dir)
+        .sort(["count", "token"], descending=[True, False])
+        .limit(k)
+    )
+    return collect_table(ds)
+
+
+def longest_pages(sf_dir: str, k: int = 20) -> pa.Table:
+    """Longest-page analytic (A2 + O1, crawler/__init__.py:43): per-doc
+    token counts sorted length desc / doc_id asc, top 20."""
+    ds = (
+        doc_token_counts(sf_dir)
+        .sort(["n_tokens", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    return collect_table(ds)
+
+
+def subdomain_counts(sf_dir: str) -> "ray.data.Dataset":
+    """A7 subdomain counting (north-star re-expression target): pages per
+    subdomain host over the deterministically constructed URL corpus
+    (same URL builder as url_normalize_validate), counted only for URLs
+    that pass the validity chain (M4-M8)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import host_batch, is_valid_batch, normalize_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        raws = _build_raw_urls(ids)
+        normd = normalize_batch(raws)
+        valid = is_valid_batch(normd, ("example.org",))
+        hosts = host_batch(normd)
+        c: Counter = Counter(h for h, v in zip(hosts, valid) if v)
+        return pa.table(
+            {
+                "host": pa.array(list(c.keys()), pa.string()),
+                "n_pages": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -375,12 +474,15 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
             {"doc_id": batch.column("doc_id"), "tkey": pa.array(keys, pa.string())}
         )
 
-    def first(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy()
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    def out_types(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array([int(ids.min())], pa.int64()),
-                "n_copies": pa.array([len(ids)], pa.int64()),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_copies": pc.cast(batch.column("n_copies"), pa.int64()),
             }
         )
 
@@ -388,8 +490,11 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(digest, batch_format="pyarrow")
         .groupby("tkey")
-        .map_groups(first, batch_format="pyarrow")
-        .select_columns(["doc_id", "n_copies"])
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_copies"),
+        )
+        .map_batches(out_types, batch_format="pyarrow")
     )
 
 
@@ -403,47 +508,62 @@ def _doc_shingle_strings(text: str, k: int = 3) -> frozenset:
 def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs, exact-verified.
 
-    shingle(3-gram) → 128-perm minhash → 32 band keys → groupby(band)
-    candidate pairs → exact Jaccard ≥ 0.8 on the candidates only. At
-    10 TB+ the candidate verify joins shingles by doc_id partition; here the
-    candidate set is tiny and broadcast.
+    shingle(3-gram) → 128-perm minhash → 32 band keys → bucketed groupby
+    candidate pairs → exact Jaccard ≥ 0.8 on the candidates only.
+
+    The band shuffle groups by a COARSE bucket (band_key64 % 256) rather
+    than per band key: the pair kernel re-splits exact equal-key runs
+    vectorized inside each bucket group, so there are O(buckets) Python
+    calls, not O(unique band keys). At 10 TB+ the candidate verify joins
+    shingles by doc_id partition; here the candidate set is tiny and
+    broadcast.
     """
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        band_ids, band_keys, doc_ids = [], [], []
+        n_bands = MINHASH_BANDS
+        key_parts, doc_parts = [], []
         for did, text in zip(ids, texts):
             toks = _TOK_RE.findall(text.lower())
             sh = shingle_hashes(toks, k=3)
             sig = minhash_signature(sh, num_perm=MINHASH_PERMS)
-            for b, key in enumerate(minhash_band_keys(sig, num_bands=MINHASH_BANDS)):
-                band_ids.append(b)
-                band_keys.append(key.hex())
-                doc_ids.append(did)
+            keys = np.fromiter(
+                (
+                    int.from_bytes(k, "little")
+                    for k in minhash_band_keys(sig, num_bands=n_bands)
+                ),
+                dtype=np.uint64,
+                count=n_bands,
+            )
+            # fold the band index into the key so equal chunks from
+            # different bands never collide into one run
+            keys ^= np.arange(n_bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            key_parts.append(keys)
+            doc_parts.append(np.full(n_bands, did, dtype=np.int64))
+        keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.uint64)
+        docs_col = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_key": pa.array(band_keys, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "key64": pa.array(keys, pa.uint64()),
+                "bucket": pa.array(
+                    (keys % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(docs_col, pa.int64()),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a_col, b_col = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a_col, pa.int64()), "doc_b": pa.array(b_col, pa.int64())}
+        a, b = _emit_run_pairs(
+            group.column("key64").to_numpy(zero_copy_only=False),
+            group.column("doc_id").to_numpy(zero_copy_only=False),
         )
+        return _pair_table(a, b)
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     candidates = (
         docs.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     candidates = _dedup_pairs(candidates)
@@ -527,88 +647,114 @@ def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.8. Candidate
-    generation is the exact shingle-share join (a pair with j>0 shares ≥1
-    shingle), so no approximation — the all-pairs scan is avoided by
-    bucketing on shingles (groupby), mirroring the SQL oracle's semi-join."""
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.8.
+
+    Intersection-counting dataflow (no candidate-verify second pass):
+    explode docs to (shingle_hash64, doc_id) rows, emit a (doc_a, doc_b)
+    row per SHARED shingle inside coarse bucket groups (vectorized run
+    kernel), then ``groupby(pair).count()`` IS |A∩B|; |A∪B| follows from
+    the broadcast per-doc set sizes, so jaccard needs no shingle-set
+    re-read. The shingle-equality join mirrors the SQL oracle's semi-join;
+    equality is on 64-bit blake2b shingle hashes (collision-free in
+    practice; the MinHash path is the sub-linear scale variant).
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        dids, shs = [], []
+        key_parts, doc_parts = [], []
         for did, text in zip(ids, texts):
-            for s in _doc_shingle_strings(text):
-                dids.append(did)
-                shs.append(s)
-        return pa.table(
-            {"doc_id": pa.array(dids, pa.int64()), "shingle": pa.array(shs, pa.string())}
-        )
-
-    def share_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a_col, b_col = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a_col, pa.int64()), "doc_b": pa.array(b_col, pa.int64())}
-        )
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    candidates = (
-        docs.map_batches(explode, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(share_pairs, batch_format="pyarrow")
-    )
-    candidates = _dedup_pairs(candidates)
-    cand = [(r["doc_a"], r["doc_b"]) for r in candidates.take_all()]
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard_milli": pa.array([], pa.int64()),
-        }
-    )
-    if not cand:
-        return empty
-    needed = {d for pair in cand for d in pair}
-
-    def shingles_of_needed(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_ids, out_sh = [], []
-        for did, text in zip(ids, texts):
-            if did in needed:
-                out_ids.append(did)
-                out_sh.append(sorted(_doc_shingle_strings(text)))
+            toks = _TOK_RE.findall(text.lower())
+            sh = shingle_hashes(toks, k=3)
+            if len(sh):
+                key_parts.append(sh)
+                doc_parts.append(np.full(len(sh), did, dtype=np.int64))
+        keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.uint64)
+        dids = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "shingles": pa.array(out_sh, pa.list_(pa.string())),
+                "key64": pa.array(keys, pa.uint64()),
+                "bucket": pa.array(
+                    (keys % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(dids, pa.int64()),
             }
         )
 
-    sh_tbl = collect_table(docs.map_batches(shingles_of_needed, batch_format="pyarrow"))
-    sh_map = {r["doc_id"]: frozenset(r["shingles"]) for r in sh_tbl.to_pylist()}
-    rows = []
-    for a, b in sorted(cand):
-        A, B = sh_map[a], sh_map[b]
-        union = len(A | B)
-        if union == 0:
-            continue
-        inter = len(A & B)
-        if 1.0 * inter / union >= JACCARD_THRESHOLD:
-            rows.append((a, b, _fixed(1000.0 * inter / union, 1)))
-    if not rows:
-        return empty
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard_milli": pa.array([r[2] for r in rows], pa.int64()),
-        }
+    def share_pairs(group: pa.Table) -> pa.Table:
+        a, b = _emit_run_pairs(
+            group.column("key64").to_numpy(zero_copy_only=False),
+            group.column("doc_id").to_numpy(zero_copy_only=False),
+        )
+        # pack the pair into one uint64 (assumes doc_id < 2^32; use 128-bit
+        # split-key packing for wider id spaces) so the intersection count
+        # is a single-key shuffle + np.unique, not a generic two-key agg
+        pk = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.uint64()),
+                "pbucket": pa.array(
+                    (pk % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    # per-doc shingle-set sizes: small side, broadcast once via ray.put
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = [len(shingle_hashes(_TOK_RE.findall(t.lower()), k=3)) for t in texts]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n_sh": pa.array(n, pa.int64())}
+        )
+
+    size_tbl = collect_table(docs.map_batches(sizes, batch_format="pyarrow"))
+    # dense size lookup array (doc ids are < 2^32; at larger id spaces this
+    # side becomes a parquet table joined by pk partition)
+    doc_arr = np.asarray(size_tbl.column("doc_id"), dtype=np.int64)
+    sz_arr = np.asarray(size_tbl.column("n_sh"), dtype=np.int64)
+    lookup = np.zeros(int(doc_arr.max()) + 1 if len(doc_arr) else 1, dtype=np.int64)
+    lookup[doc_arr] = sz_arr
+    size_ref = ray.put(lookup)
+
+    def count_jaccard(group: pa.Table) -> pa.Table:
+        sm = ray.get(size_ref)
+        pk = group.column("pk").to_numpy(zero_copy_only=False)
+        uniq, inter = np.unique(pk, return_counts=True)
+        a = (uniq >> np.uint64(32)).astype(np.int64)
+        b = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        inter = inter.astype(np.int64)
+        union = sm[a] + sm[b] - inter
+        # i/u >= 0.8 as exact integers (5i >= 4u) — no float boundary drift
+        ok = (union > 0) & (5 * inter >= 4 * union)
+        jm = np.floor(1000.0 * inter[ok] / union[ok] + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[ok], pa.int64()),
+                "doc_b": pa.array(b[ok], pa.int64()),
+                "jaccard_milli": pa.array(jm, pa.int64()),
+            }
+        )
+
+    result = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(share_pairs, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(count_jaccard, batch_format="pyarrow")
     )
+    tbl = collect_table(result)
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_milli": pa.array([], pa.int64()),
+            }
+        )
+    return tbl.select(["doc_a", "doc_b", "jaccard_milli"])
 
 
 # ---------------------------------------------------------------------------
@@ -802,6 +948,37 @@ def ann_topk_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> "ray.data.Dat
 # ---------------------------------------------------------------------------
 
 
+def _build_raw_urls(ids: Sequence[int]) -> List[str]:
+    """Deterministic URL corpus from doc_id (testdata has no URL column);
+    the SQL oracles build the identical strings."""
+    raws = []
+    for d in ids:
+        host = f"w{d % 7}.example.org"
+        path = f"/s{d % 7}/p{d}"
+        m = d % 10
+        if m == 0:
+            raws.append(f"HTTP://{host}{path}")
+        elif m == 1:
+            raws.append(f"https://{host}{path}/")
+        elif m == 2:
+            raws.append(f"https://{host}/%73{d % 7}/p{d}")
+        elif m == 3:
+            raws.append(f"https://{host}/a/b/a/b")
+        elif m == 4:
+            raws.append(f"https://{host}{path}.pdf")
+        elif m == 5:
+            raws.append(f"https://{host}{path}?ical=1")
+        elif m == 6:
+            raws.append(f"https://{host}{path}?color_filter=red")
+        elif m == 7:
+            raws.append(f"ftp://{host}{path}")
+        elif m == 8:
+            raws.append(f"https://ext.other.net{path}")
+        else:
+            raws.append(f"https://{host}{path}?afg3_page_id=2")
+    return raws
+
+
 def url_normalize_validate(sf_dir: str) -> "ray.data.Dataset":
     """Exercise normalize (M1) + the validity chain (M4-M8) on URLs
     constructed deterministically from doc_id (the testdata has no URL
@@ -810,31 +987,7 @@ def url_normalize_validate(sf_dir: str) -> "ray.data.Dataset":
 
     def build(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        raws = []
-        for d in ids:
-            host = f"w{d % 7}.example.org"
-            path = f"/s{d % 7}/p{d}"
-            m = d % 10
-            if m == 0:
-                raws.append(f"HTTP://{host}{path}")
-            elif m == 1:
-                raws.append(f"https://{host}{path}/")
-            elif m == 2:
-                raws.append(f"https://{host}/%73{d % 7}/p{d}")
-            elif m == 3:
-                raws.append(f"https://{host}/a/b/a/b")
-            elif m == 4:
-                raws.append(f"https://{host}{path}.pdf")
-            elif m == 5:
-                raws.append(f"https://{host}{path}?ical=1")
-            elif m == 6:
-                raws.append(f"https://{host}{path}?color_filter=red")
-            elif m == 7:
-                raws.append(f"ftp://{host}{path}")
-            elif m == 8:
-                raws.append(f"https://ext.other.net{path}")
-            else:
-                raws.append(f"https://{host}{path}?afg3_page_id=2")
+        raws = _build_raw_urls(ids)
         normd = normalize_batch(raws)
         valid = is_valid_batch(normd, ("example.org",))
         return pa.table(

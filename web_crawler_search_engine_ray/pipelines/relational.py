@@ -187,7 +187,9 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "event_type": tbl.column("event_type"),
-            "hour": tbl.column("hour"),
+            # us resolution so the hash compare sees identical physical values
+            # to DuckDB's date_trunc (which yields timestamp[us]).
+            "hour": pc.cast(tbl.column("hour"), pa.timestamp("us")),
             "n_events": pc.cast(tbl.column("n_events"), pa.int64()),
             "sum_value": pa.array(
                 _round_col(tbl.column("sum_value").to_numpy(zero_copy_only=False), 1000.0),
