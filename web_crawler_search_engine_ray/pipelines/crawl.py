@@ -42,8 +42,8 @@ from ..functions import urls as U
 from ..sources.synthetic_web import CrawlConfig
 from ..stages import schedule as SCH
 from ..stages.extract import analyze_batch, explode_token_partials, extract_links_batch
-from ..stages.fetch import FetchStage, filter_scrapeable
-from ..stages.util import zip_with_index
+from ..stages.fetch import make_fetch_fn, filter_scrapeable
+from ..stages.util import zip_with_index_counted
 from ..state.checkpoint import (
     clear_wave_outputs,
     latest_checkpoint,
@@ -153,57 +153,57 @@ def run_crawl(
     root_domains = tuple(config.root_domains)
     user_agent = config.user_agent
 
+    frontier_hosts: Optional[List[str]] = None  # derived from checkpoint tbl
+
     while frontier_count > 0 and wave < max_waves:
         wave_start = wave * config.wave_span
 
         # --- schedule (politeness + robots) ---
-        hosts = frontier.unique("host")
+        if frontier_hosts is None:
+            frontier_hosts = frontier.unique("host")
+        hosts = frontier_hosts
         delays = robots.check_hosts(hosts, user_agent)
         host_meta = {h: (delays[h], h not in seen_hosts) for h in hosts}
         seen_hosts.update(hosts)
         meta_ref = ray.put(host_meta)
+        robots_fn = SCH.make_robots_fn(robots.shards, robots.num_shards, user_agent)
         schedule_fn = SCH.make_schedule_fn(
             meta_ref,
-            robots.shards,
-            robots.num_shards,
-            user_agent,
             wave_start,
             config.wave_span,
             config.politeness,
         )
         scheduled = (
-            frontier.groupby("host")
+            frontier.map_batches(robots_fn, batch_format="pyarrow")
+            .groupby("host")
             .map_groups(schedule_fn, batch_format="pandas")
             .materialize()
         )
 
         # --- robots-blocked: marked complete, never fetched ---
-        blocked = scheduled.filter(
-            lambda r: r["action"] == SCH.ACTION_BLOCKED
-        )
-
         def _mark_blocked(batch: pa.Table) -> pa.Table:
             seen.mark_complete(batch.column("url").to_pylist())
             return batch.select(["url"])
 
-        n_blocked = blocked.map_batches(_mark_blocked, batch_format="pyarrow").count()
+        scheduled.filter(
+            expr=f"action == {SCH.ACTION_BLOCKED}"
+        ).map_batches(_mark_blocked, batch_format="pyarrow").count()
 
         # --- dispatched, in deterministic dispatch order ---
-        dispatched = scheduled.filter(lambda r: r["action"] == SCH.ACTION_FETCH)
-        n_dispatched = dispatched.count()
-        fetched = None
+        dispatched = scheduled.filter(expr=f"action == {SCH.ACTION_FETCH}")
+        ordered, n_dispatched = zip_with_index_counted(
+            dispatched.sort(["virtual_ts", "host", "discovery_seq"]),
+            "seq",
+            lineage_counter,
+        )
         if n_dispatched:
-            ordered = dispatched.sort(["virtual_ts", "host", "discovery_seq"])
-            ordered = zip_with_index(ordered, "seq", lineage_counter)
             lineage_counter += n_dispatched
 
             fetched = (
                 ordered.drop_columns(["action"])
                 .map_batches(
-                    FetchStage,
-                    fn_constructor_args=(docs_path,),
+                    make_fetch_fn(docs_path),
                     batch_format="pyarrow",
-                    concurrency=fetch_concurrency,
                     num_cpus=1,
                 )
                 .materialize()
@@ -212,10 +212,12 @@ def run_crawl(
             # pages sink (S2 save_page analogue), wave-partitioned
             fetched.write_parquet(_wave_dir(workdir, "pages", wave))
 
-            # lineage sink
+            # lineage sink; dispatched URLs also marked complete here
+            # (lengths for scrapeable pages backfilled below)
             wv = wave
 
             def _lineage(batch: pa.Table) -> pa.Table:
+                seen.mark_complete(batch.column("url").to_pylist())
                 out = batch.select(["seq", "url", "host", "virtual_ts", "status"])
                 return out.append_column(
                     "wave", pa.array(np.full(batch.num_rows, wv, dtype=np.int32))
@@ -224,13 +226,6 @@ def run_crawl(
             fetched.map_batches(_lineage, batch_format="pyarrow").write_parquet(
                 _wave_dir(workdir, "lineage", wave)
             )
-
-            # dispatched URLs are complete (length backfilled below)
-            def _mark_done(batch: pa.Table) -> pa.Table:
-                seen.mark_complete(batch.column("url").to_pylist())
-                return batch.select(["url"])
-
-            fetched.map_batches(_mark_done, batch_format="pyarrow").count()
 
             # --- analytics over scrapeable pages (A1/A2) ---
             scrapeable = fetched.map_batches(filter_scrapeable, batch_format="pyarrow")
@@ -242,18 +237,17 @@ def run_crawl(
                 explode_token_partials, batch_format="pyarrow"
             ).write_parquet(_wave_dir(workdir, "tokens", wave))
 
-            analyzed.select_columns(["url", "seq", "length"]).write_parquet(
-                _wave_dir(workdir, "page_lengths", wave)
-            )
-
+            # page-length sink doubles as the ledger length backfill
             def _mark_lengths(batch: pa.Table) -> pa.Table:
                 seen.mark_complete(
                     batch.column("url").to_pylist(),
                     batch.column("length").to_pylist(),
                 )
-                return batch.select(["url"])
+                return batch.select(["url", "seq", "length"])
 
-            analyzed.map_batches(_mark_lengths, batch_format="pyarrow").count()
+            analyzed.map_batches(_mark_lengths, batch_format="pyarrow").write_parquet(
+                _wave_dir(workdir, "page_lengths", wave)
+            )
 
             # --- link extraction → candidates ---
             links = scrapeable.map_batches(
@@ -279,28 +273,33 @@ def run_crawl(
                 mask = seen.test_and_add(urls, wave=wv_)
                 return batch.filter(pa.array(mask))
 
-            fresh = deduped.map_batches(
-                _seen_filter, batch_format="pyarrow"
-            ).materialize()
-            n_fresh = fresh.count()
+            fresh = deduped.map_batches(_seen_filter, batch_format="pyarrow")
         else:
-            n_fresh = 0
+            fresh = None
 
         # --- assemble next frontier ---
-        carry = scheduled.filter(lambda r: r["action"] == SCH.ACTION_CARRY)
-        n_carry = carry.count()
-        carry = carry.drop_columns(["action", "virtual_ts"])
+        carry = scheduled.filter(expr=f"action == {SCH.ACTION_CARRY}").drop_columns(
+            ["action", "virtual_ts"]
+        )
+        carry, n_carry = zip_with_index_counted(carry, "_c", 0)
 
         parts = []
         if n_carry:
             parts.append(carry.select_columns(["url", "host", "discovery_seq", "depth"]))
-        if n_fresh:
-            ordered_fresh = fresh.sort(["parent_seq", "offset"])
-            ordered_fresh = zip_with_index(ordered_fresh, "discovery_seq", discovery_counter)
-            discovery_counter += n_fresh
-            parts.append(
-                ordered_fresh.select_columns(["url", "host", "discovery_seq", "depth"])
+        n_fresh = 0
+        if fresh is not None:
+            ordered_fresh, n_fresh = zip_with_index_counted(
+                fresh.sort(["parent_seq", "offset"]),
+                "discovery_seq",
+                discovery_counter,
             )
+            discovery_counter += n_fresh
+            if n_fresh:
+                parts.append(
+                    ordered_fresh.select_columns(
+                        ["url", "host", "discovery_seq", "depth"]
+                    )
+                )
         if len(parts) == 2:
             frontier = parts[0].union(parts[1]).materialize()
         elif parts:
@@ -317,6 +316,9 @@ def run_crawl(
                 [("url", pa.string()), ("host", pa.string()),
                  ("discovery_seq", pa.int64()), ("depth", pa.int32())]))
         )
+        # next wave's host set, from the already-collected checkpoint table
+        # (saves a unique() shuffle execution per wave)
+        frontier_hosts = pa.compute.unique(frontier_tbl.column("host")).to_pylist()
         write_checkpoint(
             workdir,
             wave,

@@ -62,17 +62,48 @@ class DocStore:
         return pos, tbl
 
 
+_STORE_CACHE: dict = {}
+
+
+def cached_store(docs_path: str) -> DocStore:
+    """Per-worker-process DocStore cache. The crawl loop runs one Dataset
+    execution PER WAVE; an actor pool would be torn down and restarted
+    each wave (setup × waves), while Ray reuses worker processes across
+    executions of the same job — so a module-level cache gives actor-style
+    amortized setup across the whole crawl. Read-only state, so no
+    coherence concerns."""
+    store = _STORE_CACHE.get(docs_path)
+    if store is None:
+        store = _STORE_CACHE[docs_path] = DocStore(docs_path)
+    return store
+
+
+def make_fetch_fn(docs_path: str):
+    """Task-pool fetch fn for the per-wave executions (store via
+    cached_store, amortized across waves)."""
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        return _fetch_with_store(cached_store(docs_path), batch)
+
+    return fetch_batch
+
+
 class FetchStage:
-    """map_batches callable class → actor pool. Input batch: scheduled
-    frontier rows (seq, wave, url, host, virtual_ts, discovery_seq, depth);
-    output: those columns + status, content_bytes, is_html, spans."""
+    """map_batches callable class → actor pool (single-execution pipelines;
+    the wave loop uses make_fetch_fn instead, see cached_store). Input
+    batch: scheduled frontier rows (seq, wave, url, host, virtual_ts,
+    discovery_seq, depth); output: + status, content_bytes, is_html, spans."""
 
     def __init__(self, docs_path: str):
-        self.store = DocStore(docs_path)
+        self.store = cached_store(docs_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _fetch_with_store(self.store, batch)
+
+
+def _fetch_with_store(store: DocStore, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        pos, docs_tbl = self.store.take(urls)
+        pos, docs_tbl = store.take(urls)
         n = len(urls)
 
         status = np.full(n, 404, dtype=np.int32)

@@ -35,33 +35,59 @@ ACTION_CARRY = 1
 ACTION_BLOCKED = 2
 
 
+def make_robots_fn(robots_shards, num_robot_shards: int, user_agent: str):
+    """Batch pre-pass appending an ``allowed`` column: group the batch's
+    URLs by robots shard, issue ONE can_fetch_multi RPC per shard (in
+    flight concurrently), scatter results back — RPC count scales with
+    batches × shards, not host groups."""
+    import pyarrow as pa
+
+    from ..functions.urls import hash64_batch
+
+    def robots_batch(batch: "pa.Table") -> "pa.Table":
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        if not urls:
+            return batch.append_column("allowed", pa.array([], pa.bool_()))
+        shard_ids = (
+            hash64_batch(hosts) % np.uint64(num_robot_shards)
+        ).astype(np.int64)
+        allowed = np.ones(len(urls), dtype=bool)
+        futs = []
+        for s in np.unique(shard_ids):
+            idx = np.nonzero(shard_ids == s)[0]
+            futs.append(
+                (
+                    idx,
+                    robots_shards[int(s)].can_fetch_multi.remote(
+                        [hosts[i] for i in idx], user_agent, [urls[i] for i in idx]
+                    ),
+                )
+            )
+        for idx, fut in futs:
+            allowed[idx] = ray.get(fut)
+        return batch.append_column("allowed", pa.array(allowed, pa.bool_()))
+
+    return robots_batch
+
+
 def make_schedule_fn(
     host_meta_ref,
-    robots_shards,
-    num_robot_shards: int,
-    user_agent: str,
     wave_start: float,
     wave_span: float,
     politeness: float,
 ):
     """Build the per-host map_groups callable. host_meta_ref is a ray.put
     broadcast of {host: (crawl_delay, is_first_wave)} computed once per wave
-    on the driver; robots_shards are read-only cache actors used for
-    per-URL can_fetch."""
-    from ..functions.urls import hash64_batch
+    on the driver; per-URL robots permission arrives precomputed in the
+    ``allowed`` column (make_robots_fn pre-pass)."""
 
     def schedule_group(df: pd.DataFrame) -> pd.DataFrame:
         host_meta: Dict[str, tuple] = ray.get(host_meta_ref)
         df = df.sort_values("discovery_seq", kind="stable").reset_index(drop=True)
         host = df["host"].iloc[0]
         crawl_delay, first_wave = host_meta[host]
-
-        shard = robots_shards[
-            int(hash64_batch([host])[0] % np.uint64(num_robot_shards))
-        ]
-        allowed = ray.get(
-            shard.can_fetch.remote(host, user_agent, df["url"].tolist())
-        )
+        allowed = df["allowed"].to_numpy()
 
         delay = max(crawl_delay, politeness)
         slots = max(1, int(wave_span / delay))
@@ -80,6 +106,6 @@ def make_schedule_fn(
                 slot += 1
         df["action"] = action
         df["virtual_ts"] = vts
-        return df
+        return df.drop(columns=["allowed"])
 
     return schedule_group

@@ -22,10 +22,18 @@ def _with_index(table: pa.Table, col: str, start: int) -> pa.Table:
 
 
 def zip_with_index(ds: "ray.data.Dataset", col: str, start: int) -> "ray.data.Dataset":
+    return zip_with_index_counted(ds, col, start)[0]
+
+
+def zip_with_index_counted(
+    ds: "ray.data.Dataset", col: str, start: int
+) -> tuple:
     """Append a dense int64 index column following the dataset's current
-    block order (caller sorts first). Two passes over block refs: count,
-    then offset-stamp — wave-bounded datasets only (the frontier delta is
-    ~100 bytes/URL, so materializing it is cheap relative to fetched bytes).
+    block order (caller sorts first); returns (dataset, row_count) so
+    callers don't need a separate count() execution. Two passes over block
+    refs: count, then offset-stamp — wave-bounded datasets only (the
+    frontier delta is ~100 bytes/URL, so materializing it is cheap relative
+    to fetched bytes).
     """
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
@@ -35,6 +43,7 @@ def zip_with_index(ds: "ray.data.Dataset", col: str, start: int) -> "ray.data.Da
     for r, c in zip(refs, counts):
         out_refs.append(_with_index.remote(r, col, off))
         off += c
+    total = off - start
     if not out_refs:
-        return mat
-    return ray.data.from_arrow_refs(out_refs)
+        return mat, 0
+    return ray.data.from_arrow_refs(out_refs), total

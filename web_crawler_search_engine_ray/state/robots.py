@@ -67,6 +67,18 @@ class RobotsShard:
             (rp.can_fetch(user_agent, u) for u in urls), dtype=bool, count=len(urls)
         )
 
+    def can_fetch_multi(
+        self, hosts: List[str], user_agent: str, urls: List[str]
+    ) -> np.ndarray:
+        """Mixed-host batch: one RPC covers every URL of this shard's hosts
+        in a batch (the wave pre-pass), instead of one RPC per host group."""
+        out = np.ones(len(urls), dtype=bool)
+        for i, (h, u) in enumerate(zip(hosts, urls)):
+            rp = self._parser(h)
+            if rp is not None:
+                out[i] = rp.can_fetch(user_agent, u)
+        return out
+
 class RobotsCache:
     """Handle over the shard pool; shard = hash64(host) % n."""
 
