@@ -32,8 +32,9 @@ import ray.data
 from ..stages.index import (
     TokenizeStage,
     add_page_hash,
+    add_token_bucket,
     catalog_batch,
-    first_wins_dedup,
+    dedup_decisions,
     make_score_fn,
 )
 
@@ -69,21 +70,42 @@ def build_index(
     pages = ray.data.read_parquet(pages_path)
 
     valid = pages.map_batches(_valid_pages, batch_format="pyarrow")
-    hashed = valid.map_batches(add_page_hash, batch_format="pyarrow")
+    hashed = valid.map_batches(add_page_hash, batch_format="pyarrow").materialize()
 
-    marked = (
-        hashed.groupby("page_hash")
-        .map_groups(first_wins_dedup, batch_format="pyarrow")
-        .materialize()
+    # D2 dedup decision on the PROJECTED (page_hash, seq) pair only — the
+    # heavy spans column never enters the dedup shuffle. Coarse buckets keep
+    # the group count at O(buckets); the per-bucket kernel is vectorized.
+    dup_tbl = dedup_decisions(hashed)
+    dup_map = dict(
+        zip(
+            dup_tbl.column("seq").to_pylist(), dup_tbl.column("dup_of").to_pylist()
+        )
     )
+    dup_ref = ray.put(dup_map)
 
-    duplicates = marked.filter(expr="dup_of >= 0").select_columns(
-        ["seq", "url", "dup_of"]
-    )
+    def _split(batch: pa.Table, want_dups: bool) -> pa.Table:
+        dm = ray.get(dup_ref)
+        seqs = batch.column("seq").to_pylist()
+        mask = pa.array([(s in dm) == want_dups for s in seqs])
+        return batch.filter(mask)
+
+    def _dup_rows(batch: pa.Table) -> pa.Table:
+        dm = ray.get(dup_ref)
+        b = _split(batch, True)
+        return pa.table(
+            {
+                "seq": b.column("seq"),
+                "url": b.column("url"),
+                "dup_of": pa.array(
+                    [dm[s] for s in b.column("seq").to_pylist()], pa.int64()
+                ),
+            }
+        )
+
     dup_dir = os.path.join(out_dir, "duplicates")
     os.makedirs(dup_dir, exist_ok=True)
-    if duplicates.count() > 0:
-        duplicates.write_parquet(dup_dir)
+    if dup_map:
+        hashed.map_batches(_dup_rows, batch_format="pyarrow").write_parquet(dup_dir)
     else:  # write_parquet emits nothing for an empty dataset
         import pyarrow.parquet as pq
 
@@ -97,8 +119,10 @@ def build_index(
             os.path.join(dup_dir, "empty.parquet"),
         )
 
-    kept = marked.filter(expr="dup_of < 0").materialize()
-    n_indexed = kept.count()
+    kept = hashed.map_batches(
+        lambda b: _split(b, False), batch_format="pyarrow"
+    )
+    n_indexed = hashed.count() - len(dup_map)
 
     catalog = kept.map_batches(catalog_batch, batch_format="pyarrow")
     cat_dir = os.path.join(out_dir, "catalog")
@@ -111,8 +135,10 @@ def build_index(
         batch_size=64,
         num_cpus=1,
     )
-    scored = postings_raw.groupby("token").map_groups(
-        make_score_fn(n_indexed, min_ngram_df), batch_format="pandas"
+    scored = (
+        postings_raw.map_batches(add_token_bucket, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(make_score_fn(n_indexed, min_ngram_df), batch_format="pyarrow")
     )
     post_dir = os.path.join(out_dir, "postings")
     scored.sort(["token", "doc_id"]).write_parquet(post_dir)

@@ -36,6 +36,56 @@ def add_page_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("page_hash", pa.array(hashes, pa.int64()))
 
 
+_DEDUP_BUCKETS = 256
+
+
+def dedup_decisions(hashed) -> pa.Table:
+    """Global first-wins dup decisions from the PROJECTED (page_hash, seq)
+    columns: coarse-bucket shuffle (O(buckets) groups), vectorized run
+    detection per bucket, driver-collects only the dup rows (seq, dup_of).
+    The spans payload never moves — the dedup shuffle carries 16 bytes/page
+    regardless of page size."""
+    import ray as _ray
+    import ray.data as _rd  # noqa: F401
+
+    proj = hashed.select_columns(["page_hash", "seq"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("page_hash"), dtype=np.int64)
+        return b.append_column(
+            "bucket",
+            pa.array((h % _DEDUP_BUCKETS).astype(np.int32), pa.int32()),
+        )
+
+    def dups(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("page_hash").to_numpy(zero_copy_only=False)
+        s = tbl.column("seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, h))
+        hs, ss = h[order], s[order]
+        new_run = np.concatenate(([True], hs[1:] != hs[:-1])) if len(hs) else np.empty(0, bool)
+        run_idx = np.cumsum(new_run) - 1
+        kept = ss[np.flatnonzero(new_run)][run_idx] if len(hs) else ss
+        dup_mask = ~new_run
+        return pa.table(
+            {
+                "seq": pa.array(ss[dup_mask], pa.int64()),
+                "dup_of": pa.array(kept[dup_mask], pa.int64()),
+            }
+        )
+
+    ds = (
+        proj.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pyarrow")
+    )
+    tables = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"seq": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables)
+
+
 def first_wins_dedup(tbl: pa.Table) -> pa.Table:
     """Per page_hash group: keep the lowest doc id (single-process oracle
     semantics); mark the rest with dup_of = kept doc id. Arrow in/out —
@@ -86,21 +136,46 @@ class TokenizeStage:
         )
 
 
-def make_score_fn(n_docs: int, min_ngram_df: int = 10):
-    """tf-idf per token group: idf = ln(N/df), tf_idf = (1+ln tf)·idf
-    rounded to 3 decimals (posting string codec, shared/posting.py:35);
-    multi-word tokens with df < min_ngram_df dropped
-    (indexer/__init__.py:188-198)."""
+_TOKEN_BUCKETS = 256
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        token = df["token"].iloc[0]
-        dfreq = len(df)
-        if " " in token and dfreq < min_ngram_df:
-            return df.iloc[0:0][["token", "doc_id"]].assign(tf_idf=np.float64())
-        idf = math.log(n_docs / dfreq)
-        out = df.sort_values("doc_id", kind="stable")[["token", "doc_id"]].copy()
-        out["tf_idf"] = np.round((1.0 + np.log(df.sort_values("doc_id")["tf"].to_numpy())) * idf, 3)
-        return out
+
+def add_token_bucket(batch: pa.Table) -> pa.Table:
+    """Coarse shuffle key for the scoring groupby: token-hash % buckets.
+    The bucket groupby co-locates every posting of a token (all that df
+    needs) with O(buckets) Python calls instead of O(unique tokens)."""
+    from ..functions.urls import hash64_batch
+
+    h = hash64_batch(batch.column("token").to_pylist())
+    return batch.append_column(
+        "tbucket",
+        pa.array((h % np.uint64(_TOKEN_BUCKETS)).astype(np.int32), pa.int32()),
+    )
+
+
+def make_score_fn(n_docs: int, min_ngram_df: int = 10):
+    """tf-idf over one token-hash bucket, vectorized: df per token via
+    np.unique inverse mapping; idf = ln(N/df); tf_idf = (1+ln tf)·idf
+    rounded to 3 decimals with round-half-even — the posting string codec's
+    ``f"{x:.3f}"`` semantics (shared/posting.py:35); multi-word tokens with
+    df < min_ngram_df dropped (indexer/__init__.py:188-198)."""
+
+    def score(tbl: pa.Table) -> pa.Table:
+        toks = np.asarray(tbl.column("token").to_pylist(), dtype=object)
+        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv, counts = np.unique(toks, return_inverse=True, return_counts=True)
+        dfreq = counts[inv].astype(np.float64)
+        has_space = np.fromiter((" " in t for t in uniq), dtype=bool, count=len(uniq))
+        keep = ~(has_space[inv] & (counts[inv] < min_ngram_df))
+        idf = np.log(n_docs / dfreq[keep])
+        tf_idf = np.round((1.0 + np.log(tf[keep])) * idf, 3)
+        return pa.table(
+            {
+                "token": pa.array(toks[keep], pa.string()),
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "tf_idf": pa.array(tf_idf, pa.float64()),
+            }
+        )
 
     return score
 
