@@ -302,25 +302,46 @@ def _postings_tf(sf_dir: str) -> Tuple["ray.data.Dataset", int]:
 
 
 def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
-    """A4/A5: group per-(doc, token) tf by token; df = group size; idf =
-    ln(N/df); tf_idf = (1 + ln tf)·idf rounded to 3 decimals
-    (indexer/__init__.py:192-198); multi-word tokens with df < 10 pruned."""
+    """A4/A5: df per token, idf = ln(N/df), tf_idf = (1 + ln tf)·idf
+    rounded to 3 decimals (indexer/__init__.py:192-198); multi-word tokens
+    with df < 10 pruned. The scoring groupby keys on token-hash % 256 —
+    every posting of a token still co-locates (df correct), but the Python
+    call count is O(buckets), with one vectorized np.unique pass each."""
+    from ..functions.urls import hash64_batch
+
     tf, n_docs = _postings_tf(sf_dir)
 
-    def score(group: pa.Table) -> pa.Table:
-        token = group.column("token")[0].as_py()
-        df = group.num_rows
-        if " " in token and df < NGRAM_MIN_DF:
-            return group.slice(0, 0).append_column(
-                "tf_idf", pa.array([], pa.float64())
-            )
-        idf = math.log(n_docs / df)
-        tfs = group.column("tf").to_numpy()
-        raw = (1.0 + np.log(tfs)) * idf
-        rounded = np.floor(raw * 1000.0 + 0.5) / 1000.0
-        return group.append_column("tf_idf", pa.array(rounded, pa.float64()))
+    def bucketed(batch: pa.Table) -> pa.Table:
+        h = hash64_batch(batch.column("token").to_pylist())
+        return batch.append_column(
+            "tbucket",
+            pa.array((h % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()),
+        )
 
-    return tf.groupby("token").map_groups(score, batch_format="pyarrow")
+    def score(tbl: pa.Table) -> pa.Table:
+        toks = np.asarray(tbl.column("token").to_pylist(), dtype=object)
+        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = tbl.column("tf").to_numpy(zero_copy_only=False)
+        uniq, inv, counts = np.unique(toks, return_inverse=True, return_counts=True)
+        has_space = np.fromiter((" " in t for t in uniq), dtype=bool, count=len(uniq))
+        keep = ~(has_space[inv] & (counts[inv] < NGRAM_MIN_DF))
+        idf = np.log(n_docs / counts[inv][keep].astype(np.float64))
+        raw = (1.0 + np.log(tfs[keep].astype(np.float64))) * idf
+        rounded = np.floor(raw * 1000.0 + 0.5) / 1000.0
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "token": pa.array(toks[keep], pa.string()),
+                "tf": pa.array(tfs[keep], pa.int64()),
+                "tf_idf": pa.array(rounded, pa.float64()),
+            }
+        )
+
+    return (
+        tf.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(score, batch_format="pyarrow")
+    )
 
 
 def search_topk(sf_dir: str) -> pa.Table:
@@ -762,6 +783,17 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def _list_col_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix via the flat Arrow values
+    buffer (no per-row Python lists). Assumes equal-length vectors."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, len(flat) // n)
+
+
 def _load_embedding_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     """Driver-side load of the (small) embedding side that gets broadcast;
     at 100 TB this side would be the IVF centroid/codebook table instead."""
@@ -771,7 +803,7 @@ def _load_embedding_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     ids = np.asarray(t.column("vec_id"), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = _list_col_matrix(t.column("embedding"))
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -795,7 +827,7 @@ def embedding_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
         bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bmat = _list_col_matrix(batch.column("embedding"))
         sims = _cosine(bmat, all_mat)
         # keep only a<b to emit each pair once
         keep = (sims >= thr) & (bids[:, None] < all_ids[None, :])
@@ -827,7 +859,7 @@ def ann_topk_bruteforce(sf_dir: str) -> "ray.data.Dataset":
     def score(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(qref)
         bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bmat = _list_col_matrix(batch.column("embedding"))
         sims = _cosine(qm, bmat)  # (nq, nb)
         out_q, out_v, out_s = [], [], []
         for r in range(sims.shape[0]):
@@ -894,7 +926,7 @@ def ann_topk_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> "ray.data.Dat
     def score(batch: pa.Table) -> pa.Table:
         qi, qm, C, psets = ray.get(bref)
         bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
-        bmat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bmat = _list_col_matrix(batch.column("embedding"))
         bnorm = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
         assign = np.argmax(bnorm @ C.T, axis=1)
         sims = _cosine(qm, bmat)

@@ -6,12 +6,17 @@ broadcast hash join, sort/limit, temporal bucketing) against DuckDB
 oracles. Float sums are rounded only at the output edge (shared
 ``floor(x*K+0.5)`` fixed-point formula), and every ranking key is either
 integral or separated by orders of magnitude more than float-sum error.
+
+Every aggregate pre-combines INSIDE map_batches with pyarrow's C-level
+``Table.group_by`` (the map-side combiner), so the Ray ``groupby`` shuffle
+carries at most (group-cardinality × batches) partial rows, not the raw
+table — the 100 TB posture for low-cardinality aggregates.
 """
 
 from __future__ import annotations
 
 import os
-from typing import List
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -35,10 +40,24 @@ def _round_col(arr: np.ndarray, scale: float) -> np.ndarray:
     return np.floor(arr * scale + 0.5) / scale
 
 
+def _partial(
+    t: pa.Table, keys: List[str], sums: Sequence[Tuple[str, str]], count_as: str
+) -> pa.Table:
+    """Batch-local combine: pyarrow group_by sum/count with stable output
+    names; the Ray shuffle then sums these partials."""
+    aggs = [(src, "sum") for src, _ in sums] + [([], "count_all")]
+    g = t.group_by(keys).aggregate(aggs)
+    cols = {k: g.column(k) for k in keys}
+    for src, out in sums:
+        cols[out] = g.column(f"{src}_sum")
+    cols[count_as] = pc.cast(g.column("count_all"), pa.int64())
+    return pa.table(cols)
+
+
 def pricing_summary(sf_dir: str) -> pa.Table:
-    """TPC-H Q1-shaped pricing summary: filter on ship date, two-key
-    groupby with four running sums + a count, rounded at the edge."""
-    from ray.data.aggregate import Count, Sum
+    """TPC-H Q1-shaped pricing summary: filter on ship date, vectorized
+    derived columns, batch-local combine, then a 6-group shuffle."""
+    from ray.data.aggregate import Sum
 
     cutoff = np.datetime64(PRICING_CUTOFF, "us")
 
@@ -52,7 +71,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         tax = b.column("l_tax")
         disc_price = pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc))
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), tax))
-        return pa.table(
+        t = pa.table(
             {
                 "l_returnflag": b.column("l_returnflag"),
                 "l_linestatus": b.column("l_linestatus"),
@@ -61,6 +80,17 @@ def pricing_summary(sf_dir: str) -> pa.Table:
                 "disc_price": disc_price,
                 "charge": charge,
             }
+        )
+        return _partial(
+            t,
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("l_quantity", "sum_qty"),
+                ("l_extendedprice", "sum_base_price"),
+                ("disc_price", "sum_disc_price"),
+                ("charge", "sum_charge"),
+            ],
+            "count_order",
         )
 
     agg = (
@@ -80,11 +110,11 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         .map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_charge", alias_name="sum_charge"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     tbl = collect_table(agg)
@@ -102,17 +132,27 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def top_customers(sf_dir: str) -> pa.Table:
-    """Top-10 customers by total order value: shuffle-aggregate the big
-    side (orders) by custkey, then broadcast-join the small customer
-    catalog (ray.put once) — no all-to-all join."""
-    from ray.data.aggregate import Count, Sum
+    """Top-10 customers by total order value: batch-local combine +
+    shuffle-aggregate the big side (orders) by custkey, then
+    broadcast-join the small customer catalog (ray.put once) — no
+    all-to-all join."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return _partial(
+            batch.select(["o_custkey", "o_totalprice"]),
+            ["o_custkey"],
+            [("o_totalprice", "revenue")],
+            "n_orders",
+        )
 
     revenue = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(
-            Sum("o_totalprice", alias_name="revenue"),
-            Count(alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"),
         )
     )
     import pyarrow.parquet as pq
@@ -161,17 +201,20 @@ def top_customers(sf_dir: str) -> pa.Table:
 
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling-window (hourly) aggregate of the events stream table:
-    temporal floor inside map_batches, then a two-key groupby."""
-    from ray.data.aggregate import Count, Sum
+    temporal floor + batch-local combine, then a (type, hour) groupby."""
+    from ray.data.aggregate import Sum
 
     def bucket(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "hour": hour,
                 "value": batch.column("value"),
             }
+        )
+        return _partial(
+            t, ["event_type", "hour"], [("value", "sum_value")], "n_events"
         )
 
     agg = (
@@ -179,8 +222,8 @@ def events_hourly(sf_dir: str) -> pa.Table:
         .map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
         )
     )
     tbl = collect_table(agg)
@@ -200,8 +243,8 @@ def events_hourly(sf_dir: str) -> pa.Table:
 
 
 def events_user_stats(sf_dir: str) -> pa.Table:
-    """Per-user event profile: conditional aggregation expressed as
-    vectorized masks inside map_batches feeding partial sums."""
+    """Per-user event profile: conditional aggregation as vectorized masks,
+    batch-local combine, per-user shuffle of partials only."""
     from ray.data.aggregate import Sum
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -211,14 +254,23 @@ def events_user_stats(sf_dir: str) -> pa.Table:
         is_error = pc.cast(
             pc.equal(batch.column("event_type"), pa.scalar("error")), pa.int64()
         )
-        return pa.table(
+        t = pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
                 "is_purchase": is_purchase,
                 "is_error": is_error,
                 "value": batch.column("value"),
             }
+        )
+        return _partial(
+            t,
+            ["user_id"],
+            [
+                ("is_purchase", "n_purchases"),
+                ("is_error", "n_errors"),
+                ("value", "sum_value"),
+            ],
+            "n_events",
         )
 
     agg = (
@@ -226,10 +278,10 @@ def events_user_stats(sf_dir: str) -> pa.Table:
         .map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
-            Sum("one", alias_name="n_events"),
-            Sum("is_purchase", alias_name="n_purchases"),
-            Sum("is_error", alias_name="n_errors"),
-            Sum("value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("n_errors", alias_name="n_errors"),
+            Sum("sum_value", alias_name="sum_value"),
         )
     )
     tbl = collect_table(agg)
@@ -248,18 +300,27 @@ def events_user_stats(sf_dir: str) -> pa.Table:
 
 
 def brand_part_stats(sf_dir: str) -> pa.Table:
-    """Part-catalog profile per brand: count, size sum, rounded average
-    retail price computed as round(sum/count) so Ray and SQL divide the
-    same two exact-ish numbers."""
-    from ray.data.aggregate import Count, Sum
+    """Part-catalog profile per brand: batch-local combine then a 25-group
+    shuffle; rounded average retail price computed as round(sum/count) so
+    Ray and SQL divide the same two numbers."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return _partial(
+            batch,
+            ["p_brand"],
+            [("p_size", "sum_size"), ("p_retailprice", "sum_price")],
+            "n_parts",
+        )
 
     agg = (
         _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+        .map_batches(prep, batch_format="pyarrow")
         .groupby("p_brand")
         .aggregate(
-            Count(alias_name="n_parts"),
-            Sum("p_size", alias_name="sum_size"),
-            Sum("p_retailprice", alias_name="sum_price"),
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("sum_size", alias_name="sum_size"),
+            Sum("sum_price", alias_name="sum_price"),
         )
     )
     tbl = collect_table(agg)
