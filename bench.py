@@ -34,8 +34,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench crawl web: fixed size, politeness kept at the reference default but
 # a wide virtual-time wave (throughput mode; conformance tests use narrow
 # waves to exercise carryover).
-BENCH_WEB = dict(seed=11, num_hosts=32, num_docs=2000)
-BENCH_WAVE_SPAN = 256.0
+BENCH_WEB = dict(seed=11, num_hosts=32, num_docs=30000, extra_links=4, words_scale=20)
+BENCH_WAVE_SPAN = 2048.0
 
 
 def _init_ray(num_cpus: int):
@@ -82,7 +82,7 @@ def _bench_crawl(num_cpus: int) -> dict:
     build_index(
         os.path.join(workdir, "crawl", "pages"),
         os.path.join(workdir, "index"),
-        tokenize_concurrency=max(2, num_cpus // 4),
+        tokenize_concurrency=max(2, num_cpus - 2),
         min_ngram_df=3,
     )
     index_s = time.time() - t0

@@ -108,3 +108,32 @@ def test_span_sequence_equality(crawl_pair, micro_web):
             )
         checked += 1
     assert checked > 0
+
+
+def test_hot_host_skew_conformance(ray_session, tmp_path_factory):
+    """Hot-host skew (60% of pages on one host) still matches the oracle:
+    lineage order + seen set equality with the salted fetch path."""
+    from web_crawler_search_engine_ray.sources.synthetic_web import generate_web
+
+    web = generate_web(seed=77, num_hosts=4, num_docs=60, hot_host_frac=0.6)
+    cfg = CrawlConfig(wave_span=16.0)
+    seeds = web["seeds"].column("url").to_pylist()
+    oracle = oracle_crawl(web["docs"], web["robots"], seeds, cfg)
+
+    data_dir = str(tmp_path_factory.mktemp("hotweb"))
+    write_web(web, data_dir)
+    outputs = run_crawl(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies={r["host"]: r["body"] for r in web["robots"].to_pylist()},
+        seed_urls=seeds,
+        config=cfg,
+        workdir=str(tmp_path_factory.mktemp("hotcrawl")),
+    )
+    eng = outputs.lineage().to_pandas()
+    got = list(zip(eng["seq"], eng["url"], eng["host"]))
+    want = [(w[0], w[2], w[3]) for w in oracle.lineage]
+    assert got == want
+    eng_seen = {
+        r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
+    }
+    assert eng_seen == dict(oracle.seen)

@@ -30,8 +30,9 @@ def doc_term_frequencies(spans: List[dict]) -> Dict[str, int]:
     kinds = [s["kind"] for s in spans]
     texts = [s["text"] for s in spans]
     frags = T.extract_profile_text(kinds, texts, T.PROFILE_POSTING)
-    freqs = dict(T.tokenize_with_ngrams(frags))
-    for token, count in T.tokenize_with_ngrams(frags, stem_tokens=True).items():
+    raw, stemmed = T.tokenize_with_ngrams_both(frags)
+    freqs = dict(raw)
+    for token, count in stemmed.items():
         if token not in freqs:
             freqs[token] = count
     for tag_kind, weight in TAG_WEIGHTS:
@@ -43,11 +44,15 @@ def doc_term_frequencies(spans: List[dict]) -> Dict[str, int]:
             tag_string = " ".join(
                 m.lower() for m in T._WORD_RE.findall(s["text"])
             )
-            tag_tokens = dict(T.tokenize_with_ngrams([tag_string]))
-            tag_tokens.update(T.tokenize_with_ngrams([tag_string], stem_tokens=True))
-            for token in freqs:
-                if token in tag_tokens:
-                    freqs[token] += weight - 1
+            t_raw, t_stem = T.tokenize_with_ngrams_both([tag_string])
+            tag_tokens = set(t_raw)
+            tag_tokens.update(t_stem)
+            bump = weight - 1
+            # iterate the (small) tag set — same intersection as scanning
+            # freqs, without touching every posting gram per tag span
+            for token in tag_tokens:
+                if token in freqs:
+                    freqs[token] += bump
     return freqs
 
 

@@ -68,11 +68,29 @@ def word_tokens(fragment: str, stem_tokens: bool = False) -> List[str]:
     toks = [
         t.lower()
         for t in _WORD_RE.findall(fragment)
-        if not t.isnumeric() or len(t) <= 4
+        if len(t) <= 4 or not t.isnumeric()
     ]
     if stem_tokens:
         toks = [stem(t) for t in toks]
     return toks
+
+
+def append_grams(toks: List[str], grams: List[str]) -> None:
+    """Append unigrams + 2/3-grams of one fragment's tokens to ``grams``
+    (a gram is kept when at least one member is non-numeric); the numeric
+    test is computed once per token, not once per window member."""
+    grams.extend(toks)
+    n_ = len(toks)
+    if n_ < 2:
+        return
+    isnum = [t.isnumeric() for t in toks]
+    ap = grams.append
+    for i in range(n_ - 1):
+        if not (isnum[i] and isnum[i + 1]):
+            ap(toks[i] + " " + toks[i + 1])
+    for i in range(n_ - 2):
+        if not (isnum[i] and isnum[i + 1] and isnum[i + 2]):
+            ap(toks[i] + " " + toks[i + 1] + " " + toks[i + 2])
 
 
 def tokenize_with_ngrams(fragments: Sequence[str], stem_tokens: bool = False) -> Counter:
@@ -81,14 +99,21 @@ def tokenize_with_ngrams(fragments: Sequence[str], stem_tokens: bool = False) ->
     n-grams never cross fragment boundaries; count space-joined grams."""
     grams: List[str] = []
     for fragment in fragments:
-        toks = word_tokens(fragment, stem_tokens)
-        grams.extend(toks)
-        for n in (2, 3):
-            for i in range(len(toks) - n + 1):
-                window = toks[i : i + n]
-                if any(not t.isnumeric() for t in window):
-                    grams.append(" ".join(window))
+        append_grams(word_tokens(fragment, stem_tokens), grams)
     return Counter(grams)
+
+
+def tokenize_with_ngrams_both(fragments: Sequence[str]) -> Tuple[Counter, Counter]:
+    """Raw and stemmed T3 counters in ONE tokenization pass (the stemmed
+    fragment tokens are the memo-stemmed raw tokens — identical to
+    word_tokens(fragment, True) since the numeric filter runs pre-stem)."""
+    raw_grams: List[str] = []
+    stem_grams: List[str] = []
+    for fragment in fragments:
+        toks = word_tokens(fragment)
+        append_grams(toks, raw_grams)
+        append_grams([stem(t) for t in toks], stem_grams)
+    return Counter(raw_grams), Counter(stem_grams)
 
 
 def query_tokens(query: str) -> Tuple[List[str], List[str]]:

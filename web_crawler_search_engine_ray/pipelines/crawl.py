@@ -33,6 +33,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -60,6 +61,7 @@ class CrawlOutputs:
     waves: int
     pages_fetched: int
     urls_discovered: int
+    metrics: Optional[dict] = None
 
     def lineage(self) -> "ray.data.Dataset":
         return ray.data.read_parquet(os.path.join(self.workdir, "lineage")).sort("seq")
@@ -78,6 +80,26 @@ class CrawlOutputs:
 
     def seen(self) -> pa.Table:
         return pq.read_table(os.path.join(self.workdir, "seen_final.parquet"))
+
+
+_FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("discovery_seq", pa.int64()),
+        ("depth", pa.int32()),
+    ]
+)
+
+
+@ray.remote
+def _filter_select(table: pa.Table, action: int, cols: list) -> pa.Table:
+    """Small remote filter for driver-side frontier assembly: only the
+    matching rows travel to the driver. Empty blocks may arrive with a
+    pruned schema — answer with a typed empty table."""
+    if table.num_rows == 0 or "action" not in table.column_names:
+        return pa.Table.from_pylist([], schema=_FRONTIER_SCHEMA).select(cols)
+    return table.filter(pc.equal(table.column("action"), action)).select(cols)
 
 
 def _wave_dir(workdir: str, sub: str, wave: int) -> str:
@@ -154,6 +176,26 @@ def run_crawl(
     user_agent = config.user_agent
 
     frontier_hosts: Optional[List[str]] = None  # derived from checkpoint tbl
+    import time as _time
+
+    phase_s: Dict[str, float] = {}
+
+    def _tick():
+        return _time.time()
+
+    def _tock(name: str, t0: float) -> None:
+        phase_s[name] = phase_s.get(name, 0.0) + (_time.time() - t0)
+
+    # Per-wave parallelism is BLOCK-bound: every stage fans out one task per
+    # block, so a single-block frontier serializes the whole wave no matter
+    # how many CPUs the cluster has. Split each wave to ~one block per core.
+    target_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _split_blocks(ds: "ray.data.Dataset", n_rows: int) -> "ray.data.Dataset":
+        want = min(max(1, n_rows // 32), target_blocks)
+        return ds.repartition(want) if want > 1 else ds
+
+    frontier = _split_blocks(frontier, frontier_count)
 
     while frontier_count > 0 and wave < max_waves:
         wave_start = wave * config.wave_span
@@ -173,94 +215,139 @@ def run_crawl(
             config.wave_span,
             config.politeness,
         )
+        # robots-blocked URLs are marked complete INSIDE the schedule
+        # execution (passthrough side effect) — no separate pass.
+        def _mark_blocked_passthrough(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("action"), SCH.ACTION_BLOCKED)
+            blocked_urls = batch.filter(mask).column("url").to_pylist()
+            if blocked_urls:
+                seen.mark_complete(blocked_urls)
+            return batch
+
+        _t = _tick()
         scheduled = (
             frontier.map_batches(robots_fn, batch_format="pyarrow")
             .groupby("host")
             .map_groups(schedule_fn, batch_format="pandas")
+            .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
             .materialize()
         )
+        _tock("schedule", _t)
 
-        # --- robots-blocked: marked complete, never fetched ---
-        def _mark_blocked(batch: pa.Table) -> pa.Table:
-            seen.mark_complete(batch.column("url").to_pylist())
-            return batch.select(["url"])
-
-        scheduled.filter(
-            expr=f"action == {SCH.ACTION_BLOCKED}"
-        ).map_batches(_mark_blocked, batch_format="pyarrow").count()
+        def _action_rows(batch: pa.Table, act: int) -> pa.Table:
+            # mask filter in map_batches (schema-preserving on empty output,
+            # unlike expression filters which can prune the schema away)
+            return batch.filter(pc.equal(batch.column("action"), act))
 
         # --- dispatched, in deterministic dispatch order ---
-        dispatched = scheduled.filter(expr=f"action == {SCH.ACTION_FETCH}")
+        dispatched = scheduled.map_batches(
+            lambda b: _action_rows(b, SCH.ACTION_FETCH), batch_format="pyarrow"
+        )
+        _t = _tick()
         ordered, n_dispatched = zip_with_index_counted(
             dispatched.sort(["virtual_ts", "host", "discovery_seq"]),
             "seq",
             lineage_counter,
         )
+        _tock("dispatch_sort", _t)
         if n_dispatched:
             lineage_counter += n_dispatched
 
-            fetched = (
-                ordered.drop_columns(["action"])
-                .map_batches(
-                    make_fetch_fn(docs_path),
-                    batch_format="pyarrow",
-                    num_cpus=1,
-                )
-                .materialize()
-            )
-
-            # pages sink (S2 save_page analogue), wave-partitioned
-            fetched.write_parquet(_wave_dir(workdir, "pages", wave))
-
-            # lineage sink; dispatched URLs also marked complete here
-            # (lengths for scrapeable pages backfilled below)
+            # One fused execution: fetch-join, pages + lineage sinks (side
+            # effect per batch, retry-stable filenames keyed by first seq),
+            # seen-ledger completion with lengths, and the A1/A2 analytics
+            # sinks. Hot-host skew is spread by the dispatch sort (hosts
+            # interleave by virtual_ts), so equal blocks ≈ host-balanced
+            # fetch tasks (north_rule salting).
+            pages_dir = _wave_dir(workdir, "pages", wave)
+            lineage_dir = _wave_dir(workdir, "lineage", wave)
+            tokens_dir = _wave_dir(workdir, "tokens", wave)
+            lengths_dir = _wave_dir(workdir, "page_lengths", wave)
+            fetch_fn = make_fetch_fn(docs_path)
             wv = wave
 
-            def _lineage(batch: pa.Table) -> pa.Table:
-                seen.mark_complete(batch.column("url").to_pylist())
-                out = batch.select(["seq", "url", "host", "virtual_ts", "status"])
-                return out.append_column(
-                    "wave", pa.array(np.full(batch.num_rows, wv, dtype=np.int32))
+            def _fetch_write(batch: pa.Table) -> pa.Table:
+                out = fetch_fn(batch)
+                part = f"part-{out.column('seq')[0].as_py():012d}.parquet"
+                pq.write_table(out, os.path.join(pages_dir, part))
+                lineage = out.select(
+                    ["seq", "url", "host", "virtual_ts", "status"]
+                ).append_column(
+                    "wave", pa.array(np.full(out.num_rows, wv, dtype=np.int32))
                 )
+                pq.write_table(lineage, os.path.join(lineage_dir, part))
 
-            fetched.map_batches(_lineage, batch_format="pyarrow").write_parquet(
-                _wave_dir(workdir, "lineage", wave)
+                scrapeable = filter_scrapeable(out)
+                analyzed = analyze_batch(scrapeable)
+                if analyzed.num_rows:
+                    pq.write_table(
+                        explode_token_partials(analyzed),
+                        os.path.join(tokens_dir, part),
+                    )
+                    pq.write_table(
+                        analyzed.select(["url", "seq", "length"]),
+                        os.path.join(lengths_dir, part),
+                    )
+                # one completion RPC round: scrapeable pages carry their
+                # token length, everything else length 0
+                lengths = {
+                    u: l
+                    for u, l in zip(
+                        analyzed.column("url").to_pylist(),
+                        analyzed.column("length").to_pylist(),
+                    )
+                }
+                urls = out.column("url").to_pylist()
+                seen.mark_complete(urls, [lengths.get(u, 0) for u in urls])
+                return out
+
+            _t = _tick()
+            fetched = (
+                ordered.drop_columns(["action"])
+                .map_batches(_fetch_write, batch_format="pyarrow", num_cpus=1)
+                .materialize()
             )
-
-            # --- analytics over scrapeable pages (A1/A2) ---
-            scrapeable = fetched.map_batches(filter_scrapeable, batch_format="pyarrow")
-            analyzed = scrapeable.map_batches(
-                analyze_batch, batch_format="pyarrow"
-            ).materialize()
-
-            analyzed.map_batches(
-                explode_token_partials, batch_format="pyarrow"
-            ).write_parquet(_wave_dir(workdir, "tokens", wave))
-
-            # page-length sink doubles as the ledger length backfill
-            def _mark_lengths(batch: pa.Table) -> pa.Table:
-                seen.mark_complete(
-                    batch.column("url").to_pylist(),
-                    batch.column("length").to_pylist(),
-                )
-                return batch.select(["url", "seq", "length"])
-
-            analyzed.map_batches(_mark_lengths, batch_format="pyarrow").write_parquet(
-                _wave_dir(workdir, "page_lengths", wave)
-            )
+            _tock("fetch_write", _t)
 
             # --- link extraction → candidates ---
-            links = scrapeable.map_batches(
-                lambda b: extract_links_batch(b, root_domains),
+            links = fetched.map_batches(
+                lambda b: extract_links_batch(filter_scrapeable(b), root_domains),
                 batch_format="pyarrow",
             )
 
             # within-wave first-wins dedup: keep min (parent_seq, offset)
-            def _first_wins(df):
-                return df.sort_values(["parent_seq", "offset"], kind="stable").head(1)
+            # per url. Bucketed on url-hash (256 groups, int32 shuffle key)
+            # with a vectorized run-selection kernel — never one Python
+            # call per unique URL.
+            def _add_ubucket(batch: pa.Table) -> pa.Table:
+                h = U.hash64_batch(batch.column("url").to_pylist())
+                return batch.append_column(
+                    "ubucket",
+                    pa.array((h % np.uint64(256)).astype(np.int32), pa.int32()),
+                )
 
-            deduped = links.groupby("url").map_groups(
-                _first_wins, batch_format="pandas"
+            def _first_wins_bucket(tbl: pa.Table) -> pa.Table:
+                codes = (
+                    pc.dictionary_encode(tbl.column("url").combine_chunks())
+                    .indices.to_numpy(zero_copy_only=False)
+                )
+                pseq = tbl.column("parent_seq").to_numpy(zero_copy_only=False)
+                off = tbl.column("offset").to_numpy(zero_copy_only=False)
+                order = np.lexsort((off, pseq, codes))
+                cs = codes[order]
+                first = (
+                    np.concatenate(([True], cs[1:] != cs[:-1]))
+                    if len(cs)
+                    else np.empty(0, bool)
+                )
+                return tbl.take(
+                    pa.array(order[first], pa.int64())
+                ).drop_columns(["ubucket"])
+
+            deduped = (
+                links.map_batches(_add_ubucket, batch_format="pyarrow")
+                .groupby("ubucket")
+                .map_groups(_first_wins_bucket, batch_format="pyarrow")
             )
 
             # cross-wave dedup via seen shards (batched, idempotent)
@@ -277,41 +364,53 @@ def run_crawl(
         else:
             fresh = None
 
-        # --- assemble next frontier ---
-        carry = scheduled.filter(expr=f"action == {SCH.ACTION_CARRY}").drop_columns(
-            ["action", "virtual_ts"]
-        )
-        carry, n_carry = zip_with_index_counted(carry, "_c", 0)
-
-        parts = []
-        if n_carry:
-            parts.append(carry.select_columns(["url", "host", "discovery_seq", "depth"]))
+        # --- assemble next frontier DRIVER-SIDE (no extra execution: the
+        # checkpoint collects these rows anyway; remote per-block filters
+        # keep the driver traffic to carry/fresh rows only) ---
+        cols = ["url", "host", "discovery_seq", "depth"]
+        carry_futs = [
+            _filter_select.remote(r, SCH.ACTION_CARRY, cols)
+            for r in scheduled.to_arrow_refs()
+        ]
         n_fresh = 0
+        fresh_tbls: List[pa.Table] = []
         if fresh is not None:
+            _t = _tick()
             ordered_fresh, n_fresh = zip_with_index_counted(
                 fresh.sort(["parent_seq", "offset"]),
                 "discovery_seq",
                 discovery_counter,
             )
+            _tock("links", _t)
             discovery_counter += n_fresh
             if n_fresh:
-                parts.append(
-                    ordered_fresh.select_columns(
-                        ["url", "host", "discovery_seq", "depth"]
-                    )
-                )
-        if len(parts) == 2:
-            frontier = parts[0].union(parts[1]).materialize()
-        elif parts:
-            frontier = parts[0].materialize()
+                fresh_tbls = [
+                    t.select(cols)
+                    for t in ray.get(ordered_fresh.to_arrow_refs())
+                    if t.num_rows
+                ]
+        _t = _tick()
+        tbls = [t for t in ray.get(carry_futs) if t.num_rows] + fresh_tbls
+        frontier_count = sum(t.num_rows for t in tbls)
+        if frontier_count:
+            whole = pa.concat_tables(tbls)
+            want = min(max(1, frontier_count // 32), target_blocks)
+            step = -(-frontier_count // want)
+            frontier = ray.data.from_arrow_refs(
+                [
+                    ray.put(whole.slice(i, step))
+                    for i in range(0, frontier_count, step)
+                ]
+            )
+            tbls = [whole]
         else:
             frontier = None
-        frontier_count = n_carry + n_fresh
+        _tock("assemble", _t)
 
-        # --- checkpoint ---
+        # --- checkpoint (reuses the already-collected frontier tables) ---
         frontier_tbl = (
-            pa.concat_tables(ray.get(frontier.to_arrow_refs()))
-            if frontier is not None
+            pa.concat_tables(tbls)
+            if tbls
             else pa.Table.from_pylist([], schema=pa.schema(
                 [("url", pa.string()), ("host", pa.string()),
                  ("discovery_seq", pa.int64()), ("depth", pa.int32())]))
@@ -319,6 +418,7 @@ def run_crawl(
         # next wave's host set, from the already-collected checkpoint table
         # (saves a unique() shuffle execution per wave)
         frontier_hosts = pa.compute.unique(frontier_tbl.column("host")).to_pylist()
+        _t = _tick()
         write_checkpoint(
             workdir,
             wave,
@@ -331,13 +431,25 @@ def run_crawl(
                 "wave": wave,
             },
         )
+        _tock("checkpoint", _t)
         wave += 1
 
     seen_final = seen.snapshot()
     pq.write_table(seen_final, os.path.join(workdir, "seen_final.parquet"))
+    metrics = {
+        "phase_seconds": {k: round(v, 2) for k, v in phase_s.items()},
+        "waves": wave,
+        "pages_fetched": lineage_counter,
+        "urls_discovered": discovery_counter,
+    }
+    import json as _json
+
+    with open(os.path.join(workdir, "metrics.json"), "w") as f:
+        _json.dump(metrics, f, indent=1)
     return CrawlOutputs(
         workdir=workdir,
         waves=wave,
         pages_fetched=lineage_counter,
         urls_discovered=discovery_counter,
+        metrics=metrics,
     )

@@ -30,7 +30,7 @@ import ray
 import ray.data
 
 from ..stages.index import (
-    TokenizeStage,
+    tokenize_batch,
     add_page_hash,
     add_token_bucket,
     catalog_batch,
@@ -128,10 +128,12 @@ def build_index(
     cat_dir = os.path.join(out_dir, "catalog")
     catalog.write_parquet(cat_dir)
 
+    # task-pool tokenize: the Porter memo cache is per worker PROCESS
+    # (functions/porter.py), so plain tasks get actor-style amortization
+    # without paying an actor-pool startup per index run
     postings_raw = kept.map_batches(
-        TokenizeStage,
+        tokenize_batch,
         batch_format="pyarrow",
-        concurrency=tokenize_concurrency,
         batch_size=64,
         num_cpus=1,
     )

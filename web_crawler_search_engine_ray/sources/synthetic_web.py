@@ -64,6 +64,8 @@ def generate_web(
     num_hosts: int = 5,
     num_docs: int = 50,
     hot_host_frac: float = 0.2,
+    extra_links: int = 0,
+    words_scale: int = 1,
 ) -> Dict[str, pa.Table]:
     """Build {docs, robots, seeds} tables deterministically.
 
@@ -133,7 +135,7 @@ def generate_web(
         if idx == 0 and num_hosts > 1:
             hrefs.append(("ring", host_pages[(h + 1) % num_hosts][0]))
         # random intra/cross-host links
-        for _ in range(int(rng.randint(1, 4))):
+        for _ in range(int(rng.randint(1 + extra_links, 4 + extra_links))):
             tgt = all_urls[rng.randint(0, n)]
             if rng.rand() < 0.2:
                 tgt = tgt.replace("https://", "HTTP://").replace("/s", "/%73")
@@ -186,7 +188,7 @@ def generate_web(
                     add(s["kind"], s["text"], s["media_ref"])
             else:
                 add("title", f"{_page_words(rng, 3)} p{idx}")
-                n_words = 3 if url in tiny else int(rng.randint(8, 40))
+                n_words = 3 if url in tiny else int(rng.randint(8, 40)) * words_scale
                 add("h1", _page_words(rng, 2))
                 if rng.rand() < 0.5:
                     add("h2", _page_words(rng, 2))

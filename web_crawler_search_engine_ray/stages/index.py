@@ -100,6 +100,27 @@ def first_wins_dedup(tbl: pa.Table) -> pa.Table:
     return tbl.append_column("dup_of", pa.array(dup_of, pa.int64()))
 
 
+def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool tokenize: same kernel as TokenizeStage; the Porter memo
+    cache lives in the worker process, so repeated tasks reuse it."""
+    spans_col = batch.column("spans").to_pylist()
+    seqs = batch.column("seq").to_pylist()
+    tokens, doc_ids, tfs = [], [], []
+    for seq, spans in zip(seqs, spans_col):
+        freqs = doc_term_frequencies(spans or [])
+        tokens.extend(freqs.keys())
+        doc_ids.extend([seq] * len(freqs))
+        tfs.extend(freqs.values())
+    return pa.Table.from_arrays(
+        [
+            pa.array(tokens, pa.string()),
+            pa.array(doc_ids, pa.int64()),
+            pa.array(tfs, pa.int64()),
+        ],
+        names=["token", "doc_id", "tf"],
+    )
+
+
 class TokenizeStage:
     """Actor-pool map_batches stage: pages -> (token, doc_id, tf) rows.
 

@@ -91,19 +91,19 @@ def make_schedule_fn(
 
         delay = max(crawl_delay, politeness)
         slots = max(1, int(wave_span / delay))
-        slot = 1 if first_wave else 0
+        slot_start = 1 if first_wave else 0
 
+        # vectorized slot assignment: blocked URLs never burn a slot
+        # (frontier.py:112-114); allowed URLs take slots in FIFO order until
+        # the wave budget is spent, the rest carry over.
         n = len(df)
         action = np.full(n, ACTION_CARRY, dtype=np.int8)
         vts = np.full(n, np.nan, dtype=np.float64)
-        for i in range(n):
-            if not allowed[i]:
-                action[i] = ACTION_BLOCKED
-                continue
-            if slot < slots:
-                action[i] = ACTION_FETCH
-                vts[i] = wave_start + slot * delay
-                slot += 1
+        action[~allowed] = ACTION_BLOCKED
+        slot_idx = np.cumsum(allowed) - 1 + slot_start
+        fetch = allowed & (slot_idx < slots)
+        action[fetch] = ACTION_FETCH
+        vts[fetch] = wave_start + slot_idx[fetch] * delay
         df["action"] = action
         df["virtual_ts"] = vts
         return df.drop(columns=["allowed"])

@@ -41,6 +41,10 @@ def zip_with_index_counted(
     out_refs = []
     off = start
     for r, c in zip(refs, counts):
+        if c == 0:
+            # skip empty blocks: expression filters may emit them with a
+            # pruned (even empty) schema, which would poison a later union
+            continue
         out_refs.append(_with_index.remote(r, col, off))
         off += c
     total = off - start

@@ -24,7 +24,7 @@ import ray
 from ..functions.urls import hash64_batch
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class RobotsShard:
     def __init__(self, robots_bodies: Dict[str, str]):
         # the driver passes a ray.put ref; Ray dereferences it on delivery,

@@ -28,7 +28,7 @@ from ..schema import SEEN_SCHEMA
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the URL-seen set / crawl ledger."""
 
