@@ -165,6 +165,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rows, columns=["doc_id", "score", "url", "title"]
         )
 
+    def search_contexts(sf_dir: str) -> Any:
+        import pandas as pd
+
+        from web_crawler_search_engine_ray.functions.text import query_tokens
+        from web_crawler_search_engine_ray.pipelines.search import (
+            ResultPresenter,
+            SearchService,
+        )
+
+        m = _micro_crawl()
+        svc = SearchService(m["index"].postings, m["index"].catalog)
+        rows = svc.search("data stream engine", k=5)
+        primary, _ = query_tokens("data stream engine")
+        pres = ResultPresenter(os.path.join(m["crawl"].workdir, "pages"))
+        ctx = pres.contexts([r[2] for r in rows], primary)
+        return pd.DataFrame(
+            [(r[0], r[2], ctx.get(r[2], "")) for r in rows],
+            columns=["doc_id", "url", "context"],
+        )
+
     def multimodal_features(sf_dir: str) -> Any:
         import ray.data
 
@@ -218,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_page_lengths": crawl_page_lengths,
         "index_postings": index_postings,
         "search_results": search_results,
+        "search_contexts": search_contexts,
         "multimodal_features": multimodal_features,
     }
 

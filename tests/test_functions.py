@@ -220,3 +220,34 @@ class TestHashing:
         assert d <= 12
         far = bin(H.simhash64(t1) ^ H.simhash64("one two three four five six".split())).count("1")
         assert far > d
+
+
+class TestPageContext:
+    """M16 get_context goldens (shared/webpage.py:55-65 semantics)."""
+
+    def test_window_and_last_token_wins(self):
+        from web_crawler_search_engine_ray.functions.text import page_context
+
+        kinds = ["title", "text", "text"]
+        texts = ["My Title", "alpha beta gamma", "delta epsilon"]
+        # title is excluded (head); window starts at the match position
+        assert page_context(kinds, texts, ["beta"]).startswith("beta gamma")
+        # last matching token wins (reference loop has no break)
+        out = page_context(kinds, texts, ["beta", "delta"])
+        assert out.startswith("delta")
+        # missing tokens leave the default
+        assert page_context(kinds, texts, ["zzz"]) == ""
+
+    def test_scripts_kept_in_context_profile(self):
+        from web_crawler_search_engine_ray.functions.text import page_context
+
+        # the reference's get_context path never decomposes script/style
+        out = page_context(["script"], ["var xyzzy = 1;"], ["xyzzy"])
+        assert out.startswith("xyzzy")
+
+    def test_window_is_300_chars(self):
+        from web_crawler_search_engine_ray.functions.text import page_context
+
+        long = "needle " + "word " * 200
+        out = page_context(["text"], [long], ["needle"])
+        assert len(out) == 300

@@ -30,6 +30,8 @@ __all__ = [
     "word_tokens",
     "query_tokens",
     "PROFILE_POSTING",
+    "PROFILE_CONTEXT",
+    "page_context",
     "PROFILE_CRAWL",
     "PROFILE_DEDUP",
     "extract_profile_text",
@@ -154,6 +156,10 @@ PROFILE_CRAWL = frozenset(_TEXT_KINDS)
 # get_text (dedup hash + search context) drops head (incl. title)
 # (shared/webpage.py:28) — coincides with PROFILE_CRAWL in span space.
 PROFILE_DEDUP = frozenset(_TEXT_KINDS)
+# get_context reads raw <body> stripped strings WITHOUT decomposing
+# style/script/code (shared/webpage.py:55-60 quirk — no decompose call on
+# that path), so those kinds stay in the context profile.
+PROFILE_CONTEXT = frozenset(_TEXT_KINDS + ("script", "style", "code"))
 
 
 def extract_profile_text(
@@ -171,3 +177,24 @@ def extract_profile_text(
             if frag:
                 out.append(WS_RE.sub(" ", frag))
     return out
+
+
+def page_context(
+    kinds: Sequence[str], texts: Sequence[str], tokens: Sequence[str]
+) -> str:
+    """M16 search-result context window (shared/webpage.py:55-65): body
+    word-text joined; for each query word the FIRST occurrence (lowercased
+    find) sets a 300-char window — the loop does not break, so the LAST
+    matching token wins; default ''. ``tokens`` may be space-joined n-grams
+    (flattened to words, reference line 56)."""
+    words: List[str] = []
+    for frag in extract_profile_text(kinds, texts, PROFILE_CONTEXT):
+        words.extend(_WORD_RE.findall(frag))
+    joined = " ".join(words)
+    low = joined.lower()
+    context = ""
+    for token in " ".join(tokens).split(" "):
+        pos = low.find(token)
+        if pos > -1:
+            context = joined[pos : pos + 300]
+    return context

@@ -318,20 +318,27 @@ def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
             pa.array((h % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()),
         )
 
+    import pyarrow.compute as pc
+
     def score(tbl: pa.Table) -> pa.Table:
-        toks = np.asarray(tbl.column("token").to_pylist(), dtype=object)
-        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        col = tbl.column("token").combine_chunks()
+        enc = pc.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes, minlength=len(enc.dictionary))
+        dfreq = counts[codes]
+        has_space = pc.match_substring(enc.dictionary, " ").to_numpy(
+            zero_copy_only=False
+        )
+        keep = ~(has_space[codes] & (dfreq < NGRAM_MIN_DF))
         tfs = tbl.column("tf").to_numpy(zero_copy_only=False)
-        uniq, inv, counts = np.unique(toks, return_inverse=True, return_counts=True)
-        has_space = np.fromiter((" " in t for t in uniq), dtype=bool, count=len(uniq))
-        keep = ~(has_space[inv] & (counts[inv] < NGRAM_MIN_DF))
-        idf = np.log(n_docs / counts[inv][keep].astype(np.float64))
+        idf = np.log(n_docs / dfreq[keep].astype(np.float64))
         raw = (1.0 + np.log(tfs[keep].astype(np.float64))) * idf
         rounded = np.floor(raw * 1000.0 + 0.5) / 1000.0
+        keep_idx = pa.array(np.flatnonzero(keep), pa.int64())
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids[keep], pa.int64()),
-                "token": pa.array(toks[keep], pa.string()),
+                "doc_id": tbl.column("doc_id").combine_chunks().take(keep_idx),
+                "token": col.take(keep_idx),
                 "tf": pa.array(tfs[keep], pa.int64()),
                 "tf_idf": pa.array(rounded, pa.float64()),
             }

@@ -68,3 +68,42 @@ class SearchService:
             url, title = self.catalog.get(doc_id, ("", ""))
             out.append((doc_id, float(row["score"]), url, title))
         return out
+
+
+class ResultPresenter:
+    """Display-path operators over the crawled pages store
+    (start_search_engine.py:117-151 display_results).
+
+    - ``context``: M16 300-char query-context window (page_context kernel);
+      pages are read with a ``url IN top_k`` predicate-pushdown filter —
+      never a full scan.
+    - ``summary``: M17 AI-summary is env-gated in the reference
+      (shared/webpage.py:31-53, CLIENT None without an API key) and
+      out-of-engine scope here: without a client it returns '' exactly like
+      the reference's no-key path; no external calls are ever made.
+    """
+
+    def __init__(self, pages_path: str):
+        self.pages = pads.dataset(pages_path, format="parquet")
+
+    def contexts(self, urls: List[str], query_tokens_list: List[str]) -> dict:
+        from ..functions.text import page_context
+
+        tbl = self.pages.to_table(
+            columns=["url", "spans"],
+            filter=pc.field("url").isin(pa.array(urls, pa.string())),
+        )
+        out = {}
+        for row in tbl.to_pylist():
+            spans = sorted(row["spans"] or [], key=lambda s: s["offset"])
+            out[row["url"]] = page_context(
+                [s["kind"] for s in spans],
+                [s["text"] for s in spans],
+                query_tokens_list,
+            )
+        return out
+
+    def summary(self, url: str) -> str:
+        # M17 stub: the reference yields nothing without an API key
+        # (CLIENT is None -> returns ""); external calls are out of scope.
+        return ""

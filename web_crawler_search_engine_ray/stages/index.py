@@ -180,20 +180,26 @@ def make_score_fn(n_docs: int, min_ngram_df: int = 10):
     ``f"{x:.3f}"`` semantics (shared/posting.py:35); multi-word tokens with
     df < min_ngram_df dropped (indexer/__init__.py:188-198)."""
 
+    import pyarrow.compute as pc
+
     def score(tbl: pa.Table) -> pa.Table:
-        toks = np.asarray(tbl.column("token").to_pylist(), dtype=object)
-        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        col = tbl.column("token").combine_chunks()
+        enc = pc.dictionary_encode(col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes, minlength=len(enc.dictionary))
+        dfreq = counts[codes]
+        has_space = pc.match_substring(enc.dictionary, " ").to_numpy(
+            zero_copy_only=False
+        )
+        keep = ~(has_space[codes] & (dfreq < min_ngram_df))
         tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        uniq, inv, counts = np.unique(toks, return_inverse=True, return_counts=True)
-        dfreq = counts[inv].astype(np.float64)
-        has_space = np.fromiter((" " in t for t in uniq), dtype=bool, count=len(uniq))
-        keep = ~(has_space[inv] & (counts[inv] < min_ngram_df))
-        idf = np.log(n_docs / dfreq[keep])
+        idf = np.log(n_docs / dfreq[keep].astype(np.float64))
         tf_idf = np.round((1.0 + np.log(tf[keep])) * idf, 3)
+        keep_idx = pa.array(np.flatnonzero(keep), pa.int64())
         return pa.table(
             {
-                "token": pa.array(toks[keep], pa.string()),
-                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "token": col.take(keep_idx),
+                "doc_id": tbl.column("doc_id").combine_chunks().take(keep_idx),
                 "tf_idf": pa.array(tf_idf, pa.float64()),
             }
         )
