@@ -267,9 +267,13 @@ def run_crawl(
             wv = wave
 
             def _fetch_write(batch: pa.Table) -> pa.Table:
+                from ..stages.index import add_page_hash
+
                 out = fetch_fn(batch)
                 part = f"part-{out.column('seq')[0].as_py():012d}.parquet"
-                pq.write_table(out, os.path.join(pages_dir, part))
+                # page_hash stored with the page so the indexer's dedup
+                # pass reads two pruned columns instead of re-hashing spans
+                pq.write_table(add_page_hash(out), os.path.join(pages_dir, part))
                 lineage = out.select(
                     ["seq", "url", "host", "virtual_ts", "status"]
                 ).append_column(

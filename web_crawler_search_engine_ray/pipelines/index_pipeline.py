@@ -67,15 +67,34 @@ def build_index(
     """Build the inverted index from crawled pages. Ray must be initialised
     by the caller."""
     os.makedirs(out_dir, exist_ok=True)
-    pages = ray.data.read_parquet(pages_path)
+    import pyarrow.parquet as _pq
 
-    valid = pages.map_batches(_valid_pages, batch_format="pyarrow")
-    hashed = valid.map_batches(add_page_hash, batch_format="pyarrow").materialize()
+    frag_schema = ray.data.read_parquet(pages_path).schema()
+    has_hash = "page_hash" in frag_schema.names
 
     # D2 dedup decision on the PROJECTED (page_hash, seq) pair only — the
-    # heavy spans column never enters the dedup shuffle. Coarse buckets keep
-    # the group count at O(buckets); the per-bucket kernel is vectorized.
-    dup_tbl = dedup_decisions(hashed)
+    # heavy spans column never enters the dedup shuffle (when the crawl
+    # stored page_hash with the page, the dedup scan reads two pruned
+    # columns from parquet and never touches spans at all). Coarse buckets
+    # keep the group count at O(buckets); the per-bucket kernel vectorized.
+    if has_hash:
+        proj_ds = ray.data.read_parquet(
+            pages_path,
+            columns=["page_hash", "seq", "url", "status", "is_html", "content_bytes"],
+        ).map_batches(_valid_pages, batch_format="pyarrow")
+        hashed = (
+            ray.data.read_parquet(pages_path)
+            .map_batches(_valid_pages, batch_format="pyarrow")
+        )
+    else:
+        hashed = (
+            ray.data.read_parquet(pages_path)
+            .map_batches(_valid_pages, batch_format="pyarrow")
+            .map_batches(add_page_hash, batch_format="pyarrow")
+            .materialize()
+        )
+        proj_ds = hashed
+    dup_tbl = dedup_decisions(proj_ds)
     dup_map = dict(
         zip(
             dup_tbl.column("seq").to_pylist(), dup_tbl.column("dup_of").to_pylist()
@@ -83,56 +102,53 @@ def build_index(
     )
     dup_ref = ray.put(dup_map)
 
+    import numpy as np
+
+    dup_arr_ref = ray.put(
+        np.asarray(dup_tbl.column("seq"), dtype=np.int64)
+        if dup_tbl.num_rows
+        else np.empty(0, dtype=np.int64)
+    )
+
     def _split(batch: pa.Table, want_dups: bool) -> pa.Table:
-        dm = ray.get(dup_ref)
-        seqs = batch.column("seq").to_pylist()
-        mask = pa.array([(s in dm) == want_dups for s in seqs])
-        return batch.filter(mask)
+        dup_arr = ray.get(dup_arr_ref)
+        seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+        mask = np.isin(seqs, dup_arr)
+        if not want_dups:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
 
-    def _dup_rows(batch: pa.Table) -> pa.Table:
-        dm = ray.get(dup_ref)
-        b = _split(batch, True)
-        return pa.table(
-            {
-                "seq": b.column("seq"),
-                "url": b.column("url"),
-                "dup_of": pa.array(
-                    [dm[s] for s in b.column("seq").to_pylist()], pa.int64()
-                ),
-            }
-        )
-
+    # duplicates sink: the dedup decision pass already collected the full
+    # (seq, url, dup_of) rows driver-side — write them directly, no extra
+    # execution over the pages store
     dup_dir = os.path.join(out_dir, "duplicates")
     os.makedirs(dup_dir, exist_ok=True)
-    if dup_map:
-        hashed.map_batches(_dup_rows, batch_format="pyarrow").write_parquet(dup_dir)
-    else:  # write_parquet emits nothing for an empty dataset
-        import pyarrow.parquet as pq
-
-        pq.write_table(
-            pa.Table.from_pylist(
-                [],
-                schema=pa.schema(
-                    [("seq", pa.int64()), ("url", pa.string()), ("dup_of", pa.int64())]
-                ),
-            ),
-            os.path.join(dup_dir, "empty.parquet"),
-        )
-
-    kept = hashed.map_batches(
-        lambda b: _split(b, False), batch_format="pyarrow"
+    _pq.write_table(
+        dup_tbl.select(["seq", "url", "dup_of"]),
+        os.path.join(dup_dir, "part-0.parquet"),
     )
-    n_indexed = hashed.count() - len(dup_map)
 
-    catalog = kept.map_batches(catalog_batch, batch_format="pyarrow")
+    n_indexed = proj_ds.count() - len(dup_map)
     cat_dir = os.path.join(out_dir, "catalog")
-    catalog.write_parquet(cat_dir)
+    os.makedirs(cat_dir, exist_ok=True)
 
-    # task-pool tokenize: the Porter memo cache is per worker PROCESS
+    # One fused pass over the kept pages: catalog sink rides the tokenize
+    # tasks as a side-effect write (retry-stable part names), so the heavy
+    # spans column is scanned exactly once.
+    # Task-pool tokenize: the Porter memo cache is per worker PROCESS
     # (functions/porter.py), so plain tasks get actor-style amortization
-    # without paying an actor-pool startup per index run
-    postings_raw = kept.map_batches(
-        tokenize_batch,
+    # without paying an actor-pool startup per index run.
+    def _tokenize_catalog(batch: pa.Table) -> pa.Table:
+        b = _split(batch, False)
+        if b.num_rows == 0:
+            return tokenize_batch(b)
+        cat = catalog_batch(b)
+        part = f"part-{cat.column('doc_id')[0].as_py():012d}.parquet"
+        _pq.write_table(cat, os.path.join(cat_dir, part))
+        return tokenize_batch(b)
+
+    postings_raw = hashed.map_batches(
+        _tokenize_catalog,
         batch_format="pyarrow",
         batch_size=64,
         num_cpus=1,
@@ -143,7 +159,9 @@ def build_index(
         .map_groups(make_score_fn(n_indexed, min_ngram_df), batch_format="pyarrow")
     )
     post_dir = os.path.join(out_dir, "postings")
-    scored.sort(["token", "doc_id"]).write_parquet(post_dir)
+    # bucket-partitioned sorted runs (each map_groups output is locally
+    # (token, doc_id)-sorted) — no global string sort; see make_score_fn
+    scored.write_parquet(post_dir)
 
     return IndexPaths(
         postings=post_dir,

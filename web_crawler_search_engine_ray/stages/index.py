@@ -48,7 +48,7 @@ def dedup_decisions(hashed) -> pa.Table:
     import ray as _ray
     import ray.data as _rd  # noqa: F401
 
-    proj = hashed.select_columns(["page_hash", "seq"])
+    proj = hashed.select_columns(["page_hash", "seq", "url"])
 
     def bucket(b: pa.Table) -> pa.Table:
         h = np.asarray(b.column("page_hash"), dtype=np.int64)
@@ -66,9 +66,11 @@ def dedup_decisions(hashed) -> pa.Table:
         run_idx = np.cumsum(new_run) - 1
         kept = ss[np.flatnonzero(new_run)][run_idx] if len(hs) else ss
         dup_mask = ~new_run
+        dup_idx = pa.array(order[dup_mask], pa.int64())
         return pa.table(
             {
                 "seq": pa.array(ss[dup_mask], pa.int64()),
+                "url": tbl.column("url").combine_chunks().take(dup_idx),
                 "dup_of": pa.array(kept[dup_mask], pa.int64()),
             }
         )
@@ -81,7 +83,11 @@ def dedup_decisions(hashed) -> pa.Table:
     tables = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
     if not tables:
         return pa.table(
-            {"seq": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+            {
+                "seq": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "dup_of": pa.array([], pa.int64()),
+            }
         )
     return pa.concat_tables(tables)
 
@@ -196,13 +202,21 @@ def make_score_fn(n_docs: int, min_ngram_df: int = 10):
         idf = np.log(n_docs / dfreq[keep].astype(np.float64))
         tf_idf = np.round((1.0 + np.log(tf[keep])) * idf, 3)
         keep_idx = pa.array(np.flatnonzero(keep), pa.int64())
-        return pa.table(
+        out = pa.table(
             {
                 "token": col.take(keep_idx),
                 "doc_id": tbl.column("doc_id").combine_chunks().take(keep_idx),
                 "tf_idf": pa.array(tf_idf, pa.float64()),
             }
         )
+        # local (token, doc_id) sort — with bucket-partitioned output this
+        # yields sorted runs whose row-group stats drive predicate pushdown;
+        # the global string sort the reference's single-file index needed
+        # (O2) is unnecessary in a columnar store and costs a full shuffle
+        order = pc.sort_indices(
+            out, sort_keys=[("token", "ascending"), ("doc_id", "ascending")]
+        )
+        return out.take(order)
 
     return score
 
