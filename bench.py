@@ -137,6 +137,11 @@ def _bench_queries(sf_dir: str) -> dict:
     for name, fn in [
         ("word_frequencies", C.word_frequencies),
         ("doc_token_counts", C.doc_token_counts),
+        ("top_words", C.top_words),
+        ("longest_pages", C.longest_pages),
+        ("subdomain_counts", C.subdomain_counts),
+        ("token_count_bpe", C.token_count_bpe),
+        ("url_normalize_validate", C.url_normalize_validate),
         ("postings_tfidf", C.postings_tfidf),
         ("search_topk", C.search_topk),
         ("quality_scores", C.quality_scores),
@@ -153,6 +158,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("top_customers", R.top_customers),
         ("events_hourly", R.events_hourly),
         ("events_user_stats", R.events_user_stats),
+        ("brand_part_stats", R.brand_part_stats),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
