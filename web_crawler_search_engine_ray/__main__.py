@@ -1,0 +1,172 @@
+"""CLI entry points — the reference's start_crawler.py / start_indexer.py /
+start_search_engine.py (web UI replaced by a terminal REPL/one-shot query)
+as subcommands:
+
+    python -m web_crawler_search_engine_ray crawl  --web-dir W --workdir D [--resume]
+    python -m web_crawler_search_engine_ray index  --pages D/pages --out I
+    python -m web_crawler_search_engine_ray search --index I --query "..." [-k 5]
+    python -m web_crawler_search_engine_ray genweb --out W --docs 1000 --hosts 8
+
+This script OWNS its Ray session (ray.init guard) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_genweb(args) -> int:
+    from .sources.synthetic_web import generate_and_write
+
+    tables = generate_and_write(
+        args.out,
+        seed=args.seed,
+        num_hosts=args.hosts,
+        num_docs=args.docs,
+        extra_links=args.extra_links,
+        words_scale=args.words_scale,
+    )
+    print(
+        json.dumps(
+            {name: t.num_rows for name, t in tables.items()} | {"out": args.out}
+        )
+    )
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .pipelines.crawl import run_crawl
+    from .sources.synthetic_web import CrawlConfig
+
+    _ensure_ray()
+    robots_tbl = pq.read_table(os.path.join(args.web_dir, "robots.parquet"))
+    robots = {r["host"]: r["body"] for r in robots_tbl.to_pylist()}
+    seeds = (
+        args.seeds.split(",")
+        if args.seeds
+        else pq.read_table(os.path.join(args.web_dir, "seeds.parquet"))
+        .column("url")
+        .to_pylist()
+    )
+    config = CrawlConfig(wave_span=args.wave_span, politeness=args.politeness)
+    out = run_crawl(
+        docs_path=os.path.join(args.web_dir, "docs.parquet"),
+        robots_bodies=robots,
+        seed_urls=seeds,
+        config=config,
+        workdir=args.workdir,
+        resume=args.resume,
+    )
+    print(
+        json.dumps(
+            {
+                "pages_fetched": out.pages_fetched,
+                "urls_discovered": out.urls_discovered,
+                "waves": out.waves,
+                "workdir": out.workdir,
+                "phase_seconds": (out.metrics or {}).get("phase_seconds", {}),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_index(args) -> int:
+    from .pipelines.index_pipeline import build_index
+
+    _ensure_ray()
+    paths = build_index(args.pages, args.out, min_ngram_df=args.min_ngram_df)
+    print(
+        json.dumps(
+            {
+                "n_indexed": paths.n_indexed,
+                "postings": paths.postings,
+                "catalog": paths.catalog,
+                "duplicates": paths.duplicates,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .functions.text import query_tokens
+    from .pipelines.search import ResultPresenter, SearchService
+
+    svc = SearchService(
+        os.path.join(args.index, "postings"), os.path.join(args.index, "catalog")
+    )
+    presenter = ResultPresenter(args.pages) if args.pages else None
+    rows = svc.search(args.query, k=args.k)
+    primary, _ = query_tokens(args.query)
+    ctx = (
+        presenter.contexts([r[2] for r in rows], primary) if presenter else {}
+    )
+    for doc_id, score, url, title in rows:
+        rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
+        if presenter:
+            rec["context"] = ctx.get(url, "")
+        print(json.dumps(rec))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="web_crawler_search_engine_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("genweb", help="generate a deterministic synthetic web")
+    g.add_argument("--out", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hosts", type=int, default=8)
+    g.add_argument("--docs", type=int, default=1000)
+    g.add_argument("--extra-links", type=int, default=0)
+    g.add_argument("--words-scale", type=int, default=1)
+    g.set_defaults(fn=cmd_genweb)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl to exhaustion")
+    c.add_argument("--web-dir", required=True, help="dir with docs/robots/seeds parquet")
+    c.add_argument("--workdir", required=True)
+    c.add_argument("--seeds", default=None, help="comma-separated override")
+    c.add_argument("--wave-span", type=float, default=8.0)
+    c.add_argument("--politeness", type=float, default=0.5)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    i = sub.add_parser("index", help="build the inverted index from crawled pages")
+    i.add_argument("--pages", required=True)
+    i.add_argument("--out", required=True)
+    i.add_argument("--min-ngram-df", type=int, default=10)
+    i.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("search", help="query the index (one-shot)")
+    s.add_argument("--index", required=True, help="index dir (postings/ + catalog/)")
+    s.add_argument("--pages", default=None, help="pages dir for context windows")
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=5)
+    s.set_defaults(fn=cmd_search)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
