@@ -2,19 +2,24 @@
 
 Dataflow (all Ray Data; see stages/index.py for reference citations):
 
-    pages (wave-partitioned parquet from the crawl)
-      └─ filter: status==200 ∧ is_html ∧ ≤10MB         (M11 + size gate)
-      └─ map_batches(add_page_hash)                     (F6)
-      └─ groupby(page_hash).map_groups(first_wins)      (D2, global)
-            ├─ duplicates sink
-            └─ kept pages
-                 ├─ map_batches(catalog_batch) → catalog sink (S8)
-                 └─ map_batches(TokenizeStage, actor pool) → (token,doc_id,tf)
-                      └─ groupby(token).map_groups(score(N)) (A4/A5)
-                           └─ sort(token, doc_id) → postings sink (O2)
+    pages (wave-partitioned parquet; page_hash stored at crawl time)
+      ├─ PASS 1 (pruned columns: page_hash, seq, url + gates):
+      │    filter status==200 ∧ is_html ∧ ≤10MB         (M11 + size gate)
+      │    → coarse-bucket groupby(page_hash % 256)      (D2, global)
+      │    → vectorized first-wins run kernel → dup rows
+      │         └─ duplicates sink (driver-side, already collected)
+      └─ PASS 2 (full rows, spans scanned exactly once):
+           filter gates → drop dup seqs (broadcast np.isin)
+           → tokenize tasks (per-process Porter memo)    (T3 + A3 weights)
+                ├─ catalog sink rides the task (S8, side-effect write)
+                └─ (token, doc_id, tf) rows
+                     → groupby(token_hash % 256)         (A4/A5 shuffle)
+                     → vectorized df/idf scorer, local (token, doc_id) sort
+                     → bucket-partitioned postings runs  (O2 — no global
+                       string sort; columnar pushdown replaces it)
 
 The reference's partial-index spill files + two k-way merges are replaced
-by the token-range shuffle; byte-offset seek indexes are replaced by
+by the token-bucket shuffle; byte-offset seek indexes are replaced by
 columnar predicate pushdown at query time (S9/S10 obsolete).
 """
 
