@@ -22,9 +22,13 @@ import pyarrow.dataset as pads
 
 from ..schema import DOCS_SCHEMA
 
-# Docs stores under this many rows are cached fully in each fetch actor
-# (a broadcast-small-side join); larger stores use pushdown reads.
-_IN_MEMORY_ROWS = 2_000_000
+# Docs stores under this many BYTES are cached fully in each fetch worker
+# (a broadcast-small-side join; the bound is per worker PROCESS — size it
+# against workers-per-node × threshold). Larger stores fall back to
+# predicate-pushdown reads; at the 100 TB regime the store would be
+# hash-bucketed by doc_id (or a Lance table with `take`) so each fetch
+# batch opens only its buckets instead of filtering the full dataset.
+_IN_MEMORY_BYTES = 512 * 1024 * 1024
 
 
 class DocStore:
@@ -34,7 +38,12 @@ class DocStore:
         self.dataset = pads.dataset(docs_path, format="parquet")
         self._mem: Optional[pa.Table] = None
         self._index: Optional[dict] = None
-        if self.dataset.count_rows() <= _IN_MEMORY_ROWS:
+        total_bytes = sum(
+            rg.total_byte_size
+            for frag in self.dataset.get_fragments()
+            for rg in frag.row_groups
+        )
+        if total_bytes <= _IN_MEMORY_BYTES:
             self._mem = self.dataset.to_table()
             self._index = {
                 u: i for i, u in enumerate(self._mem.column("doc_id").to_pylist())
