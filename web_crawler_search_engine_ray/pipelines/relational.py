@@ -16,7 +16,7 @@ table — the 100 TB posture for low-cardinality aggregates.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa

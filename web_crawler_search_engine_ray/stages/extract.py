@@ -11,8 +11,6 @@ add_url — frontier.py:137-139), then normalized.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pyarrow as pa
 

@@ -16,11 +16,7 @@ worker.py + __init__.py):
 
 from __future__ import annotations
 
-import math
-from typing import Dict
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import poly_hash_batch
@@ -46,7 +42,6 @@ def dedup_decisions(hashed) -> pa.Table:
     The spans payload never moves — the dedup shuffle carries 16 bytes/page
     regardless of page size."""
     import ray as _ray
-    import ray.data as _rd  # noqa: F401
 
     proj = hashed.select_columns(["page_hash", "seq", "url"])
 
@@ -108,7 +103,12 @@ def first_wins_dedup(tbl: pa.Table) -> pa.Table:
 
 def tokenize_batch(batch: pa.Table) -> pa.Table:
     """Task-pool tokenize: same kernel as TokenizeStage; the Porter memo
-    cache lives in the worker process, so repeated tasks reuse it."""
+    cache lives in the worker process, so repeated tasks reuse it.
+
+    The token column is emitted DICTIONARY-ENCODED: the token shuffle then
+    moves int32 indices plus one small per-block vocabulary instead of
+    ~12 bytes of string per posting row — a several-fold cut in shuffle
+    bytes for n-gram-exploded postings."""
     spans_col = batch.column("spans").to_pylist()
     seqs = batch.column("seq").to_pylist()
     tokens, doc_ids, tfs = [], [], []
@@ -117,9 +117,11 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
         tokens.extend(freqs.keys())
         doc_ids.extend([seq] * len(freqs))
         tfs.extend(freqs.values())
+    import pyarrow.compute as pc
+
     return pa.Table.from_arrays(
         [
-            pa.array(tokens, pa.string()),
+            pc.dictionary_encode(pa.array(tokens, pa.string())),
             pa.array(doc_ids, pa.int64()),
             pa.array(tfs, pa.int64()),
         ],
@@ -169,10 +171,17 @@ _TOKEN_BUCKETS = 256
 def add_token_bucket(batch: pa.Table) -> pa.Table:
     """Coarse shuffle key for the scoring groupby: token-hash % buckets.
     The bucket groupby co-locates every posting of a token (all that df
-    needs) with O(buckets) Python calls instead of O(unique tokens)."""
+    needs) with O(buckets) Python calls instead of O(unique tokens).
+    Dictionary-encoded token columns hash only the (small) vocabulary and
+    scatter through the index array."""
     from ..functions.urls import hash64_batch
 
-    h = hash64_batch(batch.column("token").to_pylist())
+    col = batch.column("token").combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        vocab_h = hash64_batch(col.dictionary.to_pylist())
+        h = vocab_h[col.indices.to_numpy(zero_copy_only=False)]
+    else:
+        h = hash64_batch(col.to_pylist())
     return batch.append_column(
         "tbucket",
         pa.array((h % np.uint64(_TOKEN_BUCKETS)).astype(np.int32), pa.int32()),
@@ -190,7 +199,9 @@ def make_score_fn(n_docs: int, min_ngram_df: int = 10):
 
     def score(tbl: pa.Table) -> pa.Table:
         col = tbl.column("token").combine_chunks()
-        enc = pc.dictionary_encode(col)
+        # combine_chunks on dictionary chunks unifies (and dedupes) the
+        # vocabularies, so codes are a valid global encoding of the bucket
+        enc = col if pa.types.is_dictionary(col.type) else pc.dictionary_encode(col)
         codes = enc.indices.to_numpy(zero_copy_only=False)
         counts = np.bincount(codes, minlength=len(enc.dictionary))
         dfreq = counts[codes]
@@ -202,9 +213,12 @@ def make_score_fn(n_docs: int, min_ngram_df: int = 10):
         idf = np.log(n_docs / dfreq[keep].astype(np.float64))
         tf_idf = np.round((1.0 + np.log(tf[keep])) * idf, 3)
         keep_idx = pa.array(np.flatnonzero(keep), pa.int64())
+        token_out = enc.take(keep_idx)
+        # decode post-shuffle: the store and query path use plain strings
+        token_out = pc.cast(token_out, pa.string())
         out = pa.table(
             {
-                "token": col.take(keep_idx),
+                "token": token_out,
                 "doc_id": tbl.column("doc_id").combine_chunks().take(keep_idx),
                 "tf_idf": pa.array(tf_idf, pa.float64()),
             }

@@ -14,7 +14,7 @@ urllib.robotparser.RobotFileParser — the exact parser the reference uses.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 from urllib.robotparser import RobotFileParser
 
 import numpy as np
