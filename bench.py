@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -108,6 +109,7 @@ def _bench_crawl(num_cpus: int) -> dict:
     tokenize_s = time.time() - t0
 
     return {
+        "_workdir": workdir,
         "crawl_sec": round(crawl_s, 2),
         "index_sec": round(index_s, 2),
         "tokenize_sec": round(tokenize_s, 2),
@@ -170,11 +172,17 @@ def run_once(num_cpus: int, with_queries: bool = True) -> dict:
     import ray
 
     _init_ray(num_cpus)
+    crawl = None
     try:
         crawl = _bench_crawl(num_cpus)
         queries = _bench_queries(SF_DIR) if with_queries else {}
     finally:
         ray.shutdown()
+        # each bench run leaves ~1 GB of synthetic web + crawl output in
+        # /tmp — clean it so repeated per-round runs never fill the disk
+        workdir = crawl.pop("_workdir", None) if isinstance(crawl, dict) else None
+        if workdir and os.path.isdir(workdir):
+            shutil.rmtree(workdir, ignore_errors=True)
     total = crawl["crawl_sec"] + crawl["index_sec"] + sum(queries.values())
     return {
         "metric": "headline wall time (crawl+index+corpus queries)",

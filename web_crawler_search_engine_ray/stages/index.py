@@ -105,10 +105,12 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     """Task-pool tokenize: same kernel as TokenizeStage; the Porter memo
     cache lives in the worker process, so repeated tasks reuse it.
 
-    The token column is emitted DICTIONARY-ENCODED: the token shuffle then
-    moves int32 indices plus one small per-block vocabulary instead of
-    ~12 bytes of string per posting row — a several-fold cut in shuffle
-    bytes for n-gram-exploded postings."""
+    The token column stays PLAIN string. Dictionary-encoding it was tried
+    and reverted: Ray's shuffle splits each map block across all reduce
+    partitions and every split slice keeps a full copy of its source
+    block's vocabulary, so the 'compressed' shuffle ballooned (observed
+    ~50 GB of spill vs near-zero for plain strings). Plain columns split
+    zero-copy."""
     spans_col = batch.column("spans").to_pylist()
     seqs = batch.column("seq").to_pylist()
     tokens, doc_ids, tfs = [], [], []
@@ -117,11 +119,9 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
         tokens.extend(freqs.keys())
         doc_ids.extend([seq] * len(freqs))
         tfs.extend(freqs.values())
-    import pyarrow.compute as pc
-
     return pa.Table.from_arrays(
         [
-            pc.dictionary_encode(pa.array(tokens, pa.string())),
+            pa.array(tokens, pa.string()),
             pa.array(doc_ids, pa.int64()),
             pa.array(tfs, pa.int64()),
         ],
