@@ -1,0 +1,29 @@
+"""Smoke test for the CLI entry points (genweb -> crawl -> index -> search)."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_cli_end_to_end(ray_session, tmp_path, capsys):
+    from web_crawler_search_engine_ray.__main__ import main
+
+    web = str(tmp_path / "web")
+    crawl = str(tmp_path / "crawl")
+    index = str(tmp_path / "index")
+
+    assert main(["genweb", "--out", web, "--docs", "80", "--hosts", "4"]) == 0
+    assert (
+        main(["crawl", "--web-dir", web, "--workdir", crawl, "--wave-span", "64"]) == 0
+    )
+    assert (
+        main(["index", "--pages", f"{crawl}/pages", "--out", index,
+              "--min-ngram-df", "3"]) == 0
+    )
+    assert (
+        main(["search", "--index", index, "--pages", f"{crawl}/pages",
+              "--query", "data stream"]) == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    results = [json.loads(line) for line in out if line.startswith('{"doc_id"')]
+    assert results and all("url" in r and "context" in r for r in results)

@@ -137,3 +137,43 @@ def test_hot_host_skew_conformance(ray_session, tmp_path_factory):
         r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
     }
     assert eng_seen == dict(oracle.seen)
+
+
+@pytest.mark.parametrize(
+    "seed,hosts,docs,span",
+    [
+        (5, 3, 40, 2.0),    # very narrow waves: politeness carryover every wave
+        (123, 8, 90, 8.0),  # wider web incl. crawl-delay host (host 2)
+        (9, 2, 30, 64.0),   # wide waves: near-pure per-host FIFO
+    ],
+)
+def test_crawl_conformance_configs(ray_session, tmp_path_factory, seed, hosts, docs, span):
+    """Lineage-order + seen-set equality vs the oracle across politeness
+    regimes and web shapes (SURVEY.md §7.4 determinism model)."""
+    from web_crawler_search_engine_ray.sources.synthetic_web import generate_web
+
+    web = generate_web(seed=seed, num_hosts=hosts, num_docs=docs)
+    cfg = CrawlConfig(wave_span=span)
+    seeds = web["seeds"].column("url").to_pylist()
+    oracle = oracle_crawl(web["docs"], web["robots"], seeds, cfg)
+
+    data_dir = str(tmp_path_factory.mktemp(f"web{seed}"))
+    write_web(web, data_dir)
+    outputs = run_crawl(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies={r["host"]: r["body"] for r in web["robots"].to_pylist()},
+        seed_urls=seeds,
+        config=cfg,
+        workdir=str(tmp_path_factory.mktemp(f"crawl{seed}")),
+    )
+    eng = outputs.lineage().to_pandas()
+    got = list(zip(eng["seq"], eng["url"], eng["virtual_ts"]))
+    want = [(w[0], w[2], w[4]) for w in oracle.lineage]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert abs(g[2] - w[2]) < 1e-9, (g, w)
+    eng_seen = {
+        r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
+    }
+    assert eng_seen == dict(oracle.seen)
