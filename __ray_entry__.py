@@ -200,6 +200,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_cpus=1,
         ).drop_columns(["feature"])
 
+    def multimodal_resize(sf_dir: str) -> Any:
+        import ray.data
+
+        from web_crawler_search_engine_ray.stages.multimodal import MediaResizeStage
+
+        m = _micro_crawl()
+        docs = ray.data.read_parquet(os.path.join(m["web_dir"], "docs.parquet"))
+        return docs.map_batches(
+            MediaResizeStage,
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=16,
+            num_cpus=1,
+        ).drop_columns(["payload"])
+
+    def multimodal_frames(sf_dir: str) -> Any:
+        import ray.data
+
+        from web_crawler_search_engine_ray.stages.multimodal import FrameSampleStage
+
+        m = _micro_crawl()
+        docs = ray.data.read_parquet(os.path.join(m["web_dir"], "docs.parquet"))
+        return docs.map_batches(
+            FrameSampleStage,
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=16,
+            num_cpus=1,
+        ).drop_columns(["frame"])
+
     return {
         # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
         "word_frequencies": C.word_frequencies,
@@ -240,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_results": search_results,
         "search_contexts": search_contexts,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
+        "multimodal_frames": multimodal_frames,
     }
 
 

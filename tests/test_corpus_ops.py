@@ -262,3 +262,62 @@ def test_subdomain_counts_partition(ray_session, docs_table):
         zip(got.column("host").to_pylist(), got.column("n_pages").to_pylist())
     )
     assert got_map == dict(want)
+
+
+def test_multimodal_resize_and_frames(ray_session, micro_web):
+    """Resize and frame-sample actor-pool stages: schema, determinism,
+    rows-per-media-span multiplication, and real-decode gating."""
+    import ray.data
+
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        FRAMES_SCHEMA,
+        FrameSampleStage,
+        MediaResizeStage,
+        RESIZED_SCHEMA,
+    )
+
+    docs = ray.data.from_arrow(micro_web["docs"])
+    n_media = sum(
+        1
+        for r in micro_web["docs"].to_pylist()
+        for s in (r["spans"] or [])
+        if s["kind"] == "image" and s["media_ref"]
+    )
+    assert n_media > 0
+
+    resized = docs.map_batches(
+        MediaResizeStage, batch_format="pyarrow", concurrency=2, batch_size=8,
+        fn_constructor_kwargs={"width": 32, "height": 16},
+    ).take_all()
+    assert len(resized) == n_media
+    assert all(len(r["payload"]) == 32 * 16 for r in resized)
+    # deterministic across runs
+    resized2 = docs.map_batches(
+        MediaResizeStage, batch_format="pyarrow", concurrency=2, batch_size=8,
+        fn_constructor_kwargs={"width": 32, "height": 16},
+    ).take_all()
+    assert {r["media_ref"]: r["payload"] for r in resized} == {
+        r["media_ref"]: r["payload"] for r in resized2
+    }
+
+    frames_ds = docs.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=2, batch_size=8,
+        fn_constructor_kwargs={"num_frames": 3},
+    )
+    assert [f.name for f in FRAMES_SCHEMA] == frames_ds.schema().base_schema.names
+    frames = frames_ds.take_all()
+    assert len(frames) == 3 * n_media
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f["media_ref"], []).append(f)
+    for ref, fs in by_ref.items():
+        ts = sorted(x["frame_ts_ms"] for x in fs)
+        assert ts[0] == 0 and ts == sorted(set(ts))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        docs.map_batches(
+            MediaResizeStage, batch_format="pyarrow", concurrency=1,
+            fn_constructor_kwargs={"decode": "real"},
+        ).materialize()
