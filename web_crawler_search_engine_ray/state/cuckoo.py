@@ -29,7 +29,12 @@ class CuckooFilter:
         self.mask = np.uint64(self.n_buckets - 1)
         self.count = 0
         self._rng = np.random.RandomState(seed)
-        self.overflow: set[int] = set()  # keys that failed insertion (rare)
+        # victim stash: (bucket_idx, fp) pairs homeless after MAX_KICKS.
+        # The homeless item is the FINAL displaced fingerprint (usually some
+        # OTHER key's), so the stash must be keyed by (idx, fp) — stashing
+        # the original key would silently drop the victim's membership (a
+        # false negative, which the seen-set contract forbids).
+        self.overflow: set[tuple[int, int]] = set()
 
     @staticmethod
     def _fingerprint(h: np.ndarray) -> np.ndarray:
@@ -55,8 +60,10 @@ class CuckooFilter:
             self.table[i2] == fp[:, None]
         ).any(axis=1)
         if self.overflow:
-            for k, hv in enumerate(h):
-                if not found[k] and int(hv) in self.overflow:
+            for k in np.nonzero(~found)[0]:
+                if (int(i1[k]), int(fp[k])) in self.overflow or (
+                    int(i2[k]), int(fp[k])
+                ) in self.overflow:
                     found[k] = True
         return found
 
@@ -85,18 +92,26 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return
-        self.overflow.add(int(h))
+        # the homeless item is the final displaced fingerprint; stash it
+        # under BOTH its candidate buckets so lookups from either side hit
+        alt = int(
+            np.uint64(idx) ^ ((np.uint64(fp) * np.uint64(0x5BD1E995)) & self.mask)
+        )
+        self.overflow.add((idx, int(fp)))
+        self.overflow.add((alt, int(fp)))
+        self.count += 1
 
     def add_batch(self, hashes: np.ndarray) -> None:
         for h in hashes:
             self._insert_one(int(h))
 
     def state(self) -> dict:
-        return {
-            "table": self.table,
-            "count": self.count,
-            "overflow": np.fromiter(self.overflow, dtype=np.uint64, count=len(self.overflow)),
-        }
+        ov = (
+            np.array(sorted(self.overflow), dtype=np.int64)
+            if self.overflow
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        return {"table": self.table, "count": self.count, "overflow": ov}
 
     @classmethod
     def from_state(cls, state: dict) -> "CuckooFilter":
@@ -106,5 +121,5 @@ class CuckooFilter:
         obj.mask = np.uint64(obj.n_buckets - 1)
         obj.count = int(state["count"])
         obj._rng = np.random.RandomState(0x5EED)
-        obj.overflow = set(int(x) for x in state["overflow"])
+        obj.overflow = set((int(a), int(b)) for a, b in state["overflow"])
         return obj
