@@ -38,3 +38,19 @@ def test_state_round_trip():
     g = CuckooFilter.from_state(f.state())
     assert g.contains_batch(keys).all()
     assert g.count == f.count
+
+
+def test_seen_shard_filter_autogrow(ray_session):
+    """SeenSet stays exact while its cuckoo filters grow past their initial
+    capacity (rebuild-from-ledger path)."""
+    from web_crawler_search_engine_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=128)
+    urls = [f"https://h{i % 7}.example.org/p{i}" for i in range(3000)]
+    first = seen.test_and_add(urls, wave=0)
+    assert first.all()
+    seen.mark_complete(urls)
+    again = seen.test_and_add(urls, wave=1)
+    assert not again.any()
+    stats = seen.stats()
+    assert sum(s["keys"] for s in stats) == 3000

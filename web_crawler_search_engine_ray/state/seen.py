@@ -60,6 +60,13 @@ class SeenShard:
                 new_mask[i] = not entry[0] and entry[2] == wave
         if to_add:
             self.filter.add_batch(hashes[np.asarray(to_add)])
+            # auto-grow: past ~84% design load the kick chains degrade into
+            # the victim stash; rebuild double-size from the exact ledger
+            # (the authoritative key set) before that happens
+            if self.filter.count * 5 > self.filter.n_buckets * 4 * 4:
+                self.filter = CuckooFilter(2 * self.filter.n_buckets * 4)
+                if self.ledger:
+                    self.filter.add_batch(hash64_batch(list(self.ledger.keys())))
         return new_mask
 
     def mark_complete(self, urls: List[str], lengths: Optional[List[int]] = None):
