@@ -1,13 +1,15 @@
 """The crawl: a driver-side BFS wave loop over Ray Data stages.
 
 Ray Data has no cyclic dataflow, so the frontier loop is driver iteration
-(SURVEY.md §4 decision 2): each wave is a bounded Dataset flowing
+(SURVEY.md §4 decision 2) — but the DATA never loops through the driver:
+each wave is a bounded Dataset flowing
 
-    frontier ── groupby(host) politeness schedule ──┐
+    frontier (read from wave K-1 checkpoint parquet) ─ groupby(host)
+        politeness schedule ──┐
         ├─ blocked → seen.mark_complete             │
-        ├─ carryover ─────────────────────────────► next wave
+        ├─ carryover ── frontier-block write ─────► wave K checkpoint
         └─ dispatched ─ sort(virtual_ts,host,seq) ─ zip_with_index
-             └─ map_batches(FetchStage actor pool)  [the docs-table join]
+             └─ map_batches(fetch join over docs store)
                   ├─ pages sink (wave-partitioned parquet)
                   ├─ lineage sink
                   ├─ analytics (crawl tokenize → token partials, lengths)
@@ -15,14 +17,22 @@ Ray Data has no cyclic dataflow, so the frontier loop is driver iteration
                        └─ groupby(url) within-wave first-wins dedup
                             └─ seen-shard test_and_add (batched RPC)
                                  └─ sort(parent_seq, offset) → discovery_seq
-                                      └─ union carryover → next frontier
+                                      └─ frontier-block write ► wave K ckpt
 
-Every per-wave artifact is written under ``workdir`` partitioned by wave
-(resumable output); the seen/frontier/counters checkpoint after each wave
-enables kill/resume with exact replay (state/checkpoint.py).
+The next frontier is handed between waves AS the checkpoint: carry + fresh
+blocks are written by distributed tasks into ``checkpoints/wave=K/frontier``
+and the next wave reads them back — the driver only ever sees per-block
+(host, count) partials (the host set is orders of magnitude smaller than
+the frontier; it seeds the per-wave robots/politeness metadata broadcast).
+Seen-set state checkpoints as per-shard incremental deltas written by the
+shard actors themselves (state/checkpoint.py). Kill/resume replays exactly
+(state restored from deltas; outputs beyond the resume wave cleared).
+
 Determinism: dispatch order is (virtual_ts, host, discovery_seq);
 discovery order is (parent dispatch seq, span offset) — both reproduced by
-the oracle (oracle.py) and asserted equal in tests.
+the oracle (oracle.py) and asserted equal in tests. Block order of the
+frontier parquet is irrelevant: every ordered quantity is re-derived from
+sorts on those keys.
 """
 
 from __future__ import annotations
@@ -46,10 +56,13 @@ from ..stages.extract import analyze_batch, explode_token_partials, extract_link
 from ..stages.fetch import make_fetch_fn, filter_scrapeable
 from ..stages.util import zip_with_index_counted
 from ..state.checkpoint import (
+    begin_checkpoint,
     clear_wave_outputs,
+    finalize_checkpoint,
+    frontier_dir,
     latest_checkpoint,
-    read_checkpoint,
-    write_checkpoint,
+    read_meta,
+    seen_delta_files,
 )
 from ..state.robots import RobotsCache
 from ..state.seen import SeenSet
@@ -79,7 +92,8 @@ class CrawlOutputs:
         return ray.data.read_parquet(os.path.join(self.workdir, "page_lengths"))
 
     def seen(self) -> pa.Table:
-        return pq.read_table(os.path.join(self.workdir, "seen_final.parquet"))
+        # per-shard files written by the shard actors (distributed sink)
+        return pq.read_table(os.path.join(self.workdir, "seen_final"))
 
 
 _FRONTIER_SCHEMA = pa.schema(
@@ -91,36 +105,48 @@ _FRONTIER_SCHEMA = pa.schema(
     ]
 )
 
+_FRONTIER_COLS = ["url", "host", "discovery_seq", "depth"]
+
+_HOSTS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64())])
+
 
 @ray.remote
-def _filter_select(table: pa.Table, action: int, cols: list) -> pa.Table:
-    """Small remote filter for driver-side frontier assembly: only the
-    matching rows travel to the driver. Empty blocks may arrive with a
-    pruned schema — answer with a typed empty table."""
-    if table.num_rows == 0 or "action" not in table.column_names:
-        return pa.Table.from_pylist([], schema=_FRONTIER_SCHEMA).select(cols)
-    return table.filter(pc.equal(table.column("action"), action)).select(cols)
+def _write_frontier_block(
+    table: pa.Table, action: Optional[int], out_dir: str
+) -> pa.Table:
+    """Write one next-frontier block into the wave's checkpoint staging dir
+    and return only its per-host counts (the frontier itself never travels
+    to the driver). ``action`` filters scheduled blocks to CARRY rows;
+    ``None`` passes fresh-link blocks through. Part names key on the block's
+    min discovery_seq — globally unique (disjoint unique int sets), so task
+    retries overwrite their own file (idempotent)."""
+    if action is not None:
+        if table.num_rows == 0 or "action" not in table.column_names:
+            return pa.Table.from_pylist([], schema=_HOSTS_SCHEMA)
+        table = table.filter(pc.equal(table.column("action"), action))
+    if table.num_rows == 0:
+        return pa.Table.from_pylist([], schema=_HOSTS_SCHEMA)
+    table = table.select(_FRONTIER_COLS)
+    part = f"part-{pc.min(table.column('discovery_seq')).as_py():012d}.parquet"
+    pq.write_table(table, os.path.join(out_dir, part))
+    agg = table.group_by("host").aggregate([("discovery_seq", "count")])
+    return pa.table(
+        {
+            "host": agg.column("host"),
+            "n": pc.cast(agg.column("discovery_seq_count"), pa.int64()),
+        }
+    )
+
+
+def _frontier_dataset(rows: List[dict]) -> "ray.data.Dataset":
+    tbl = pa.Table.from_pylist(rows, schema=_FRONTIER_SCHEMA)
+    return ray.data.from_arrow(tbl)
 
 
 def _wave_dir(workdir: str, sub: str, wave: int) -> str:
     d = os.path.join(workdir, sub, f"wave={wave:05d}")
     os.makedirs(d, exist_ok=True)
     return d
-
-
-def _frontier_dataset(rows: List[dict]) -> "ray.data.Dataset":
-    tbl = pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [
-                ("url", pa.string()),
-                ("host", pa.string()),
-                ("discovery_seq", pa.int64()),
-                ("depth", pa.int32()),
-            ]
-        ),
-    )
-    return ray.data.from_arrow(tbl)
 
 
 def run_crawl(
@@ -136,21 +162,26 @@ def run_crawl(
     """Run the crawl to frontier exhaustion. Ray must already be initialised
     by the caller."""
     os.makedirs(workdir, exist_ok=True)
-    seen = SeenSet(num_shards=config.num_seen_shards)
-    robots = RobotsCache(robots_bodies, num_shards=max(2, config.num_seen_shards // 2))
 
     ckpt_wave = latest_checkpoint(workdir) if resume else None
     if ckpt_wave is not None:
-        frontier_tbl, seen_tbl, meta = read_checkpoint(workdir, ckpt_wave)
-        seen.restore(seen_tbl)
+        meta = read_meta(workdir, ckpt_wave)
+        seen = SeenSet(num_shards=meta["num_seen_shards"])
+        seen.restore_from_deltas(seen_delta_files(workdir, ckpt_wave))
         clear_wave_outputs(workdir, ckpt_wave)
-        frontier = ray.data.from_arrow(frontier_tbl)
-        frontier_count = frontier_tbl.num_rows
+        frontier_count = meta["frontier_count"]
+        frontier = (
+            ray.data.read_parquet(frontier_dir(workdir, ckpt_wave))
+            if frontier_count
+            else None
+        )
+        frontier_hosts = list(meta["frontier_hosts"])
         wave = ckpt_wave + 1
         lineage_counter = meta["lineage_counter"]
         discovery_counter = meta["discovery_counter"]
         seen_hosts = set(meta["seen_hosts"])
     else:
+        seen = SeenSet(num_shards=config.num_seen_shards)
         # seed registration mirrors Frontier.__init__ restart path
         # (frontier.py:33-36): normalize + first-wins dedup, discovery
         # order = seed order.
@@ -167,15 +198,16 @@ def run_crawl(
         ]
         frontier = _frontier_dataset(rows)
         frontier_count = len(rows)
+        frontier_hosts = sorted({r["host"] for r in rows})
         wave = 0
         lineage_counter = 0
         discovery_counter = len(rows)
         seen_hosts: set = set()
 
+    robots = RobotsCache(robots_bodies, num_shards=max(2, config.num_seen_shards // 2))
     root_domains = tuple(config.root_domains)
     user_agent = config.user_agent
 
-    frontier_hosts: Optional[List[str]] = None  # derived from checkpoint tbl
     import time as _time
 
     phase_s: Dict[str, float] = {}
@@ -186,23 +218,12 @@ def run_crawl(
     def _tock(name: str, t0: float) -> None:
         phase_s[name] = phase_s.get(name, 0.0) + (_time.time() - t0)
 
-    # Per-wave parallelism is BLOCK-bound: every stage fans out one task per
-    # block, so a single-block frontier serializes the whole wave no matter
-    # how many CPUs the cluster has. Split each wave to ~one block per core.
     target_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)))
-
-    def _split_blocks(ds: "ray.data.Dataset", n_rows: int) -> "ray.data.Dataset":
-        want = min(max(1, n_rows // 32), target_blocks)
-        return ds.repartition(want) if want > 1 else ds
-
-    frontier = _split_blocks(frontier, frontier_count)
 
     while frontier_count > 0 and wave < max_waves:
         wave_start = wave * config.wave_span
 
         # --- schedule (politeness + robots) ---
-        if frontier_hosts is None:
-            frontier_hosts = frontier.unique("host")
         hosts = frontier_hosts
         delays = robots.check_hosts(hosts, user_agent)
         host_meta = {h: (delays[h], h not in seen_hosts) for h in hosts}
@@ -228,7 +249,7 @@ def run_crawl(
         scheduled = (
             frontier.map_batches(robots_fn, batch_format="pyarrow")
             .groupby("host")
-            .map_groups(schedule_fn, batch_format="pandas")
+            .map_groups(schedule_fn, batch_format="pyarrow")
             .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
             .materialize()
         )
@@ -237,6 +258,8 @@ def run_crawl(
         def _action_rows(batch: pa.Table, act: int) -> pa.Table:
             # mask filter in map_batches (schema-preserving on empty output,
             # unlike expression filters which can prune the schema away)
+            if batch.num_rows == 0 or "action" not in batch.column_names:
+                return batch
             return batch.filter(pc.equal(batch.column("action"), act))
 
         # --- dispatched, in deterministic dispatch order ---
@@ -250,6 +273,8 @@ def run_crawl(
             lineage_counter,
         )
         _tock("dispatch_sort", _t)
+        ordered_fresh = None
+        n_fresh = 0
         if n_dispatched:
             lineage_counter += n_dispatched
 
@@ -365,20 +390,6 @@ def run_crawl(
                 return batch.filter(pa.array(mask))
 
             fresh = deduped.map_batches(_seen_filter, batch_format="pyarrow")
-        else:
-            fresh = None
-
-        # --- assemble next frontier DRIVER-SIDE (no extra execution: the
-        # checkpoint collects these rows anyway; remote per-block filters
-        # keep the driver traffic to carry/fresh rows only) ---
-        cols = ["url", "host", "discovery_seq", "depth"]
-        carry_futs = [
-            _filter_select.remote(r, SCH.ACTION_CARRY, cols)
-            for r in scheduled.to_arrow_refs()
-        ]
-        n_fresh = 0
-        fresh_tbls: List[pa.Table] = []
-        if fresh is not None:
             _t = _tick()
             ordered_fresh, n_fresh = zip_with_index_counted(
                 fresh.sort(["parent_seq", "offset"]),
@@ -387,59 +398,64 @@ def run_crawl(
             )
             _tock("links", _t)
             discovery_counter += n_fresh
-            if n_fresh:
-                fresh_tbls = [
-                    t.select(cols)
-                    for t in ray.get(ordered_fresh.to_arrow_refs())
-                    if t.num_rows
-                ]
-        _t = _tick()
-        tbls = [t for t in ray.get(carry_futs) if t.num_rows] + fresh_tbls
-        frontier_count = sum(t.num_rows for t in tbls)
-        if frontier_count:
-            whole = pa.concat_tables(tbls)
-            want = min(max(1, frontier_count // 32), target_blocks)
-            step = -(-frontier_count // want)
-            frontier = ray.data.from_arrow_refs(
-                [
-                    ray.put(whole.slice(i, step))
-                    for i in range(0, frontier_count, step)
-                ]
-            )
-            tbls = [whole]
-        else:
-            frontier = None
-        _tock("assemble", _t)
 
-        # --- checkpoint (reuses the already-collected frontier tables) ---
-        frontier_tbl = (
-            pa.concat_tables(tbls)
-            if tbls
-            else pa.Table.from_pylist([], schema=pa.schema(
-                [("url", pa.string()), ("host", pa.string()),
-                 ("discovery_seq", pa.int64()), ("depth", pa.int32())]))
-        )
-        # next wave's host set, from the already-collected checkpoint table
-        # (saves a unique() shuffle execution per wave)
-        frontier_hosts = pa.compute.unique(frontier_tbl.column("host")).to_pylist()
+        # --- wave checkpoint: next frontier written DISTRIBUTED (carry
+        # blocks filtered from the scheduled refs, fresh blocks passed
+        # through), per-shard seen deltas flushed by the shard actors, then
+        # the wave dir is atomically published. The next wave reads the
+        # frontier straight from the checkpoint — the handoff IS the
+        # checkpoint; only (host, count) partials reach the driver. ---
         _t = _tick()
-        write_checkpoint(
+        tmp_dir = begin_checkpoint(workdir, wave)
+        fdir = os.path.join(tmp_dir, "frontier")
+        futs = [
+            _write_frontier_block.remote(r, SCH.ACTION_CARRY, fdir)
+            for r in scheduled.to_arrow_refs()
+        ]
+        if n_fresh:
+            futs += [
+                _write_frontier_block.remote(r, None, fdir)
+                for r in ordered_fresh.to_arrow_refs()
+            ]
+        part_hosts = [t for t in ray.get(futs) if t.num_rows]
+        if part_hosts:
+            hc = pa.concat_tables(part_hosts)
+            hc = hc.group_by("host").aggregate([("n", "sum")])
+            frontier_hosts = sorted(hc.column("host").to_pylist())
+            frontier_count = int(pc.sum(hc.column("n_sum")).as_py())
+        else:
+            frontier_hosts = []
+            frontier_count = 0
+        _tock("frontier_write", _t)
+
+        # all mark_complete/test_and_add RPCs have settled (each execution
+        # above is a barrier and the RPCs are awaited inside the tasks), so
+        # the shard deltas are wave-complete.
+        _t = _tick()
+        seen.flush_deltas(os.path.join(tmp_dir, "seen"))
+        finalize_checkpoint(
             workdir,
             wave,
-            frontier_tbl,
-            seen.snapshot(),
             {
+                "wave": wave,
                 "lineage_counter": lineage_counter,
                 "discovery_counter": discovery_counter,
+                "frontier_count": frontier_count,
+                "frontier_hosts": frontier_hosts,
                 "seen_hosts": sorted(seen_hosts),
-                "wave": wave,
+                "num_seen_shards": seen.num_shards,
             },
         )
         _tock("checkpoint", _t)
+
+        if frontier_count:
+            want = min(max(1, frontier_count // 32), target_blocks)
+            frontier = ray.data.read_parquet(
+                frontier_dir(workdir, wave), override_num_blocks=want
+            )
         wave += 1
 
-    seen_final = seen.snapshot()
-    pq.write_table(seen_final, os.path.join(workdir, "seen_final.parquet"))
+    seen.write_final(os.path.join(workdir, "seen_final"))
     metrics = {
         "phase_seconds": {k: round(v, 2) for k, v in phase_s.items()},
         "waves": wave,

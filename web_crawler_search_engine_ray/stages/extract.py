@@ -96,9 +96,8 @@ def explode_token_partials(batch: pa.Table) -> pa.Table:
     """(tokens, counts) list columns -> pre-aggregated (token, count) rows —
     the within-batch combiner ahead of the global groupby(token).sum
     shuffle (A1; reference merges worker-local dicts under a lock,
-    worker.py:113-120)."""
-    import pandas as pd
-
+    worker.py:113-120). Pure Arrow: ``pa.Table.group_by`` is the C-level
+    hash aggregate — no pandas in the crawl hot path."""
     tokens = batch.column("tokens").combine_chunks()
     counts = batch.column("counts").combine_chunks()
     flat_tokens = tokens.flatten()
@@ -108,12 +107,6 @@ def explode_token_partials(batch: pa.Table) -> pa.Table:
             [pa.array([], pa.string()), pa.array([], pa.int64())],
             names=["token", "count"],
         )
-    s = pd.Series(
-        flat_counts.to_numpy(zero_copy_only=False),
-        index=flat_tokens.to_pylist(),
-    )
-    agg = s.groupby(level=0).sum()
-    return pa.Table.from_arrays(
-        [pa.array(agg.index.tolist(), pa.string()), pa.array(agg.values, pa.int64())],
-        names=["token", "count"],
-    )
+    flat = pa.table({"token": flat_tokens, "count": flat_counts})
+    agg = flat.group_by("token").aggregate([("count", "sum")])
+    return agg.select(["token", "count_sum"]).rename_columns(["token", "count"])

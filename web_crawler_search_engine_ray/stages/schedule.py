@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Dict
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -82,12 +82,19 @@ def make_schedule_fn(
     on the driver; per-URL robots permission arrives precomputed in the
     ``allowed`` column (make_robots_fn pre-pass)."""
 
-    def schedule_group(df: pd.DataFrame) -> pd.DataFrame:
+    def schedule_group(tbl: "pa.Table") -> "pa.Table":
+        # Arrow in/out (zero-copy from the shuffle; the hottest per-wave
+        # stage never round-trips through pandas). The kernel itself is
+        # numpy over zero-copy column views.
         host_meta: Dict[str, tuple] = ray.get(host_meta_ref)
-        df = df.sort_values("discovery_seq", kind="stable").reset_index(drop=True)
-        host = df["host"].iloc[0]
+        dseq = tbl.column("discovery_seq").to_numpy(zero_copy_only=False)
+        order = np.argsort(dseq, kind="stable")
+        tbl = tbl.take(pa.array(order, pa.int64()))
+        host = tbl.column("host")[0].as_py()
         crawl_delay, first_wave = host_meta[host]
-        allowed = df["allowed"].to_numpy()
+        allowed = (
+            tbl.column("allowed").to_numpy(zero_copy_only=False).astype(bool)
+        )
 
         delay = max(crawl_delay, politeness)
         slots = max(1, int(wave_span / delay))
@@ -96,7 +103,7 @@ def make_schedule_fn(
         # vectorized slot assignment: blocked URLs never burn a slot
         # (frontier.py:112-114); allowed URLs take slots in FIFO order until
         # the wave budget is spent, the rest carry over.
-        n = len(df)
+        n = tbl.num_rows
         action = np.full(n, ACTION_CARRY, dtype=np.int8)
         vts = np.full(n, np.nan, dtype=np.float64)
         action[~allowed] = ACTION_BLOCKED
@@ -104,8 +111,10 @@ def make_schedule_fn(
         fetch = allowed & (slot_idx < slots)
         action[fetch] = ACTION_FETCH
         vts[fetch] = wave_start + slot_idx[fetch] * delay
-        df["action"] = action
-        df["virtual_ts"] = vts
-        return df.drop(columns=["allowed"])
+        return (
+            tbl.drop_columns(["allowed"])
+            .append_column("action", pa.array(action, pa.int8()))
+            .append_column("virtual_ts", pa.array(vts, pa.float64()))
+        )
 
     return schedule_group

@@ -1,15 +1,32 @@
-"""Per-wave crawl checkpoints: seen-set snapshot, frontier (queue cursor),
-counters — written atomically (tmp dir + rename + _COMPLETE marker) so a
-killed run resumes from the last complete wave with exact replay
-(north_rule resumability; reference analogue: frontier.json written only on
-clean join, web_crawler/crawler/__init__.py:38-46 — the engine is strictly
-stronger, checkpointing EVERY wave).
+"""Per-wave crawl checkpoints — PER-PARTITION and INCREMENTAL.
 
-Layout under <workdir>/checkpoints/wave=K/:
-    frontier/*.parquet   pending queue with discovery order
-    seen/*.parquet       per-shard ledger snapshot (concatenated)
-    meta.json            counters + first-seen host set
-    _COMPLETE            atomicity marker
+North-rule resumability ("every partition checkpoints its cuckoo-filter
+state, queue cursor, and fetch lineage"): nothing whole-crawl-sized ever
+funnels through the driver.
+
+- **Queue cursor (frontier)**: the next wave's pending queue is written as
+  per-block parquet by distributed tasks (pipelines/crawl.py
+  ``_write_frontier_block``) straight into the wave's checkpoint dir; the
+  next wave ``read_parquet``s it back. The checkpoint IS the wave handoff —
+  one write, zero driver materialization.
+- **Seen/cuckoo state**: each ``SeenShard`` actor appends an incremental
+  DELTA parquet (only entries touched since its last flush) under
+  ``seen/shard=S.parquet`` in the wave dir. Resume replays the per-shard
+  delta chain in wave order (last-wins per URL); the cuckoo filter is
+  rebuilt from the replayed ledger (state/seen.py). At 10^10 URLs a wave's
+  delta is O(wave traffic), not O(total seen).
+- **Fetch lineage** is already partition-checkpointed by the pages/lineage
+  sinks (``workdir/lineage/wave=K/part-*.parquet``).
+
+Atomicity: everything for wave K is written under ``wave=K.tmp/`` by tasks
+and actors (shared filesystem assumption — the same one the pages/lineage
+sinks already make on a multi-node cluster), then the driver stamps
+``_COMPLETE`` and renames to ``wave=K/``. A torn wave leaves only a
+``.tmp`` dir, ignored and cleared on resume.
+
+Reference analogue: frontier.json written only on clean join
+(web_crawler/crawler/__init__.py:38-46) — the engine is strictly stronger,
+checkpointing every wave, and sharded where the reference is monolithic.
 """
 
 from __future__ import annotations
@@ -17,37 +34,34 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Optional
-
-import pyarrow as pa
-import pyarrow.parquet as pq
+from typing import List, Optional, Tuple
 
 
-def _ckpt_dir(workdir: str, wave: int) -> str:
+def ckpt_dir(workdir: str, wave: int) -> str:
     return os.path.join(workdir, "checkpoints", f"wave={wave:05d}")
 
 
-def write_checkpoint(
-    workdir: str,
-    wave: int,
-    frontier_table: pa.Table,
-    seen_table: pa.Table,
-    meta: dict,
-) -> None:
-    final = _ckpt_dir(workdir, wave)
-    tmp = final + ".tmp"
+def begin_checkpoint(workdir: str, wave: int) -> str:
+    """Create the staging dir tasks/actors write into; returns its path."""
+    tmp = ckpt_dir(workdir, wave) + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(os.path.join(tmp, "frontier"))
     os.makedirs(os.path.join(tmp, "seen"))
-    pq.write_table(frontier_table, os.path.join(tmp, "frontier", "part-0.parquet"))
-    pq.write_table(seen_table, os.path.join(tmp, "seen", "part-0.parquet"))
+    return tmp
+
+
+def finalize_checkpoint(workdir: str, wave: int, meta: dict) -> str:
+    """Stamp meta + _COMPLETE and atomically publish wave=K.tmp → wave=K."""
+    final = ckpt_dir(workdir, wave)
+    tmp = final + ".tmp"
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
     open(os.path.join(tmp, "_COMPLETE"), "w").close()
     if os.path.exists(final):
         shutil.rmtree(final)
     os.rename(tmp, final)
+    return final
 
 
 def latest_checkpoint(workdir: str) -> Optional[int]:
@@ -56,25 +70,39 @@ def latest_checkpoint(workdir: str) -> Optional[int]:
         return None
     waves = []
     for name in os.listdir(root):
-        if name.startswith("wave=") and os.path.exists(
+        if name.startswith("wave=") and not name.endswith(".tmp") and os.path.exists(
             os.path.join(root, name, "_COMPLETE")
         ):
             waves.append(int(name.split("=")[1]))
     return max(waves) if waves else None
 
 
-def read_checkpoint(workdir: str, wave: int) -> tuple:
-    d = _ckpt_dir(workdir, wave)
-    frontier = pq.read_table(os.path.join(d, "frontier", "part-0.parquet"))
-    seen = pq.read_table(os.path.join(d, "seen", "part-0.parquet"))
-    with open(os.path.join(d, "meta.json")) as f:
-        meta = json.load(f)
-    return frontier, seen, meta
+def read_meta(workdir: str, wave: int) -> dict:
+    with open(os.path.join(ckpt_dir(workdir, wave), "meta.json")) as f:
+        return json.load(f)
+
+
+def frontier_dir(workdir: str, wave: int) -> str:
+    return os.path.join(ckpt_dir(workdir, wave), "frontier")
+
+
+def seen_delta_files(workdir: str, upto_wave: int) -> List[Tuple[int, str]]:
+    """All (shard_id, path) seen-delta files for waves 0..upto_wave, in
+    wave order (replay order). Each shard filters to its own id."""
+    out: List[Tuple[int, str]] = []
+    for w in range(upto_wave + 1):
+        d = os.path.join(ckpt_dir(workdir, w), "seen")
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            if name.startswith("shard=") and name.endswith(".parquet"):
+                out.append((int(name[len("shard="):-len(".parquet")]), os.path.join(d, name)))
+    return out
 
 
 def clear_wave_outputs(workdir: str, after_wave: int) -> None:
-    """Drop per-wave output partitions beyond the resume point so re-run
-    waves don't double-write (write_parquet appends uniquely-named files)."""
+    """Drop per-wave output partitions and torn checkpoints beyond the
+    resume point so re-run waves don't double-write."""
     for sub in ("pages", "lineage", "tokens", "page_lengths"):
         root = os.path.join(workdir, sub)
         if not os.path.isdir(root):
@@ -82,3 +110,13 @@ def clear_wave_outputs(workdir: str, after_wave: int) -> None:
         for name in os.listdir(root):
             if name.startswith("wave=") and int(name.split("=")[1]) > after_wave:
                 shutil.rmtree(os.path.join(root, name))
+    croot = os.path.join(workdir, "checkpoints")
+    if os.path.isdir(croot):
+        for name in os.listdir(croot):
+            if not name.startswith("wave="):
+                continue
+            if name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(croot, name))
+                continue
+            if int(name.split("=")[1]) > after_wave:
+                shutil.rmtree(os.path.join(croot, name))

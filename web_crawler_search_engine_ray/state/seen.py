@@ -16,6 +16,7 @@ here it is an in-memory dict with the same interface.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -38,6 +39,9 @@ class SeenShard:
         # url -> [downloaded, length, wave_registered]
         # insertion order = discovery order
         self.ledger: Dict[str, list] = {}
+        # urls touched since the last delta flush (dict = ordered set):
+        # the per-wave incremental checkpoint is exactly these entries.
+        self.dirty: Dict[str, None] = {}
 
     def test_and_add(self, urls: List[str], hashes: np.ndarray, wave: int) -> np.ndarray:
         """For each url: True if it was NEW (now registered as discovered).
@@ -55,6 +59,7 @@ class SeenShard:
             if entry is None:
                 new_mask[i] = True
                 self.ledger[url] = [False, 0, wave]
+                self.dirty[url] = None
                 to_add.append(i)
             else:
                 new_mask[i] = not entry[0] and entry[2] == wave
@@ -77,9 +82,9 @@ class SeenShard:
         for url, ln in zip(urls, lengths):
             prev = self.ledger.get(url)
             self.ledger[url] = [True, int(ln), prev[2] if prev else -1]
+            self.dirty[url] = None
 
-    def snapshot(self) -> pa.Table:
-        urls = list(self.ledger.keys())
+    def _table_of(self, urls) -> pa.Table:
         return pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
@@ -88,6 +93,49 @@ class SeenShard:
             ],
             schema=SEEN_SCHEMA,
         )
+
+    def snapshot(self) -> pa.Table:
+        return self._table_of(list(self.ledger.keys()))
+
+    def flush_delta(self, dir_path: str) -> int:
+        """Per-partition incremental checkpoint (north_rule): write ONLY the
+        entries touched since the last flush as this shard's delta file in
+        the wave's staging dir, then clear the dirty set. The actor writes
+        its own file — the driver never sees ledger rows."""
+        import pyarrow.parquet as pq
+
+        urls = list(self.dirty.keys())
+        tbl = self._table_of(urls)
+        pq.write_table(
+            tbl, os.path.join(dir_path, f"shard={self.shard_id:04d}.parquet")
+        )
+        self.dirty.clear()
+        return tbl.num_rows
+
+    def restore_deltas(self, paths: List[str]) -> int:
+        """Replay this shard's delta chain in wave order (last write wins
+        per URL), then rebuild the cuckoo filter from the replayed ledger."""
+        import pyarrow.parquet as pq
+
+        self.ledger = {}
+        for p in paths:
+            for r in pq.read_table(p).to_pylist():
+                self.ledger[r["url"]] = [r["downloaded"], r["length"], -1]
+        self.dirty = {}
+        self.filter = CuckooFilter(max(1 << 16, 2 * len(self.ledger)))
+        if self.ledger:
+            self.filter.add_batch(hash64_batch(list(self.ledger.keys())))
+        return len(self.ledger)
+
+    def write_snapshot(self, dir_path: str) -> int:
+        """Final per-shard ledger write (distributed seen_final sink)."""
+        import pyarrow.parquet as pq
+
+        tbl = self.snapshot()
+        pq.write_table(
+            tbl, os.path.join(dir_path, f"shard={self.shard_id:04d}.parquet")
+        )
+        return tbl.num_rows
 
     def restore(self, table: pa.Table) -> int:
         self.ledger = {
@@ -159,6 +207,33 @@ class SeenSet:
     def snapshot(self) -> pa.Table:
         tables = ray.get([s.snapshot.remote() for s in self.shards])
         return pa.concat_tables(tables)
+
+    def flush_deltas(self, dir_path: str) -> int:
+        """Every shard writes its incremental delta into the wave's staging
+        dir concurrently; returns total delta rows."""
+        return sum(ray.get([s.flush_delta.remote(dir_path) for s in self.shards]))
+
+    def restore_from_deltas(self, files: List[Tuple[int, str]]) -> int:
+        """files = (shard_id, path) pairs in wave order
+        (checkpoint.seen_delta_files). Requires the same num_shards the
+        deltas were written with (recorded in checkpoint meta)."""
+        per_shard: List[List[str]] = [[] for _ in range(self.num_shards)]
+        for sid, path in files:
+            per_shard[sid].append(path)
+        return sum(
+            ray.get(
+                [
+                    s.restore_deltas.remote(per_shard[i])
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def write_final(self, dir_path: str) -> int:
+        import os as _os
+
+        _os.makedirs(dir_path, exist_ok=True)
+        return sum(ray.get([s.write_snapshot.remote(dir_path) for s in self.shards]))
 
     def restore(self, table: pa.Table) -> None:
         """Rebuild shards from a checkpoint snapshot (resume path)."""
