@@ -6,9 +6,12 @@ here (or in the library) calls ray.init()/ray.shutdown().
 Every SQL-expressible operator has a DuckDB oracle whose output columns,
 types and rounding exactly mirror the Ray pipeline (see
 web_crawler_search_engine_ray/pipelines/corpus.py's determinism contract).
-Crawl-loop / LSH-internal / IVF / multimodal queries are rows-only (no
-oracle entry); their conformance lives in tests/ against the pure-Python
-reference oracle (web_crawler_search_engine_ray/oracle.py).
+The crawl/index/search queries run the REAL pipelines over the
+conformance web (sources/conformance_web.py) and are checked against an
+independent unrolled-SQL replay of the crawl (conformance_sql.py). Only
+the three multimodal queries are rows-only (decode kernels are env-gated
+stubs); RNG-synthetic-web conformance lives in tests/ against the
+pure-Python reference oracle (web_crawler_search_engine_ray/oracle.py).
 """
 
 from __future__ import annotations
@@ -84,37 +87,34 @@ FROM j WHERE u > 0 AND 1.0 * i / u >= 0.8
 _SF0001 = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
-# cached micro-crawl for the rows-only crawl/index/search queries
+# cached conformance-web crawl: the crawl/index/search queries run the REAL
+# pipelines over a web derived arithmetically from sf_dir's documents table,
+# and every one of them has an independent DuckDB oracle that replays the
+# crawl in unrolled SQL (web_crawler_search_engine_ray/conformance_sql.py)
 # ---------------------------------------------------------------------------
 
-_MICRO: dict[str, Any] = {}
+_CONF: dict[str, Any] = {}
 
 
-def _micro_crawl() -> dict[str, Any]:
-    """Run the synthetic-web crawl once per process; reuse for all
-    crawl-derived queries (deterministic: seed=42 micro web)."""
-    if _MICRO:
-        return _MICRO
+def _conf_crawl(sf_dir: str) -> dict[str, Any]:
+    if sf_dir in _CONF:
+        return _CONF[sf_dir]
     from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
     from web_crawler_search_engine_ray.pipelines.index_pipeline import build_index
-    from web_crawler_search_engine_ray.sources.synthetic_web import (
-        CrawlConfig,
-        generate_and_write,
+    from web_crawler_search_engine_ray.sources.conformance_web import (
+        ROBOTS_BODIES,
+        build_conformance_web,
+        conf_config,
+        conf_seeds,
     )
 
-    workdir = tempfile.mkdtemp(prefix="wcse_entry_")
-    web_dir = os.path.join(workdir, "web")
-    tables = generate_and_write(web_dir, seed=42, num_hosts=5, num_docs=50)
-    robots = {
-        r["host"]: r["body"] for r in tables["robots"].to_pylist()
-    }
-    seeds = tables["seeds"].column("url").to_pylist()
-    config = CrawlConfig()
+    workdir = tempfile.mkdtemp(prefix="wcse_conf_")
+    docs = build_conformance_web(sf_dir, os.path.join(workdir, "web"))
     out = run_crawl(
-        docs_path=os.path.join(web_dir, "docs.parquet"),
-        robots_bodies=robots,
-        seed_urls=seeds,
-        config=config,
+        docs_path=docs,
+        robots_bodies=dict(ROBOTS_BODIES),
+        seed_urls=conf_seeds(),
+        config=conf_config(),
         workdir=os.path.join(workdir, "crawl"),
     )
     idx = build_index(
@@ -123,8 +123,8 @@ def _micro_crawl() -> dict[str, Any]:
         tokenize_concurrency=2,
         min_ngram_df=3,
     )
-    _MICRO.update({"crawl": out, "index": idx, "web_dir": web_dir})
-    return _MICRO
+    _CONF[sf_dir] = {"crawl": out, "index": idx, "docs": docs}
+    return _CONF[sf_dir]
 
 
 def entry() -> Any:
@@ -140,95 +140,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_crawler_search_engine_ray.pipelines import relational as R
 
     def crawl_lineage(sf_dir: str) -> Any:
-        return _micro_crawl()["crawl"].lineage()
+        return _conf_crawl(sf_dir)["crawl"].lineage()
 
     def crawl_frequencies(sf_dir: str) -> Any:
-        return _micro_crawl()["crawl"].frequencies()
+        return _conf_crawl(sf_dir)["crawl"].frequencies()
 
     def crawl_page_lengths(sf_dir: str) -> Any:
-        return _micro_crawl()["crawl"].page_lengths()
+        return _conf_crawl(sf_dir)["crawl"].page_lengths()
 
     def index_postings(sf_dir: str) -> Any:
         import ray.data
 
-        return ray.data.read_parquet(_micro_crawl()["index"].postings)
+        return ray.data.read_parquet(_conf_crawl(sf_dir)["index"].postings)
 
-    def search_results(sf_dir: str) -> Any:
+    def _search_top5(sf_dir: str):
+        """Shared search ranking: SearchService token lookup (with the
+        stemmed-unigram fallback), scores summed in exact milli units so
+        ranking ties are order-independent (oracle determinism contract)."""
+        import numpy as np
         import pandas as pd
 
+        from web_crawler_search_engine_ray.conformance_sql import SEARCH_QUERY
+        from web_crawler_search_engine_ray.functions.text import query_tokens
         from web_crawler_search_engine_ray.pipelines.search import SearchService
 
-        m = _micro_crawl()
+        m = _conf_crawl(sf_dir)
         svc = SearchService(m["index"].postings, m["index"].catalog)
-        rows = svc.search("data stream engine", k=5)
-        return pd.DataFrame(
-            rows, columns=["doc_id", "score", "url", "title"]
+        primary, fallback = query_tokens(SEARCH_QUERY)
+        tbl = svc._lookup(primary)
+        if tbl.num_rows == 0:
+            tbl = svc._lookup(fallback)
+        df = tbl.to_pandas()
+        df["milli"] = np.floor(
+            df["tf_idf"].to_numpy() * 1000.0 + 0.5
+        ).astype("int64")
+        g = df.groupby("doc_id", as_index=False)["milli"].sum()
+        g = g.sort_values(
+            ["milli", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(5)
+        rows = []
+        for r in g.itertuples():
+            url, title = svc.catalog.get(int(r.doc_id), ("", ""))
+            rows.append((int(r.doc_id), int(r.milli), url, title))
+        return m, primary, pd.DataFrame(
+            rows, columns=["doc_id", "score_milli", "url", "title"]
         )
+
+    def search_results(sf_dir: str) -> Any:
+        return _search_top5(sf_dir)[2]
 
     def search_contexts(sf_dir: str) -> Any:
         import pandas as pd
 
-        from web_crawler_search_engine_ray.functions.text import query_tokens
-        from web_crawler_search_engine_ray.pipelines.search import (
-            ResultPresenter,
-            SearchService,
-        )
+        from web_crawler_search_engine_ray.pipelines.search import ResultPresenter
 
-        m = _micro_crawl()
-        svc = SearchService(m["index"].postings, m["index"].catalog)
-        rows = svc.search("data stream engine", k=5)
-        primary, _ = query_tokens("data stream engine")
+        m, primary, top = _search_top5(sf_dir)
         pres = ResultPresenter(os.path.join(m["crawl"].workdir, "pages"))
-        ctx = pres.contexts([r[2] for r in rows], primary)
+        ctx = pres.contexts(list(top["url"]), primary)
         return pd.DataFrame(
-            [(r[0], r[2], ctx.get(r[2], "")) for r in rows],
+            [
+                (int(r.doc_id), r.url, ctx.get(r.url, ""))
+                for r in top.itertuples()
+            ],
             columns=["doc_id", "url", "context"],
         )
 
-    def multimodal_features(sf_dir: str) -> Any:
+    def _multimodal(sf_dir: str, stage_cls, drop: str) -> Any:
         import ray.data
 
+        docs = ray.data.read_parquet(_conf_crawl(sf_dir)["docs"])
+        return docs.map_batches(
+            stage_cls,
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=16,
+            num_cpus=1,
+        ).drop_columns([drop])
+
+    def multimodal_features(sf_dir: str) -> Any:
         from web_crawler_search_engine_ray.stages.multimodal import MediaFeatureStage
 
-        m = _micro_crawl()
-        docs = ray.data.read_parquet(os.path.join(m["web_dir"], "docs.parquet"))
-        return docs.map_batches(
-            MediaFeatureStage,
-            batch_format="pyarrow",
-            concurrency=2,
-            batch_size=16,
-            num_cpus=1,
-        ).drop_columns(["feature"])
+        return _multimodal(sf_dir, MediaFeatureStage, "feature")
 
     def multimodal_resize(sf_dir: str) -> Any:
-        import ray.data
-
         from web_crawler_search_engine_ray.stages.multimodal import MediaResizeStage
 
-        m = _micro_crawl()
-        docs = ray.data.read_parquet(os.path.join(m["web_dir"], "docs.parquet"))
-        return docs.map_batches(
-            MediaResizeStage,
-            batch_format="pyarrow",
-            concurrency=2,
-            batch_size=16,
-            num_cpus=1,
-        ).drop_columns(["payload"])
+        return _multimodal(sf_dir, MediaResizeStage, "payload")
 
     def multimodal_frames(sf_dir: str) -> Any:
-        import ray.data
-
         from web_crawler_search_engine_ray.stages.multimodal import FrameSampleStage
 
-        m = _micro_crawl()
-        docs = ray.data.read_parquet(os.path.join(m["web_dir"], "docs.parquet"))
-        return docs.map_batches(
-            FrameSampleStage,
-            batch_format="pyarrow",
-            concurrency=2,
-            batch_size=16,
-            num_cpus=1,
-        ).drop_columns(["frame"])
+        return _multimodal(sf_dir, FrameSampleStage, "frame")
 
     return {
         # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
@@ -254,14 +256,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": C.embedding_neardup_pairs,
         # --- similarity search ---
         "ann_topk": C.ann_topk_bruteforce,
-        "ann_topk_ivf": C.ann_topk_ivf,
+        # IVF in exact mode (nprobe = nlist) so the driver gets a hard
+        # oracle on the IVF machinery; approximation quality (nprobe <
+        # nlist) is covered by tests/test_corpus_ops.py recall bounds
+        "ann_topk_ivf": lambda sf_dir: C.ann_topk_ivf(sf_dir, nlist=16, nprobe=16),
         # --- relational dataflow ---
         "pricing_summary": R.pricing_summary,
         "top_customers": R.top_customers,
         "events_hourly": R.events_hourly,
         "events_user_stats": R.events_user_stats,
         "brand_part_stats": R.brand_part_stats,
-        # --- crawl/index/search over the synthetic web (rows-only;
+        # --- crawl/index/search over the conformance web (each has an
+        #     independent unrolled-SQL oracle; the RNG synthetic-web
         #     conformance vs the python oracle lives in tests/) ---
         "crawl_lineage": crawl_lineage,
         "crawl_frequencies": crawl_frequencies,
@@ -276,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from web_crawler_search_engine_ray import conformance_sql as _CSQL
+
     fp_text = _POLY_HASH.format(col="text")
     fp_token = _POLY_HASH.format(col="token")
     stop = "', '".join(
@@ -473,5 +481,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(p_size)::BIGINT AS sum_size,
                    floor(sum(p_retailprice) / count(*) * 100.0 + 0.5) / 100.0 AS avg_price
             FROM part GROUP BY p_brand
+        """,
+        # --- conformance-web crawl/index/search: independent unrolled-SQL
+        #     replay of the wave loop (web_crawler_search_engine_ray/
+        #     conformance_sql.py) ---
+        "crawl_lineage": _CSQL.CRAWL_LINEAGE_SQL,
+        "crawl_frequencies": _CSQL.CRAWL_FREQUENCIES_SQL,
+        "crawl_page_lengths": _CSQL.CRAWL_PAGE_LENGTHS_SQL,
+        "index_postings": _CSQL.INDEX_POSTINGS_SQL,
+        "search_results": _CSQL.SEARCH_RESULTS_SQL,
+        "search_contexts": _CSQL.SEARCH_CONTEXTS_SQL,
+        # IVF run in exact mode (nprobe = nlist) ≡ brute-force top-k
+        "ann_topk_ivf": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   CAST(floor(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000.0 + 0.5) AS BIGINT) AS sim_e4
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 8
+            QUALIFY row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+            ) <= 10
         """,
     }

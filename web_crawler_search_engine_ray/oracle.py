@@ -223,7 +223,8 @@ def oracle_index(crawl: CrawlResult, min_ngram_df: int = 10) -> IndexResult:
             continue  # n-gram pruning (indexer/__init__.py:188-190)
         idf = math.log(n / df)
         postings[token] = [
-            (doc_id, round((1 + math.log(tf)) * idf, 3)) for doc_id, tf in plist
+            (doc_id, math.floor((1 + math.log(tf)) * idf * 1000.0 + 0.5) / 1000.0)
+            for doc_id, tf in plist
         ]
     return IndexResult(postings, catalog, duplicates, n)
 

@@ -89,7 +89,11 @@ class CrawlOutputs:
         return ds.groupby("token").aggregate(Sum("count", alias_name="count"))
 
     def page_lengths(self) -> "ray.data.Dataset":
-        return ray.data.read_parquet(os.path.join(self.workdir, "page_lengths"))
+        # select the contract columns: the wave=K dir layout otherwise
+        # surfaces as an inferred hive-partition column
+        return ray.data.read_parquet(
+            os.path.join(self.workdir, "page_lengths")
+        ).select_columns(["url", "seq", "length"])
 
     def seen(self) -> pa.Table:
         # per-shard files written by the shard actors (distributed sink)
@@ -207,6 +211,11 @@ def run_crawl(
     robots = RobotsCache(robots_bodies, num_shards=max(2, config.num_seen_shards // 2))
     root_domains = tuple(config.root_domains)
     user_agent = config.user_agent
+    # broadcast the docs store once (shared-memory object store) — every
+    # fetch worker maps it zero-copy instead of materializing its own copy
+    from ..stages.fetch import broadcast_docs_ref
+
+    docs_ref = broadcast_docs_ref(docs_path)
 
     import time as _time
 
@@ -267,10 +276,13 @@ def run_crawl(
             lambda b: _action_rows(b, SCH.ACTION_FETCH), batch_format="pyarrow"
         )
         _t = _tick()
+        # coarse shuffle blocks upstream; the stamp step re-splits toward
+        # ~2 blocks/core so the fetch/tokenize join fans out fully
         ordered, n_dispatched = zip_with_index_counted(
             dispatched.sort(["virtual_ts", "host", "discovery_seq"]),
             "seq",
             lineage_counter,
+            target_splits=2 * target_blocks,
         )
         _tock("dispatch_sort", _t)
         ordered_fresh = None
@@ -288,7 +300,7 @@ def run_crawl(
             lineage_dir = _wave_dir(workdir, "lineage", wave)
             tokens_dir = _wave_dir(workdir, "tokens", wave)
             lengths_dir = _wave_dir(workdir, "page_lengths", wave)
-            fetch_fn = make_fetch_fn(docs_path)
+            fetch_fn = make_fetch_fn(docs_path, docs_ref)
             wv = wave
 
             def _fetch_write(batch: pa.Table) -> pa.Table:
@@ -449,7 +461,10 @@ def run_crawl(
         _tock("checkpoint", _t)
 
         if frontier_count:
-            want = min(max(1, frontier_count // 32), target_blocks)
+            # coarse blocks (≥512 rows each): the schedule groupby / sorts
+            # over the wave-bounded frontier pay per-task overhead per
+            # block, and the compute-heavy fetch stage re-splits later
+            want = min(max(1, frontier_count // 512), target_blocks)
             frontier = ray.data.read_parquet(
                 frontier_dir(workdir, wave), override_num_blocks=want
             )

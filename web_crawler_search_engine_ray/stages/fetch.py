@@ -32,19 +32,33 @@ _IN_MEMORY_BYTES = 512 * 1024 * 1024
 
 
 class DocStore:
-    """Keyed access to the docs table (the 'network')."""
+    """Keyed access to the docs table (the 'network').
 
-    def __init__(self, docs_path: str):
-        self.dataset = pads.dataset(docs_path, format="parquet")
+    ``table_ref`` (a ``ray.put`` of the whole docs table) is the broadcast
+    small-side path: the table lives ONCE in the shared-memory object store
+    and every worker maps it zero-copy — without it each worker process
+    would materialize its own heap copy (observed to dominate fetch wall
+    time at high worker counts). Only the url→row dict index (8 bytes/key)
+    is per-worker."""
+
+    def __init__(self, docs_path: str, table_ref=None):
         self._mem: Optional[pa.Table] = None
         self._index: Optional[dict] = None
-        total_bytes = sum(
-            rg.total_byte_size
-            for frag in self.dataset.get_fragments()
-            for rg in frag.row_groups
-        )
-        if total_bytes <= _IN_MEMORY_BYTES:
-            self._mem = self.dataset.to_table()
+        if table_ref is not None:
+            import ray as _ray
+
+            self._mem = _ray.get(table_ref)  # zero-copy shared-memory view
+            self.dataset = None
+        else:
+            self.dataset = pads.dataset(docs_path, format="parquet")
+            total_bytes = sum(
+                rg.total_byte_size
+                for frag in self.dataset.get_fragments()
+                for rg in frag.row_groups
+            )
+            if total_bytes <= _IN_MEMORY_BYTES:
+                self._mem = self.dataset.to_table()
+        if self._mem is not None:
             self._index = {
                 u: i for i, u in enumerate(self._mem.column("doc_id").to_pylist())
             }
@@ -74,7 +88,7 @@ class DocStore:
 _STORE_CACHE: dict = {}
 
 
-def cached_store(docs_path: str) -> DocStore:
+def cached_store(docs_path: str, table_ref=None) -> DocStore:
     """Per-worker-process DocStore cache. The crawl loop runs one Dataset
     execution PER WAVE; an actor pool would be torn down and restarted
     each wave (setup × waves), while Ray reuses worker processes across
@@ -83,16 +97,33 @@ def cached_store(docs_path: str) -> DocStore:
     coherence concerns."""
     store = _STORE_CACHE.get(docs_path)
     if store is None:
-        store = _STORE_CACHE[docs_path] = DocStore(docs_path)
+        store = _STORE_CACHE[docs_path] = DocStore(docs_path, table_ref)
     return store
 
 
-def make_fetch_fn(docs_path: str):
+def broadcast_docs_ref(docs_path: str):
+    """ray.put the docs table once (shared-memory broadcast) when it fits
+    the small-side bound; None → workers fall back to predicate-pushdown
+    reads (the 100 TB path, where the store is bucketed/Lance)."""
+    import ray as _ray
+
+    ds = pads.dataset(docs_path, format="parquet")
+    total_bytes = sum(
+        rg.total_byte_size
+        for frag in ds.get_fragments()
+        for rg in frag.row_groups
+    )
+    if total_bytes > _IN_MEMORY_BYTES:
+        return None
+    return _ray.put(ds.to_table())
+
+
+def make_fetch_fn(docs_path: str, table_ref=None):
     """Task-pool fetch fn for the per-wave executions (store via
     cached_store, amortized across waves)."""
 
     def fetch_batch(batch: pa.Table) -> pa.Table:
-        return _fetch_with_store(cached_store(docs_path), batch)
+        return _fetch_with_store(cached_store(docs_path, table_ref), batch)
 
     return fetch_batch
 

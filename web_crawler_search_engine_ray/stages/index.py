@@ -191,8 +191,11 @@ def add_token_bucket(batch: pa.Table) -> pa.Table:
 def make_score_fn(n_docs: int, min_ngram_df: int = 10):
     """tf-idf over one token-hash bucket, vectorized: df per token via
     np.unique inverse mapping; idf = ln(N/df); tf_idf = (1+ln tf)·idf
-    rounded to 3 decimals with round-half-even — the posting string codec's
-    ``f"{x:.3f}"`` semantics (shared/posting.py:35); multi-word tokens with
+    rounded to 3 decimals with the engine-wide fixed-point formula
+    floor(x·1000 + 0.5)/1000 (shared with every DuckDB oracle — see
+    pipelines/corpus.py determinism contract; diverges from the reference
+    codec's ``f"{x:.3f}"`` half-even only at exact .0005 ties, a
+    measure-zero set for (1+ln tf)·ln(N/df)); multi-word tokens with
     df < min_ngram_df dropped (indexer/__init__.py:188-198)."""
 
     import pyarrow.compute as pc
@@ -211,7 +214,7 @@ def make_score_fn(n_docs: int, min_ngram_df: int = 10):
         keep = ~(has_space[codes] & (dfreq < min_ngram_df))
         tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         idf = np.log(n_docs / dfreq[keep].astype(np.float64))
-        tf_idf = np.round((1.0 + np.log(tf[keep])) * idf, 3)
+        tf_idf = np.floor((1.0 + np.log(tf[keep])) * idf * 1000.0 + 0.5) / 1000.0
         keep_idx = pa.array(np.flatnonzero(keep), pa.int64())
         token_out = enc.take(keep_idx)
         # decode post-shuffle: the store and query path use plain strings

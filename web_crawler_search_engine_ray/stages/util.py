@@ -21,31 +21,59 @@ def _with_index(table: pa.Table, col: str, start: int) -> pa.Table:
     return table.append_column(col, idx)
 
 
+@ray.remote
+def _slice_block(table: pa.Table, offset: int, length: int) -> pa.Table:
+    return table.slice(offset, length)
+
+
 def zip_with_index(ds: "ray.data.Dataset", col: str, start: int) -> "ray.data.Dataset":
     return zip_with_index_counted(ds, col, start)[0]
 
 
 def zip_with_index_counted(
-    ds: "ray.data.Dataset", col: str, start: int
+    ds: "ray.data.Dataset", col: str, start: int, target_splits: int = 0
 ) -> tuple:
     """Append a dense int64 index column following the dataset's current
     block order (caller sorts first); returns (dataset, row_count) so
-    callers don't need a separate count() execution. Two passes over block
-    refs: count, then offset-stamp — wave-bounded datasets only (the
-    frontier delta is ~100 bytes/URL, so materializing it is cheap relative
-    to fetched bytes).
+    callers don't need a separate count() execution. Counts come from the
+    materialized plan's block metadata; stamping is one fire-and-forget
+    task per block — wave-bounded datasets only (the frontier delta is
+    ~100 bytes/URL, so materializing it is cheap relative to fetched
+    bytes).
+
+    ``target_splits`` > 0 re-splits the stamped blocks toward that many
+    output blocks (zero-copy slices): block COUNT sizing upstream is
+    coarse (fewer tiny shuffle tasks) while a downstream compute-heavy
+    map (the fetch/tokenize join) still fans out across the cluster.
     """
     mat = ds.materialize()
-    refs = mat.to_arrow_refs()
-    counts = ray.get([_block_count.remote(r) for r in refs])
+    # block row counts come from the materialized plan's metadata — no
+    # count tasks, no extra ray.get round
+    refs_counts = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:  # metadata gap: fall back to a count task
+                n = ray.get(_block_count.remote(ref))
+            refs_counts.append((ref, n))
+    total_rows = sum(c for _, c in refs_counts)
+    chunk = 0
+    if target_splits and total_rows:
+        chunk = max(32, -(-total_rows // target_splits))
     out_refs = []
     off = start
-    for r, c in zip(refs, counts):
-        if c == 0:
+    for r, c in refs_counts:
+        if not c:
             # skip empty blocks: expression filters may emit them with a
             # pruned (even empty) schema, which would poison a later union
             continue
-        out_refs.append(_with_index.remote(r, col, off))
+        stamped = _with_index.remote(r, col, off)
+        if chunk and c > chunk:
+            out_refs.extend(
+                _slice_block.remote(stamped, i, chunk) for i in range(0, c, chunk)
+            )
+        else:
+            out_refs.append(stamped)
         off += c
     total = off - start
     if not out_refs:
