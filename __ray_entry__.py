@@ -36,9 +36,16 @@ bi AS (
   WHERE p[2] IS NOT NULL
     AND NOT (regexp_full_match(p[1], '[0-9]+') AND regexp_full_match(p[2], '[0-9]+'))
 ),
+tri AS (
+  SELECT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS token
+  FROM (SELECT doc_id, unnest(list_zip(ts, ts[2:], ts[3:])) AS p FROM toks)
+  WHERE p[3] IS NOT NULL
+    AND NOT (regexp_full_match(p[1], '[0-9]+') AND regexp_full_match(p[2], '[0-9]+')
+             AND regexp_full_match(p[3], '[0-9]+'))
+),
 tf AS (
   SELECT doc_id, token, count(*)::BIGINT AS tf
-  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi UNION ALL SELECT * FROM tri)
   GROUP BY doc_id, token
 ),
 df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),

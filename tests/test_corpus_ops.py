@@ -101,6 +101,17 @@ def test_ann_ivf_recall(ray_session):
     # brute force itself: self-hit must rank (query is its own best match)
     for q, s in bf_sets.items():
         assert q in s
+    # the point of IVF: measured sim-op plan must be well under brute force
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        ivf_planned_sim_fraction,
+    )
+
+    frac = ivf_planned_sim_fraction(SF, nlist=16, nprobe=4)
+    assert frac <= 0.6  # nprobe/nlist = 0.25 ideal; skewed lists allowed slack
+    # exact mode (nprobe = nlist) must equal brute force exactly
+    exact = collect_table(ann_topk_ivf(SF, nlist=16, nprobe=16)).to_pylist()
+    key = lambda r: (r["query_id"], r["vec_id"], r["sim_e4"])
+    assert sorted(map(key, exact)) == sorted(map(key, bf))
 
 
 def test_embedding_neardup_symmetric_ground_truth(ray_session):
@@ -321,3 +332,38 @@ def test_multimodal_resize_and_frames(ray_session, micro_web):
             MediaResizeStage, batch_format="pyarrow", concurrency=1,
             fn_constructor_kwargs={"decode": "real"},
         ).materialize()
+
+
+def test_ngram_jaccard_hot_shingle_cap(ray_session, tmp_path):
+    """Boilerplate df-cap (SHINGLE_DF_CAP): a shingle shared by hundreds of
+    docs must not explode pair emission, while a true near-dup pair that
+    also carries the boilerplate is still found (df-pruned Jaccard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from web_crawler_search_engine_ray.pipelines import corpus as C
+
+    # unit bound: one hot key over 10k docs emits zero pairs under the cap
+    keys = np.zeros(10_000, dtype=np.uint64)
+    docs = np.arange(10_000, dtype=np.int64)
+    a, b = C._emit_run_pairs(keys, docs, max_run=C.SHINGLE_DF_CAP)
+    assert len(a) == 0
+
+    # e2e: 300 docs share a boilerplate prefix; doc 300 duplicates doc 0
+    texts = [
+        f"common boiler plate prefix here alpha u{i} v{i} w{i} x{i} y{i} z{i}"
+        for i in range(300)
+    ]
+    texts.append(texts[0])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq2.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = C.ngram_jaccard_pairs(str(tmp_path))
+    pairs = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+    assert (0, 300) in pairs                       # identical pair found
+    assert all(j == 1000 for p, j in zip(pairs, out.column("jaccard_milli").to_pylist()) if p == (0, 300))
+    assert len(pairs) < 1000                       # no boilerplate blowup

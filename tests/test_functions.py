@@ -251,3 +251,18 @@ class TestPageContext:
         long = "needle " + "word " * 200
         out = page_context(["text"], [long], ["needle"])
         assert len(out) == 300
+
+
+def test_docs_io_roundtrip(ray_session, micro_web, tmp_path):
+    """docs_io gate: write_docs/read_docs round-trip the docs schema in
+    whichever format is available (Lance when importable, else Parquet)."""
+    from web_crawler_search_engine_ray.sources import docs_io
+
+    path = docs_io.write_docs(micro_web["docs"], str(tmp_path))
+    assert docs_io.docs_format() in ("lance", "parquet")
+    back = docs_io.read_docs_table(path)
+    assert back.schema.names == micro_web["docs"].schema.names
+    assert back.num_rows == micro_web["docs"].num_rows
+    ds = docs_io.read_docs(path, columns=["doc_id", "status"])
+    assert ds.count() == micro_web["docs"].num_rows
+    assert set(ds.schema().names) == {"doc_id", "status"}

@@ -7,9 +7,11 @@ Dataflow (all Ray Data; see stages/index.py for reference citations):
       │    filter status==200 ∧ is_html ∧ ≤10MB         (M11 + size gate)
       │    → coarse-bucket groupby(page_hash % 256)      (D2, global)
       │    → vectorized first-wins run kernel → dup rows
-      │         └─ duplicates sink (driver-side, already collected)
+      │         └─ duplicates sink: seq-sorted distributed parquet
       └─ PASS 2 (full rows, spans scanned exactly once):
-           filter gates → drop dup seqs (broadcast np.isin)
+           filter gates → drop dup seqs (range-pushdown anti-join against
+             the sorted duplicates store; dup volume never aggregates in
+             one process)
            → tokenize tasks (per-process Porter memo)    (T3 + A3 weights)
                 ├─ catalog sink rides the task (S8, side-effect write)
                 └─ (token, doc_id, tf) rows
@@ -99,43 +101,37 @@ def build_index(
             .materialize()
         )
         proj_ds = hashed
-    dup_tbl = dedup_decisions(proj_ds)
-    dup_map = dict(
-        zip(
-            dup_tbl.column("seq").to_pylist(), dup_tbl.column("dup_of").to_pylist()
-        )
-    )
-    dup_ref = ray.put(dup_map)
-
     import numpy as np
 
-    dup_arr_ref = ray.put(
-        np.asarray(dup_tbl.column("seq"), dtype=np.int64)
-        if dup_tbl.num_rows
-        else np.empty(0, dtype=np.int64)
-    )
-
-    def _split(batch: pa.Table, want_dups: bool) -> pa.Table:
-        dup_arr = ray.get(dup_arr_ref)
-        seqs = batch.column("seq").to_numpy(zero_copy_only=False)
-        mask = np.isin(seqs, dup_arr)
-        if not want_dups:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
-
-    # duplicates sink: the dedup decision pass already collected the full
-    # (seq, url, dup_of) rows driver-side — write them directly, no extra
-    # execution over the pages store
+    # duplicates sink: the dup-decision DATASET is sorted by seq and
+    # written distributed (sorted runs → row-group stats), becoming the
+    # probe side of a range-pushdown anti-join — no driver collection, no
+    # broadcast array; dup volume can be 25-40 % of the corpus and never
+    # touches one process.
     dup_dir = os.path.join(out_dir, "duplicates")
     os.makedirs(dup_dir, exist_ok=True)
-    _pq.write_table(
-        dup_tbl.select(["seq", "url", "dup_of"]),
-        os.path.join(dup_dir, "part-0.parquet"),
+    dedup_decisions(proj_ds).sort("seq").write_parquet(dup_dir)
+    n_dups = sum(
+        _pq.ParquetFile(os.path.join(dup_dir, f)).metadata.num_rows
+        for f in os.listdir(dup_dir)
+        if f.endswith(".parquet")
     )
 
-    n_indexed = proj_ds.count() - len(dup_map)
+    n_indexed = proj_ds.count() - n_dups
     cat_dir = os.path.join(out_dir, "catalog")
     os.makedirs(cat_dir, exist_ok=True)
+
+    from ..stages.index import dup_seqs_in_range
+
+    def _drop_dups(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+        lo, hi = int(seqs.min()), int(seqs.max())
+        dup_arr = dup_seqs_in_range(dup_dir, lo, hi)
+        if not len(dup_arr):
+            return batch
+        return batch.filter(pa.array(~np.isin(seqs, dup_arr)))
 
     # One fused pass over the kept pages: catalog sink rides the tokenize
     # tasks as a side-effect write (retry-stable part names), so the heavy
@@ -144,7 +140,7 @@ def build_index(
     # (functions/porter.py), so plain tasks get actor-style amortization
     # without paying an actor-pool startup per index run.
     def _tokenize_catalog(batch: pa.Table) -> pa.Table:
-        b = _split(batch, False)
+        b = _drop_dups(batch)
         if b.num_rows == 0:
             return tokenize_batch(b)
         cat = catalog_batch(b)

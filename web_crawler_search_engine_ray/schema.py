@@ -6,8 +6,9 @@ input contract: a table of interleaved text+media documents,
 ``doc_id: string`` + ``spans: list<struct<kind, text, media_ref, offset>>``.
 
 Tables are stored as Parquet directories (Lance is not installed in this
-environment; ``sources.docs_io`` gates on the import and would use
-``write_lance`` when available — the schemas are identical either way).
+environment; ``sources.docs_io`` gates on the import and uses
+``lance.write_dataset`` / ``ray.data.read_lance`` when available — the
+schemas are identical either way).
 """
 
 from __future__ import annotations
