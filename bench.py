@@ -53,19 +53,34 @@ def _init_ray(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _bench_crawl(num_cpus: int) -> dict:
-    from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
-    from web_crawler_search_engine_ray.pipelines.index_pipeline import build_index
-    from web_crawler_search_engine_ray.sources.synthetic_web import (
-        CrawlConfig,
-        generate_and_write,
-    )
+def _bench_web(web_dir: str) -> tuple:
+    """Generate (or reuse) the bench web; returns (robots, seeds)."""
+    import pyarrow.parquet as pq
 
-    workdir = tempfile.mkdtemp(prefix="wcse_bench_")
-    web_dir = os.path.join(workdir, "web")
-    tables = generate_and_write(web_dir, **BENCH_WEB)
+    if os.path.exists(os.path.join(web_dir, "docs.parquet")):
+        robots_t = pq.read_table(os.path.join(web_dir, "robots.parquet"))
+        seeds_t = pq.read_table(os.path.join(web_dir, "seeds.parquet"))
+        tables = {"robots": robots_t, "seeds": seeds_t}
+    else:
+        from web_crawler_search_engine_ray.sources.synthetic_web import (
+            generate_and_write,
+        )
+
+        tables = generate_and_write(web_dir, **BENCH_WEB)
     robots = {r["host"]: r["body"] for r in tables["robots"].to_pylist()}
     seeds = tables["seeds"].column("url").to_pylist()
+    return robots, seeds
+
+
+def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
+    from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
+    from web_crawler_search_engine_ray.pipelines.index_pipeline import build_index
+    from web_crawler_search_engine_ray.sources.synthetic_web import CrawlConfig
+
+    workdir = tempfile.mkdtemp(prefix="wcse_bench_")
+    # a shared pre-generated web (scaling legs) avoids regenerating per leg
+    web_dir = os.environ.get("WCSE_BENCH_WEB") or os.path.join(workdir, "web")
+    robots, seeds = _bench_web(web_dir)
     config = CrawlConfig(wave_span=BENCH_WAVE_SPAN)
 
     t0 = time.time()
@@ -79,14 +94,16 @@ def _bench_crawl(num_cpus: int) -> dict:
     )
     crawl_s = time.time() - t0
 
-    t0 = time.time()
-    build_index(
-        os.path.join(workdir, "crawl", "pages"),
-        os.path.join(workdir, "index"),
-        tokenize_concurrency=max(2, num_cpus - 2),
-        min_ngram_df=3,
-    )
-    index_s = time.time() - t0
+    index_s = None
+    if with_index:
+        t0 = time.time()
+        build_index(
+            os.path.join(workdir, "crawl", "pages"),
+            os.path.join(workdir, "index"),
+            tokenize_concurrency=max(2, num_cpus - 2),
+            min_ngram_df=3,
+        )
+        index_s = time.time() - t0
 
     # compute-bound leg: tokenize-only postings throughput (no shuffle,
     # no sink) — the stage whose scaling is not limited by the single
@@ -108,20 +125,23 @@ def _bench_crawl(num_cpus: int) -> dict:
     )
     tokenize_s = time.time() - t0
 
-    return {
+    res = {
         "_workdir": workdir,
         "crawl_sec": round(crawl_s, 2),
-        "index_sec": round(index_s, 2),
         "tokenize_sec": round(tokenize_s, 2),
         "pages_fetched": out.pages_fetched,
         "urls_discovered": out.urls_discovered,
         "n_postings": int(n_postings),
         "waves": out.waves,
+        "phase_seconds": out.metrics["phase_seconds"],
         "pages_per_sec": round(out.pages_fetched / crawl_s, 2),
         "urls_per_sec": round(out.urls_discovered / crawl_s, 2),
-        "docs_indexed_per_sec": round(out.pages_fetched / index_s, 2),
         "postings_per_sec": round(n_postings / tokenize_s, 2),
     }
+    if index_s is not None:
+        res["index_sec"] = round(index_s, 2)
+        res["docs_indexed_per_sec"] = round(out.pages_fetched / index_s, 2)
+    return res
 
 
 def _bench_queries(sf_dir: str) -> dict:
@@ -168,13 +188,13 @@ def _bench_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_once(num_cpus: int, with_queries: bool = True) -> dict:
+def run_once(num_cpus: int, with_queries: bool = True, with_index: bool = True) -> dict:
     import ray
 
     _init_ray(num_cpus)
     crawl = None
     try:
-        crawl = _bench_crawl(num_cpus)
+        crawl = _bench_crawl(num_cpus, with_index=with_index)
         queries = _bench_queries(SF_DIR) if with_queries else {}
     finally:
         ray.shutdown()
@@ -183,7 +203,7 @@ def run_once(num_cpus: int, with_queries: bool = True) -> dict:
         workdir = crawl.pop("_workdir", None) if isinstance(crawl, dict) else None
         if workdir and os.path.isdir(workdir):
             shutil.rmtree(workdir, ignore_errors=True)
-    total = crawl["crawl_sec"] + crawl["index_sec"] + sum(queries.values())
+    total = crawl["crawl_sec"] + crawl.get("index_sec", 0) + sum(queries.values())
     return {
         "metric": "headline wall time (crawl+index+corpus queries)",
         "value": round(total, 2),
@@ -195,55 +215,142 @@ def run_once(num_cpus: int, with_queries: bool = True) -> dict:
     }
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
-    """Same headline job at two parallelism levels in FRESH processes —
-    the sandbox stand-in for the north_rule's N vs 4N cluster sizes."""
-    results = {}
-    for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            env=env,
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+def _run_leg(n: int, mode: str, web_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n), WCSE_BENCH_WEB=web_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), mode],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def _scaling_sweep(lo: int, hi: int, mode: str) -> dict:
+    """Same job at two parallelism levels in FRESH back-to-back processes
+    over ONE pre-generated web — the sandbox stand-in for the north_rule's
+    N vs 4N cluster sizes (see BASELINE.md for how to read single-box
+    numbers)."""
+    web_dir = tempfile.mkdtemp(prefix="wcse_scaling_web_")
+    try:
+        results = {n: _run_leg(n, mode, web_dir) for n in (lo, hi)}
+    finally:
+        shutil.rmtree(web_dir, ignore_errors=True)
     factor = hi / lo
 
     def eff(key):
-        return round(results[hi]["crawl"][key] / (factor * results[lo]["crawl"][key]), 3)
+        if key not in results[hi]["crawl"]:
+            return None
+        return round(
+            results[hi]["crawl"][key] / (factor * results[lo]["crawl"][key]), 3
+        )
 
-    # Headline = the compute-bound stage (tokenize): on one box the two
-    # "cluster sizes" share a single memory bus + object store, so
-    # shuffle-bound phases under-measure what N->4N NODES would give
-    # (store bandwidth scales with nodes on a real cluster); see BASELINE.md.
+    keys = [
+        k
+        for k in ("pages_per_sec", "docs_indexed_per_sec", "postings_per_sec")
+        if k in results[lo]["crawl"]
+    ]
     return {
-        "metric": "scaling efficiency (compute-bound postings/sec, N->4N cpus)",
-        "value": eff("postings_per_sec"),
-        "unit": "efficiency",
         "crawl_efficiency": eff("pages_per_sec"),
         "index_efficiency": eff("docs_indexed_per_sec"),
         "tokenize_efficiency": eff("postings_per_sec"),
-        "lo": {"num_cpus": lo, **{k: results[lo]["crawl"][k] for k in ("pages_per_sec", "docs_indexed_per_sec", "postings_per_sec")}},
-        "hi": {"num_cpus": hi, **{k: results[hi]["crawl"][k] for k in ("pages_per_sec", "docs_indexed_per_sec", "postings_per_sec")}},
+        "lo": {"num_cpus": lo, **{k: results[lo]["crawl"][k] for k in keys}},
+        "hi": {"num_cpus": hi, **{k: results[hi]["crawl"][k] for k in keys}},
+    }
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    sweep = _scaling_sweep(lo, hi, "--child")
+    # Headline = the compute-bound stage (tokenize): on one box the two
+    # "cluster sizes" share a single memory bus, object store and disk, so
+    # shuffle/sink-bound phases under-measure what N->4N NODES would give
+    # (store + disk bandwidth scale with node count on a real cluster).
+    return {
+        "metric": "scaling efficiency (compute-bound postings/sec, N->4N cpus)",
+        "value": sweep["tokenize_efficiency"],
+        "unit": "efficiency",
+        **sweep,
         "sf": SF_DIR,
         "num_cpus": hi,
     }
 
 
+def run_wavescale(sizes=(10000, 30000, 100000)) -> dict:
+    """Driver-cost curve vs wave size (north-rule evidence): per-wave
+    coordination cost (schedule + frontier write + checkpoint phases) must
+    stay ~flat as the frontier grows — larger waves then amortize it, the
+    10^10-frontier regime."""
+    out = []
+    for nd in sizes:
+        web_dir = tempfile.mkdtemp(prefix="wcse_wavescale_")
+        try:
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(NUM_CPUS),
+                WCSE_BENCH_WEB=web_dir,
+                WCSE_BENCH_DOCS=str(nd),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child-lite"],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            leg = json.loads(proc.stdout.strip().splitlines()[-1])["crawl"]
+            ph = leg["phase_seconds"]
+            coord = ph.get("schedule", 0) + ph.get("frontier_write", 0) + ph.get(
+                "checkpoint", 0
+            )
+            out.append(
+                {
+                    "num_docs": nd,
+                    "waves": leg["waves"],
+                    "pages_per_sec": leg["pages_per_sec"],
+                    "coord_sec_per_wave": round(coord / max(1, leg["waves"]), 3),
+                    "phase_seconds": ph,
+                }
+            )
+        finally:
+            shutil.rmtree(web_dir, ignore_errors=True)
+    return {
+        "metric": "per-wave driver coordination cost vs wave size",
+        "value": out[-1]["coord_sec_per_wave"],
+        "unit": "sec/wave",
+        "curve": out,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def main():
+    global BENCH_WEB
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--child", action="store_true", help="internal: one scaling leg")
+    ap.add_argument("--wavescale", action="store_true")
+    ap.add_argument("--child", action="store_true", help="internal: one full leg")
+    ap.add_argument(
+        "--child-lite", action="store_true", help="internal: crawl+tokenize leg"
+    )
     args = ap.parse_args()
+    nd = os.environ.get("WCSE_BENCH_DOCS")
+    if nd:
+        BENCH_WEB = dict(BENCH_WEB, num_docs=int(nd))
     if args.child:
         print(json.dumps(run_once(NUM_CPUS, with_queries=False)))
+    elif args.child_lite:
+        print(json.dumps(run_once(NUM_CPUS, with_queries=False, with_index=False)))
     elif args.scaling:
         print(json.dumps(run_scaling(8, 32)))
+    elif args.wavescale:
+        print(json.dumps(run_wavescale()))
     else:
-        print(json.dumps(run_once(NUM_CPUS)))
+        result = run_once(NUM_CPUS)
+        # scaling evidence rides the default bench output (BENCH_r{N}.json):
+        # crawl + tokenize legs at 8 and 32 cpus, back-to-back subprocesses
+        result["scaling"] = _scaling_sweep(8, 32, "--child-lite")
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -229,6 +229,14 @@ def run_crawl(
 
     target_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
+    def _shuffle_blocks(n_rows: int) -> int:
+        """Shuffle width for a wave-bounded row set: DATA-proportional
+        (~64k frontier rows ≈ 6 MB per block), capped at 4 blocks/core.
+        An AllToAll's cost grows ~quadratically in its block count, so a
+        kilobyte-scale wave must not shuffle at cluster width — while a
+        10^8-row wave still fans out to every core."""
+        return min(max(1, n_rows // 65536), 4 * target_blocks)
+
     while frontier_count > 0 and wave < max_waves:
         wave_start = wave * config.wave_span
 
@@ -351,10 +359,15 @@ def run_crawl(
             _tock("fetch_write", _t)
 
             # --- link extraction → candidates ---
+            # extract runs on the fetch stage's fine-grained blocks
+            # (compute parallelism); the tiny candidate rows then coalesce
+            # to a data-proportional width before the dedup shuffle, so the
+            # groupby/sort below never do cluster-width AllToAlls over
+            # kilobytes (links ≈ a few rows per fetched page)
             links = fetched.map_batches(
                 lambda b: extract_links_batch(filter_scrapeable(b), root_domains),
                 batch_format="pyarrow",
-            )
+            ).repartition(_shuffle_blocks(4 * n_dispatched))
 
             # within-wave first-wins dedup: keep min (parent_seq, offset)
             # per url. Bucketed on url-hash (256 groups, int32 shuffle key)
@@ -461,12 +474,12 @@ def run_crawl(
         _tock("checkpoint", _t)
 
         if frontier_count:
-            # coarse blocks (≥512 rows each): the schedule groupby / sorts
+            # data-proportional block count: the schedule groupby / sorts
             # over the wave-bounded frontier pay per-task overhead per
             # block, and the compute-heavy fetch stage re-splits later
-            want = min(max(1, frontier_count // 512), target_blocks)
             frontier = ray.data.read_parquet(
-                frontier_dir(workdir, wave), override_num_blocks=want
+                frontier_dir(workdir, wave),
+                override_num_blocks=_shuffle_blocks(frontier_count),
             )
         wave += 1
 

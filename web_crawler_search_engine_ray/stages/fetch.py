@@ -101,9 +101,15 @@ def cached_store(docs_path: str, table_ref=None) -> DocStore:
     return store
 
 
+# the BROADCAST bound is wider than the per-process heap bound: a ray.put
+# table lives ONCE in the shared-memory object store regardless of worker
+# count (zero-copy maps), so it is sized against the store, not the heap
+_BROADCAST_BYTES = 4 * 1024 * 1024 * 1024
+
+
 def broadcast_docs_ref(docs_path: str):
     """ray.put the docs table once (shared-memory broadcast) when it fits
-    the small-side bound; None → workers fall back to predicate-pushdown
+    the broadcast bound; None → workers fall back to predicate-pushdown
     reads (the 100 TB path, where the store is bucketed/Lance)."""
     import ray as _ray
 
@@ -113,7 +119,7 @@ def broadcast_docs_ref(docs_path: str):
         for frag in ds.get_fragments()
         for rg in frag.row_groups
     )
-    if total_bytes > _IN_MEMORY_BYTES:
+    if total_bytes > _BROADCAST_BYTES:
         return None
     return _ray.put(ds.to_table())
 

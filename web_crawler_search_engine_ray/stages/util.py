@@ -59,7 +59,10 @@ def zip_with_index_counted(
     total_rows = sum(c for _, c in refs_counts)
     chunk = 0
     if target_splits and total_rows:
-        chunk = max(32, -(-total_rows // target_splits))
+        # floor of 64 rows/split: each downstream fetch task writes its
+        # sink files once per block, so tiny blocks trade compute
+        # parallelism for per-file overhead
+        chunk = max(64, -(-total_rows // target_splits))
     out_refs = []
     off = start
     for r, c in refs_counts:
