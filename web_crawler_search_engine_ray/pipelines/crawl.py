@@ -162,9 +162,26 @@ def run_crawl(
     resume: bool = False,
     fetch_concurrency: int = 2,
     max_waves: int = 100_000,
+    link_extractor=None,
+    priority_fn=None,
 ) -> CrawlOutputs:
     """Run the crawl to frontier exhaustion. Ray must already be initialised
-    by the caller."""
+    by the caller.
+
+    User-extension surface (SURVEY §2.11, mirroring the reference's
+    pluggable ``scraper(url, resp)`` hook and frontier/worker factories,
+    web_crawler/README.md:58-204):
+
+    - ``link_extractor(batch, root_domains) -> candidate table`` replaces
+      the default span scanner (stages/extract.extract_links_batch); it
+      must emit columns (url, host, parent_seq, offset, depth) — the
+      validity chain is the hook's responsibility, exactly like the
+      reference's scraper.
+    - ``priority_fn(batch) -> batch + 'priority' column`` runs over the
+      frontier before politeness scheduling; lower values dispatch first
+      within a host's wave budget, discovery order breaks ties (absent →
+      reference FIFO).
+    """
     os.makedirs(workdir, exist_ok=True)
 
     ckpt_wave = latest_checkpoint(workdir) if resume else None
@@ -263,8 +280,11 @@ def run_crawl(
             return batch
 
         _t = _tick()
+        pre = frontier
+        if priority_fn is not None:
+            pre = pre.map_batches(priority_fn, batch_format="pyarrow")
         scheduled = (
-            frontier.map_batches(robots_fn, batch_format="pyarrow")
+            pre.map_batches(robots_fn, batch_format="pyarrow")
             .groupby("host")
             .map_groups(schedule_fn, batch_format="pyarrow")
             .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
@@ -364,8 +384,9 @@ def run_crawl(
             # to a data-proportional width before the dedup shuffle, so the
             # groupby/sort below never do cluster-width AllToAlls over
             # kilobytes (links ≈ a few rows per fetched page)
+            extract = link_extractor if link_extractor is not None else extract_links_batch
             links = fetched.map_batches(
-                lambda b: extract_links_batch(filter_scrapeable(b), root_domains),
+                lambda b: extract(filter_scrapeable(b), root_domains),
                 batch_format="pyarrow",
             ).repartition(_shuffle_blocks(4 * n_dispatched))
 

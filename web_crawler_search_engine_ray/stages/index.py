@@ -12,6 +12,17 @@ worker.py + __init__.py):
   stronger; hash-collision semantics preserved (same 32-bit hash);
 - tf-idf + n-gram pruning (__init__.py:188-198) run inside
   ``map_groups`` per token with the corpus size N broadcast.
+
+Measured shuffle alternatives (129M postings, 32 CPUs, one box — kept for
+the record so the coarse-bucket design isn't "first thing that worked"):
+sort-shuffle groupby(token_hash%256) = 77 s end-to-end index build;
+``ShuffleStrategy.HASH_SHUFFLE`` = 169 s; a two-pass df-broadcast design
+(narrow (hash,cnt) global aggregate + map-only scoring — no full-row
+shuffle) did not finish in 800 s because Ray's high-cardinality aggregate
+over ~100M distinct keys is far slower than sorting by the 256-value
+bucket key; dictionary-encoded token columns ballooned shuffle spill
+(round 1, reverted). The 256-bucket key keeps the exchange sort trivial
+while still co-locating every posting of a token for exact df.
 """
 
 from __future__ import annotations

@@ -88,7 +88,15 @@ def make_schedule_fn(
         # numpy over zero-copy column views.
         host_meta: Dict[str, tuple] = ray.get(host_meta_ref)
         dseq = tbl.column("discovery_seq").to_numpy(zero_copy_only=False)
-        order = np.argsort(dseq, kind="stable")
+        if "priority" in tbl.column_names:
+            # user priority hook (SURVEY §2.11): lower value dispatches
+            # first; FIFO (discovery order) breaks ties — the reference's
+            # queue order is the all-equal-priority case
+            prio = tbl.column("priority").to_numpy(zero_copy_only=False)
+            order = np.lexsort((dseq, prio))
+            tbl = tbl.drop_columns(["priority"])
+        else:
+            order = np.argsort(dseq, kind="stable")
         tbl = tbl.take(pa.array(order, pa.int64()))
         host = tbl.column("host")[0].as_py()
         crawl_delay, first_wave = host_meta[host]
