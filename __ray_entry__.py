@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": R.top_customers,
         "events_hourly": R.events_hourly,
         "events_user_stats": R.events_user_stats,
+        "events_sessions": R.events_sessions,
+        "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
@@ -475,6 +477,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
+            FROM g GROUP BY user_id, sid
+        """,
+        "events_orders_asof": """
+            SELECT e.event_id, e.user_id,
+                   coalesce(o.o_orderkey, -1) AS asof_orderkey,
+                   coalesce(o.o_totalprice, 0.0) AS asof_totalprice
+            FROM events e LEFT JOIN LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+            ) o ON TRUE
         """,
         "events_user_stats": """
             SELECT user_id, count(*)::BIGINT AS n_events,

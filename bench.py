@@ -180,6 +180,8 @@ def _bench_queries(sf_dir: str) -> dict:
         ("top_customers", R.top_customers),
         ("events_hourly", R.events_hourly),
         ("events_user_stats", R.events_user_stats),
+        ("events_sessions", R.events_sessions),
+        ("events_orders_asof", R.events_orders_asof),
         ("brand_part_stats", R.brand_part_stats),
     ]:
         t0 = time.time()

@@ -623,44 +623,65 @@ def _verify_pairs_distributed(
             }
         )
 
+    def _group_views(group: pa.Table):
+        """Columnar views of one bucket group: flat shingle values +
+        per-row offsets (zero python conversion of the set payloads) and a
+        sorted set-key index for searchsorted pair→set lookup."""
+        is_set = group.column("is_set").to_numpy(zero_copy_only=False).astype(bool)
+        ks = group.column("k").to_numpy(zero_copy_only=False)
+        others = group.column("other").to_numpy(zero_copy_only=False)
+        sh = group.column("shingles").combine_chunks()
+        vals = sh.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        offs = np.asarray(sh.offsets)
+        set_idx = np.flatnonzero(is_set)
+        order = np.argsort(ks[set_idx], kind="stable")
+        set_keys_sorted = ks[set_idx][order]
+        set_rows_sorted = set_idx[order]
+        pair_idx = np.flatnonzero(~is_set)
+
+        def set_slice(pair_keys: np.ndarray):
+            pos = np.searchsorted(set_keys_sorted, pair_keys)
+            pos_c = np.clip(pos, 0, max(0, len(set_keys_sorted) - 1))
+            found = (
+                (set_keys_sorted[pos_c] == pair_keys)
+                if len(set_keys_sorted)
+                else np.zeros(len(pair_keys), bool)
+            )
+            return found, set_rows_sorted[pos_c] if len(set_keys_sorted) else pos_c
+
+        return ks, others, vals, offs, pair_idx, set_slice
+
     def gather_a(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        sets = {r["k"]: r["shingles"] for r in rows if r["is_set"]}
-        out_k, out_other, out_sh = [], [], []
-        for r in rows:
-            if r["is_set"]:
-                continue
-            # route to doc_b's bucket carrying doc_a's set
-            out_k.append(r["other"])
-            out_other.append(r["k"])
-            out_sh.append(sets.get(r["k"], []))
+        ks, others, vals, offs, pair_idx, set_slice = _group_views(group)
+        found, src = set_slice(ks[pair_idx])
+        out_sh = [
+            vals[offs[src[j]] : offs[src[j] + 1]] if found[j] else vals[0:0]
+            for j in range(len(pair_idx))
+        ]
         return pa.table(
             {
-                "k": pa.array(out_k, pa.int64()),
-                "other": pa.array(out_other, pa.int64()),
+                # route to doc_b's bucket carrying doc_a's set
+                "k": pa.array(others[pair_idx], pa.int64()),
+                "other": pa.array(ks[pair_idx], pa.int64()),
                 "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
-                "is_set": pa.array([False] * len(out_k), pa.bool_()),
+                "is_set": pa.array(np.zeros(len(pair_idx), bool), pa.bool_()),
             }
         )
 
     def verify_b(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        sets = {r["k"]: np.asarray(r["shingles"], dtype=np.uint64)
-                for r in rows if r["is_set"]}
+        ks, others, vals, offs, pair_idx, set_slice = _group_views(group)
+        found, src = set_slice(ks[pair_idx])
         out_a, out_b, out_j = [], [], []
-        for r in rows:
-            if r["is_set"]:
-                continue
-            A = np.asarray(r["shingles"], dtype=np.uint64)
-            B = sets.get(r["k"])
-            if B is None:
-                continue
+        for j in np.flatnonzero(found):
+            i = pair_idx[j]
+            A = vals[offs[i] : offs[i + 1]]
+            B = vals[offs[src[j]] : offs[src[j] + 1]]
             inter = len(np.intersect1d(A, B, assume_unique=True))
             union = len(A) + len(B) - inter
             # i/u >= 0.8 as exact integers — no float boundary drift
             if union > 0 and 5 * inter >= 4 * union:
-                out_a.append(r["other"])
-                out_b.append(r["k"])
+                out_a.append(others[i])
+                out_b.append(ks[i])
                 out_j.append(_fixed(1000.0 * inter / union, 1))
         return pa.table(
             {

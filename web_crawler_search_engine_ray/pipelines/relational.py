@@ -334,3 +334,153 @@ def brand_part_stats(sf_dir: str) -> pa.Table:
             "avg_price": pa.array(_round_col(avg, 100.0), pa.float64()),
         }
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap (µs)
+_ASOF_BUCKETS = 64
+
+
+def events_sessions(sf_dir: str) -> "ray.data.Dataset":
+    """Session-window aggregate (streaming-window custom operator): per
+    user, events sorted by (ts, event_id) split into sessions at >30-min
+    gaps; one output row per session. groupby(user_id) is the hash shuffle
+    that co-locates a key's events; the window assignment itself is a
+    vectorized diff/cumsum — no per-event Python. Deterministic tie order
+    (ts, event_id) matches the SQL window ORDER BY."""
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, val = ts[order], val[order]
+        t_us = ts.astype("datetime64[us]").astype(np.int64)
+        brk = np.ones(len(t_us), dtype=np.int64)
+        brk[1:] = (np.diff(t_us) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(t_us))
+        n_ev = ends - starts
+        sum_v = np.add.reduceat(val, starts) if len(val) else np.empty(0)
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid, np.int64), pa.int64()),
+                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "sum_value": pa.array(_round_col(sum_v, 1000.0), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (custom operator): for every event, the user's most
+    recent order with o_orderdate <= ts (ties: max o_orderkey); -1 / 0.0
+    when none. Implemented as the scalable shuffle pattern — both sides
+    union into one dataset bucketed by key hash, each bucket group sorts
+    its order rows once and answers its event rows with np.searchsorted —
+    so neither side broadcasts and skewed keys split across at most one
+    bucket. (At this table size a ray.put broadcast of orders would also
+    work; the shuffle form is the 100 TB path.)"""
+
+    from ..functions.urls import hash64_batch
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b.column("user_id"),
+                "is_order": pa.array(np.zeros(n, bool), pa.bool_()),
+                "t_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "okey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "price": pa.array(np.zeros(n), pa.float64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b.column("o_custkey"),
+                "is_order": pa.array(np.ones(n, bool), pa.bool_()),
+                "t_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "event_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "okey": b.column("o_orderkey"),
+                "price": b.column("o_totalprice"),
+            }
+        )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = hash64_batch([str(x) for x in b.column("k").to_pylist()])
+        return b.append_column(
+            "bucket",
+            pa.array((h % np.uint64(_ASOF_BUCKETS)).astype(np.int32), pa.int32()),
+        )
+
+    def asof(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        is_o = group.column("is_order").to_numpy(zero_copy_only=False).astype(bool)
+        t = group.column("t_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        price = group.column("price").to_numpy(zero_copy_only=False)
+
+        # order side sorted by (k, date, okey): within equal dates the
+        # LAST row is the max orderkey — exactly the SQL tie-break
+        oi = np.flatnonzero(is_o)
+        oo = oi[np.lexsort((okey[oi], t[oi], k[oi]))]
+        ok_k, ok_t, ok_key, ok_price = k[oo], t[oo], okey[oo], price[oo]
+
+        ei = np.flatnonzero(~is_o)
+        out_eid, out_uid, out_okey, out_price = [], [], [], []
+        for u in np.unique(k[ei]):
+            lo, hi = np.searchsorted(ok_k, u, "left"), np.searchsorted(ok_k, u, "right")
+            evs = ei[k[ei] == u]
+            pos = np.searchsorted(ok_t[lo:hi], t[evs], side="right") - 1
+            found = pos >= 0
+            res_key = np.full(len(evs), -1, np.int64)
+            res_price = np.zeros(len(evs))
+            res_key[found] = ok_key[lo:hi][pos[found]]
+            res_price[found] = ok_price[lo:hi][pos[found]]
+            out_eid.append(eid[evs])
+            out_uid.append(k[evs])
+            out_okey.append(res_key)
+            out_price.append(res_price)
+        if not out_eid:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "asof_orderkey": pa.array([], pa.int64()),
+                    "asof_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_eid), pa.int64()),
+                "user_id": pa.array(np.concatenate(out_uid), pa.int64()),
+                "asof_orderkey": pa.array(np.concatenate(out_okey), pa.int64()),
+                "asof_totalprice": pa.array(np.concatenate(out_price), pa.float64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    od = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    return (
+        ev.union(od)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pyarrow")
+    )
