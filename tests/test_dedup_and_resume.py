@@ -116,3 +116,52 @@ def test_crawl_kill_resume_exact_replay(ray_session, micro_web, tmp_path):
         r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
     }
     assert eng_seen == dict(oracle.seen)
+
+
+@pytest.mark.slow
+def test_resume_through_compaction(ray_session, micro_web, tmp_path):
+    """With a 2-wave compaction cadence: full seen snapshots replace the
+    delta chain, earlier wave dirs are garbage-collected (bounded
+    checkpoint storage / replay length), and kill/resume across a
+    compaction boundary still replays byte-equal to the oracle."""
+    cfg = CrawlConfig()
+    seeds = micro_web["seeds"].column("url").to_pylist()
+    data_dir = str(tmp_path / "web")
+    write_web(micro_web, data_dir)
+    robots_bodies = {r["host"]: r["body"] for r in micro_web["robots"].to_pylist()}
+    workdir = str(tmp_path / "crawl")
+    kw = dict(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies=robots_bodies,
+        seed_urls=seeds,
+        config=cfg,
+        workdir=workdir,
+        compact_every=2,
+    )
+
+    # killed right after the wave-2 full snapshot
+    run_crawl(max_waves=3, **kw)
+    ckpts = sorted(
+        d for d in os.listdir(os.path.join(workdir, "checkpoints"))
+        if d.startswith("wave=") and not d.endswith(".tmp")
+    )
+    # waves 0,1 GC'd by the wave-2 compaction
+    assert ckpts[0] == "wave=00002"
+
+    outputs = run_crawl(resume=True, **kw)
+    # storage stays bounded: never more than compact_every+1 wave dirs
+    ckpts = [
+        d for d in os.listdir(os.path.join(workdir, "checkpoints"))
+        if d.startswith("wave=") and not d.endswith(".tmp")
+    ]
+    assert len(ckpts) <= 3
+
+    oracle = oracle_crawl(micro_web["docs"], micro_web["robots"], seeds, cfg)
+    eng = outputs.lineage().to_pandas()
+    got = list(zip(eng["seq"], eng["wave"], eng["url"], eng["host"]))
+    want = [(l[0], l[1], l[2], l[3]) for l in oracle.lineage]
+    assert got == want
+    eng_seen = {
+        r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
+    }
+    assert eng_seen == dict(oracle.seen)

@@ -60,6 +60,8 @@ from ..state.checkpoint import (
     clear_wave_outputs,
     finalize_checkpoint,
     frontier_dir,
+    gc_checkpoints,
+    gc_frontiers,
     latest_checkpoint,
     read_meta,
     seen_delta_files,
@@ -164,6 +166,7 @@ def run_crawl(
     max_waves: int = 100_000,
     link_extractor=None,
     priority_fn=None,
+    compact_every: int = 16,
 ) -> CrawlOutputs:
     """Run the crawl to frontier exhaustion. Ray must already be initialised
     by the caller.
@@ -478,7 +481,16 @@ def run_crawl(
         # above is a barrier and the RPCs are awaited inside the tasks), so
         # the shard deltas are wave-complete.
         _t = _tick()
-        seen.flush_deltas(os.path.join(tmp_dir, "seen"))
+        # compaction cadence: every compact_every waves the shards write a
+        # FULL ledger snapshot instead of a delta, so the replay chain (and
+        # checkpoint storage) stays bounded at O(compact_every) waves no
+        # matter how long the crawl runs. Each shard still writes only its
+        # own file — nothing funnels through the driver.
+        seen_full = compact_every > 0 and wave > 0 and wave % compact_every == 0
+        if seen_full:
+            seen.flush_full(os.path.join(tmp_dir, "seen"))
+        else:
+            seen.flush_deltas(os.path.join(tmp_dir, "seen"))
         finalize_checkpoint(
             workdir,
             wave,
@@ -490,8 +502,17 @@ def run_crawl(
                 "frontier_hosts": frontier_hosts,
                 "seen_hosts": sorted(seen_hosts),
                 "num_seen_shards": seen.num_shards,
+                "seen_full": seen_full,
             },
         )
+        if seen_full:
+            # everything before the full snapshot is dead state
+            gc_checkpoints(workdir, wave)
+        else:
+            # earlier frontier payloads are consumed (resume reads only the
+            # latest complete wave); their seen deltas must survive until
+            # the next full snapshot
+            gc_frontiers(workdir, wave)
         _tock("checkpoint", _t)
 
         if frontier_count:

@@ -87,10 +87,20 @@ def frontier_dir(workdir: str, wave: int) -> str:
 
 
 def seen_delta_files(workdir: str, upto_wave: int) -> List[Tuple[int, str]]:
-    """All (shard_id, path) seen-delta files for waves 0..upto_wave, in
-    wave order (replay order). Each shard filters to its own id."""
+    """All (shard_id, path) seen files needed to rebuild state as of
+    ``upto_wave``, in replay order: from the most recent FULL snapshot
+    wave (meta ``seen_full``) through ``upto_wave``'s deltas. Each shard
+    filters to its own id."""
+    start = 0
+    for w in range(upto_wave, -1, -1):
+        meta_path = os.path.join(ckpt_dir(workdir, w), "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if json.load(f).get("seen_full"):
+                    start = w
+                    break
     out: List[Tuple[int, str]] = []
-    for w in range(upto_wave + 1):
+    for w in range(start, upto_wave + 1):
         d = os.path.join(ckpt_dir(workdir, w), "seen")
         if not os.path.isdir(d):
             continue
@@ -98,6 +108,44 @@ def seen_delta_files(workdir: str, upto_wave: int) -> List[Tuple[int, str]]:
             if name.startswith("shard=") and name.endswith(".parquet"):
                 out.append((int(name[len("shard="):-len(".parquet")]), os.path.join(d, name)))
     return out
+
+
+def gc_frontiers(workdir: str, before_wave: int) -> int:
+    """Drop consumed frontier payloads of waves < before_wave (resume only
+    ever reads the LATEST complete wave's frontier; seen deltas stay until
+    the next full-snapshot compaction)."""
+    root = os.path.join(workdir, "checkpoints")
+    if not os.path.isdir(root):
+        return 0
+    n = 0
+    for name in os.listdir(root):
+        if not name.startswith("wave=") or name.endswith(".tmp"):
+            continue
+        if int(name.split("=")[1]) < before_wave:
+            f = os.path.join(root, name, "frontier")
+            if os.path.isdir(f) and os.listdir(f):
+                shutil.rmtree(f)
+                os.makedirs(f)
+                n += 1
+    return n
+
+
+def gc_checkpoints(workdir: str, before_wave: int) -> int:
+    """Drop whole checkpoint dirs for waves < before_wave (safe once wave
+    ``before_wave`` holds a FULL seen snapshot: resume never reads
+    earlier state, and old frontiers are obsolete by construction).
+    Bounds checkpoint storage and replay length at any crawl length."""
+    root = os.path.join(workdir, "checkpoints")
+    if not os.path.isdir(root):
+        return 0
+    n = 0
+    for name in os.listdir(root):
+        if not name.startswith("wave=") or name.endswith(".tmp"):
+            continue
+        if int(name.split("=")[1]) < before_wave:
+            shutil.rmtree(os.path.join(root, name))
+            n += 1
+    return n
 
 
 def clear_wave_outputs(workdir: str, after_wave: int) -> None:

@@ -137,6 +137,14 @@ class SeenShard:
         )
         return tbl.num_rows
 
+    def flush_full(self, dir_path: str) -> int:
+        """Compaction flush: write the WHOLE ledger as this wave's shard
+        file (replay restarts here — earlier delta chains become
+        garbage-collectable) and clear the dirty set."""
+        n = self.write_snapshot(dir_path)
+        self.dirty.clear()
+        return n
+
     def restore(self, table: pa.Table) -> int:
         self.ledger = {
             r["url"]: [r["downloaded"], r["length"], -1] for r in table.to_pylist()
@@ -212,6 +220,13 @@ class SeenSet:
         """Every shard writes its incremental delta into the wave's staging
         dir concurrently; returns total delta rows."""
         return sum(ray.get([s.flush_delta.remote(dir_path) for s in self.shards]))
+
+    def flush_full(self, dir_path: str) -> int:
+        """Compaction flush: every shard writes its FULL ledger into the
+        wave's staging dir concurrently. The wave's meta records
+        ``seen_full``; replay restarts here and earlier wave dirs become
+        garbage-collectable (checkpoint.gc_checkpoints)."""
+        return sum(ray.get([s.flush_full.remote(dir_path) for s in self.shards]))
 
     def restore_from_deltas(self, files: List[Tuple[int, str]]) -> int:
         """files = (shard_id, path) pairs in wave order
