@@ -138,6 +138,22 @@ def test_hot_host_skew_conformance(ray_session, tmp_path_factory):
     }
     assert eng_seen == dict(oracle.seen)
 
+    # shard-spreading under skew: the seen ledger shards by URL hash, not
+    # host (state/seen.py docstring), so the hot host's URLs must spread
+    # across shards instead of concentrating the ledger (and its checkpoint
+    # files) on one actor. With ~60 keys over 8 shards a 3x-mean cap is a
+    # loose but regression-catching bound.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    shard_files = sorted(
+        glob.glob(os.path.join(outputs.workdir, "seen_final", "shard=*.parquet"))
+    )
+    counts = [pq.read_metadata(p).num_rows for p in shard_files]
+    assert len(shard_files) == 8 and sum(counts) == len(eng_seen)
+    assert max(counts) <= 3 * (sum(counts) / len(counts)), counts
+
 
 @pytest.mark.parametrize(
     "seed,hosts,docs,span",
