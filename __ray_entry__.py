@@ -91,6 +91,18 @@ SELECT doc_a, doc_b, CAST(floor(1000.0 * i / u + 0.5) AS BIGINT) AS jaccard_mill
 FROM j WHERE u > 0 AND 1.0 * i / u >= 0.8
 """
 
+def _mix_sql(src: str, k1: str, k2: str) -> str:
+    """Staged-CTE SQL replay of pipelines/sketch.py::mix32_batch — LCG
+    multipliers + xor-shift, every step exact in BIGINT (// is the shift)."""
+    return f"""
+  s0 AS (SELECT *, ({k1} * 1103515245 + {k2} * 12345) % 4294967296 AS h0 FROM {src}),
+  s1 AS (SELECT *, xor(h0, h0 // 65536) AS h1 FROM s0),
+  s2 AS (SELECT *, (h1 * 69069) % 4294967296 AS h2 FROM s1),
+  s3 AS (SELECT *, xor(h2, h2 // 8192) AS h3 FROM s2),
+  s4 AS (SELECT *, (h3 * 1103515245) % 4294967296 AS h4 FROM s3),
+  s5 AS (SELECT *, xor(h4, h4 // 65536) AS mixh FROM s4)"""
+
+
 _SF0001 = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
@@ -145,6 +157,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import relational as R
+    from web_crawler_search_engine_ray.pipelines import sketch as K
 
     def crawl_lineage(sf_dir: str) -> Any:
         return _conf_crawl(sf_dir)["crawl"].lineage()
@@ -275,6 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
+        # --- sampling & sketches ---
+        "sample_lineitem": K.sample_lineitem,
+        "value_percentiles": K.value_percentiles,
+        "supplier_topk": K.supplier_topk,
+        "distinct_users_hll": K.distinct_users_hll,
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
         #     conformance vs the python oracle lives in tests/) ---
@@ -522,6 +540,69 @@ def oracle_sql() -> dict[str, str]:
                    sum(p_size)::BIGINT AS sum_size,
                    floor(sum(p_retailprice) / count(*) * 100.0 + 0.5) / 100.0 AS avg_price
             FROM part GROUP BY p_brand
+        """,
+        # --- sampling & sketches (pipelines/sketch.py; _mix_sql replays
+        #     the 32-bit key mix bit-for-bit) ---
+        "sample_lineitem": f"""
+            WITH {_mix_sql("lineitem", "l_orderkey", "l_linenumber")}
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM s5 WHERE mixh % 100 < 10
+        """,
+        "value_percentiles": """
+            WITH q AS (
+              SELECT event_type, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM q GROUP BY 1),
+            cum AS (
+              SELECT event_type, v,
+                     CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cc
+              FROM q
+            )
+            SELECT n.event_type, n.n AS n_events,
+                   min(v) FILTER (WHERE cc >= (1 * n.n + 1) // 2) AS p50_milli,
+                   min(v) FILTER (WHERE cc >= (9 * n.n + 9) // 10) AS p90_milli,
+                   min(v) FILTER (WHERE cc >= (99 * n.n + 99) // 100) AS p99_milli
+            FROM cum JOIN n USING (event_type)
+            GROUP BY n.event_type, n.n
+        """,
+        "supplier_topk": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                   )::BIGINT AS rk
+            FROM lineitem
+            QUALIFY rk <= 3
+        """,
+        "distinct_users_hll": f"""
+            WITH {_mix_sql("(SELECT DISTINCT event_type, user_id FROM events)", "user_id", "911")},
+            b AS (SELECT event_type, mixh % 64 AS reg, mixh // 64 AS w FROM s5),
+            r AS (
+              SELECT event_type, reg,
+                     max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
+              FROM b GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT event_type,
+                     CAST(sum(1::BIGINT << (27 - rho)) AS BIGINT)
+                       + (64 - count(*)) * 134217728 AS s_scaled,
+                     64 - count(*) AS v_zero
+              FROM r GROUP BY 1
+            ),
+            est AS (
+              SELECT event_type, v_zero,
+                     ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0) * 134217728.0 / s_scaled AS e
+              FROM agg
+            )
+            SELECT d.event_type,
+                   count(DISTINCT d.user_id)::BIGINT AS n_exact,
+                   CAST(floor(CASE WHEN est.v_zero > 0 AND est.e <= 160.0
+                                   THEN 64.0 * ln(64.0 / est.v_zero)
+                                   ELSE est.e END + 0.5) AS BIGINT) AS n_hll
+            FROM events d JOIN est USING (event_type)
+            GROUP BY d.event_type, est.v_zero, est.e
         """,
         # --- conformance-web crawl/index/search: independent unrolled-SQL
         #     replay of the wave loop (web_crawler_search_engine_ray/
