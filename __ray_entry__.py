@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import relational as R
     from web_crawler_search_engine_ray.pipelines import sketch as K
+    from web_crawler_search_engine_ray.pipelines import textprep as T
 
     def crawl_lineage(sf_dir: str) -> Any:
         return _conf_crawl(sf_dir)["crawl"].lineage()
@@ -290,9 +291,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_part_stats": R.brand_part_stats,
         # --- sampling & sketches ---
         "sample_lineitem": K.sample_lineitem,
+        "stratified_sample": K.stratified_sample_events,
         "value_percentiles": K.value_percentiles,
         "supplier_topk": K.supplier_topk,
         "distinct_users_hll": K.distinct_users_hll,
+        # --- text prep (PII scrub, Gopher-style quality gate) ---
+        "pii_redact": T.pii_redact,
+        "quality_gopher": T.quality_gopher,
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
         #     conformance vs the python oracle lives in tests/) ---
@@ -603,6 +608,76 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE est.e END + 0.5) AS BIGINT) AS n_hll
             FROM events d JOIN est USING (event_type)
             GROUP BY d.event_type, est.v_zero, est.e
+        """,
+        "stratified_sample": f"""
+            WITH {_mix_sql("events", "event_id", "424242::BIGINT")}
+            SELECT event_id, event_type, user_id, value
+            FROM s5
+            WHERE mixh % 100 < (CASE WHEN event_type = 'purchase' THEN 50
+                                     WHEN event_type = 'error' THEN 100
+                                     ELSE 5 END)
+        """,
+        # --- text prep (patterns identical to pipelines/textprep.py) ---
+        "pii_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id || '@example.com or call 555-'
+                          || printf('%03d', doc_id % 1000) || '-1234 from 10.0.'
+                          || (doc_id % 256) || '.1' AS s
+              FROM documents
+            ),
+            r1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                     regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+              FROM aug
+            ),
+            r2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(s, '555-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+                     regexp_replace(s, '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s
+              FROM r1
+            )
+            SELECT doc_id, n_emails, n_phones,
+                   len(regexp_extract_all(s, '10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}'))::BIGINT AS n_ips,
+                   regexp_replace(s, '10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+            FROM r2
+        """,
+        "quality_gopher": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, t, count(*)::BIGINT AS c
+              FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     count(*)::BIGINT AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_tok_count,
+                     CAST(sum(c * length(t)) AS BIGINT) AS sum_word_len
+              FROM tf GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_words, 0) AS n_words,
+                   coalesce(s.n_distinct, 0) AS n_distinct,
+                   coalesce(s.top_tok_count, 0) AS top_tok_count,
+                   coalesce(s.sum_word_len, 0) AS sum_word_len,
+                   CASE WHEN coalesce(s.n_words, 0) > 0
+                        THEN (1000 * s.sum_word_len + s.n_words // 2) // s.n_words
+                        ELSE 0 END AS mean_word_len_milli,
+                   CASE WHEN coalesce(s.n_words, 0) > 0
+                        THEN (1000 * s.top_tok_count + s.n_words // 2) // s.n_words
+                        ELSE 0 END AS top_frac_milli,
+                   (coalesce(s.n_words, 0) BETWEEN 50 AND 100000
+                    AND (CASE WHEN coalesce(s.n_words, 0) > 0
+                              THEN (1000 * s.sum_word_len + s.n_words // 2) // s.n_words
+                              ELSE 0 END) BETWEEN 3000 AND 10000
+                    AND (CASE WHEN coalesce(s.n_words, 0) > 0
+                              THEN (1000 * s.top_tok_count + s.n_words // 2) // s.n_words
+                              ELSE 0 END) <= 250) AS passes_gate
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # --- conformance-web crawl/index/search: independent unrolled-SQL
         #     replay of the wave loop (web_crawler_search_engine_ray/

@@ -149,6 +149,8 @@ def _bench_queries(sf_dir: str) -> dict:
 
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import relational as R
+    from web_crawler_search_engine_ray.pipelines import sketch as K
+    from web_crawler_search_engine_ray.pipelines import textprep as T
 
     def consume(res):
         if isinstance(res, ray.data.Dataset):
@@ -183,6 +185,13 @@ def _bench_queries(sf_dir: str) -> dict:
         ("events_sessions", R.events_sessions),
         ("events_orders_asof", R.events_orders_asof),
         ("brand_part_stats", R.brand_part_stats),
+        ("sample_lineitem", K.sample_lineitem),
+        ("stratified_sample", K.stratified_sample_events),
+        ("value_percentiles", K.value_percentiles),
+        ("supplier_topk", K.supplier_topk),
+        ("distinct_users_hll", K.distinct_users_hll),
+        ("pii_redact", T.pii_redact),
+        ("quality_gopher", T.quality_gopher),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -1,0 +1,70 @@
+"""Tests for text-prep ops (pipelines/textprep.py) + stratified sampling."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_scrubs_everything(ray_session):
+    from web_crawler_search_engine_ray.pipelines.textprep import pii_redact
+
+    df = pii_redact(SF).to_pandas()
+    assert (df["n_emails"] >= 1).all()
+    assert (df["n_phones"] >= 1).all()
+    assert (df["n_ips"] >= 1).all()
+    joined = "\n".join(df["redacted"])
+    assert "@example.com" not in joined
+    assert "555-" not in joined
+    assert "<EMAIL>" in joined and "<PHONE>" in joined and "<IP>" in joined
+
+
+def test_quality_gopher_matches_direct(ray_session):
+    from web_crawler_search_engine_ray.pipelines.textprep import quality_gopher
+
+    df = quality_gopher(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    for d, t in list(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))[:25]:
+        toks = tok.findall(t.lower())
+        c = Counter(toks)
+        row = df.loc[d]
+        assert row["n_words"] == len(toks)
+        assert row["n_distinct"] == len(c)
+        assert row["top_tok_count"] == (max(c.values()) if c else 0)
+        n = len(toks)
+        mean = (1000 * sum(map(len, toks)) + n // 2) // n if n else 0
+        assert row["mean_word_len_milli"] == mean
+    # the gate must be internally consistent with the emitted signals
+    gate = (
+        df["n_words"].between(50, 100_000)
+        & df["mean_word_len_milli"].between(3000, 10_000)
+        & (df["top_frac_milli"] <= 250)
+    )
+    assert (df["passes_gate"] == gate).all()
+
+
+def test_stratified_sample_rates(ray_session):
+    from web_crawler_search_engine_ray.pipelines.sketch import (
+        stratified_sample_events,
+    )
+
+    got = stratified_sample_events(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type"]).to_pandas()
+    base = ev["event_type"].value_counts()
+    kept = got["event_type"].value_counts()
+    # error stratum keeps 100%
+    if "error" in base:
+        assert kept.get("error", 0) == base["error"]
+    # purchase ~50%, bulk ~5%
+    if "purchase" in base and base["purchase"] > 50:
+        r = kept.get("purchase", 0) / base["purchase"]
+        assert 0.35 < r < 0.65
+    bulk = [t for t in base.index if t not in ("error", "purchase")]
+    n_bulk = sum(base[t] for t in bulk)
+    k_bulk = sum(kept.get(t, 0) for t in bulk)
+    assert 0.02 < k_bulk / n_bulk < 0.10

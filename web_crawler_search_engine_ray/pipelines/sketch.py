@@ -48,6 +48,7 @@ from .corpus import collect_table
 __all__ = [
     "mix32_batch",
     "sample_lineitem",
+    "stratified_sample_events",
     "value_percentiles",
     "supplier_topk",
     "distinct_users_hll",
@@ -107,6 +108,35 @@ def sample_lineitem(sf_dir: str) -> "ray.data.Dataset":
         sf_dir,
         "lineitem",
         ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+STRATA_KEEP = {"purchase": 50, "error": 100}  # percent kept per stratum
+STRATA_DEFAULT_KEEP = 5
+STRATA_SALT = 424242
+
+
+def stratified_sample_events(sf_dir: str) -> "ray.data.Dataset":
+    """Stratified deterministic sample of events: rare/valuable strata
+    (purchases, errors) keep a high rate, the bulk keeps 5%. Same
+    zero-shuffle streaming-filter shape as sample_lineitem — the
+    stratum only changes the keep threshold, so skewed strata never
+    route through a shuffle."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = mix32_batch(
+            batch.column("event_id").to_numpy(zero_copy_only=False), STRATA_SALT
+        )
+        et = batch.column("event_type").to_pylist()
+        thresh = np.fromiter(
+            (STRATA_KEEP.get(t, STRATA_DEFAULT_KEEP) for t in et),
+            dtype=np.uint64,
+            count=len(et),
+        )
+        return batch.filter(pa.array((h % np.uint64(100)) < thresh))
+
+    return _read(
+        sf_dir, "events", ["event_id", "event_type", "user_id", "value"]
     ).map_batches(keep, batch_format="pyarrow")
 
 

@@ -1,0 +1,134 @@
+"""Training-data text-prep operators: PII redaction and Gopher-style
+quality gating.
+
+Both are single-pass streaming map_batches over pruned (doc_id, text)
+scans — no shuffle, no materialization — which is the shape that matters
+at 100 TB: the whole stage is embarrassingly parallel and the output is
+written/consumed block-by-block. Patterns are compiled once per process
+(module import), not per batch.
+
+- ``pii_redact``: regex PII scrubbing (emails, phone numbers, IPv4) with
+  per-document match counts. The testdata documents are synthetic prose
+  with no PII, so the query derives a deterministic contact line from
+  doc_id first (identical expression in the SQL oracle) — the operator
+  then has real matches to find and the driver hash-checks both the
+  counts and the redacted text byte-for-byte.
+- ``quality_gopher``: Gopher-style (Rae et al. 2021) repetition/length
+  signals as exact integers — word count, distinct count, top-token
+  count, summed word length — plus milli fixed-point ratios and a
+  boolean keep/drop gate, all in integer arithmetic identical to the
+  oracle.
+
+No counterpart in the reference (SURVEY.md §2.8 beyond-reference family).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .corpus import _TOK_RE, _docs
+
+__all__ = ["pii_redact", "quality_gopher"]
+
+# RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
+# SAME pattern strings — keep in sync with __ray_entry__.py.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{3}-[0-9]{4}"
+IP_RE = r"10\.0\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_EMAIL = re.compile(EMAIL_RE)
+_PHONE = re.compile(PHONE_RE)
+_IP = re.compile(IP_RE)
+
+
+def _contact_line(doc_id: int) -> str:
+    """Deterministic injected PII — mirrored exactly by the SQL oracle."""
+    return (
+        f" Contact user{doc_id}@example.com or call "
+        f"555-{doc_id % 1000:03d}-1234 from 10.0.{doc_id % 256}.1"
+    )
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """Scrub emails/phones/IPv4 from (augmented) document text; emit
+    per-doc match counts and the redacted text."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_em, n_ph, n_ip, red = [], [], [], []
+        for d, t in zip(ids, texts):
+            s = t + _contact_line(d)
+            s, e = _EMAIL.subn("<EMAIL>", s)
+            s, p = _PHONE.subn("<PHONE>", s)
+            s, i = _IP.subn("<IP>", s)
+            n_em.append(e)
+            n_ph.append(p)
+            n_ip.append(i)
+            red.append(s)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": pa.array(n_em, pa.int64()),
+                "n_phones": pa.array(n_ph, pa.int64()),
+                "n_ips": pa.array(n_ip, pa.int64()),
+                "redacted": pa.array(red, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scrub, batch_format="pyarrow")
+
+
+# Gopher-style gate thresholds (integer / milli fixed-point)
+GATE_MIN_WORDS = 50
+GATE_MAX_WORDS = 100_000
+GATE_MIN_MWL_MILLI = 3_000  # mean word length in [3, 10]
+GATE_MAX_MWL_MILLI = 10_000
+GATE_MAX_TOP_MILLI = 250  # most common token <= 25% of tokens
+
+
+def quality_gopher(sf_dir: str) -> "ray.data.Dataset":
+    """Repetition/length quality signals + keep/drop gate per document."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_w, n_d, top_c, sum_l, mwl, top_m, keep = [], [], [], [], [], [], []
+        for t in texts:
+            toks = _TOK_RE.findall(t.lower())
+            n = len(toks)
+            c = Counter(toks)
+            top = max(c.values()) if c else 0
+            sl = sum(len(x) for x in toks)
+            mean_milli = (1000 * sl + n // 2) // n if n else 0
+            top_milli = (1000 * top + n // 2) // n if n else 0
+            n_w.append(n)
+            n_d.append(len(c))
+            top_c.append(top)
+            sum_l.append(sl)
+            mwl.append(mean_milli)
+            top_m.append(top_milli)
+            keep.append(
+                GATE_MIN_WORDS <= n <= GATE_MAX_WORDS
+                and GATE_MIN_MWL_MILLI <= mean_milli <= GATE_MAX_MWL_MILLI
+                and top_milli <= GATE_MAX_TOP_MILLI
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_w, pa.int64()),
+                "n_distinct": pa.array(n_d, pa.int64()),
+                "top_tok_count": pa.array(top_c, pa.int64()),
+                "sum_word_len": pa.array(sum_l, pa.int64()),
+                "mean_word_len_milli": pa.array(mwl, pa.int64()),
+                "top_frac_milli": pa.array(top_m, pa.int64()),
+                "passes_gate": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
