@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": K.value_percentiles,
         "supplier_topk": K.supplier_topk,
         "distinct_users_hll": K.distinct_users_hll,
+        "heavy_hitters_cms": K.heavy_hitters_cms,
         # --- text prep (PII scrub, Gopher-style quality gate) ---
         "pii_redact": T.pii_redact,
         "quality_gopher": T.quality_gopher,
@@ -608,6 +609,26 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE est.e END + 0.5) AS BIGINT) AS n_hll
             FROM events d JOIN est USING (event_type)
             GROUP BY d.event_type, est.v_zero, est.e
+        """,
+        "heavy_hitters_cms": f"""
+            WITH {_mix_sql(
+                "(SELECT l_suppkey, d FROM lineitem "
+                "CROSS JOIN (VALUES (0), (1), (2)) t(d))",
+                "l_suppkey", "(7707 + d)")},
+            h AS (SELECT l_suppkey, d, mixh % 256 AS b FROM s5),
+            cnt AS (SELECT d, b, count(*)::BIGINT AS c FROM h GROUP BY 1, 2),
+            keybuckets AS (SELECT DISTINCT l_suppkey, d, b FROM h),
+            est AS (
+              SELECT k.l_suppkey, CAST(min(c.c) AS BIGINT) AS n_cms
+              FROM keybuckets k JOIN cnt c USING (d, b) GROUP BY 1
+            ),
+            ex AS (
+              SELECT l_suppkey, count(*)::BIGINT AS n_exact
+              FROM lineitem GROUP BY 1
+            )
+            SELECT e.l_suppkey, ex.n_exact, e.n_cms
+            FROM est e JOIN ex USING (l_suppkey)
+            WHERE e.n_cms >= 620
         """,
         "stratified_sample": f"""
             WITH {_mix_sql("events", "event_id", "424242::BIGINT")}

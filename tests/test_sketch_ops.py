@@ -85,6 +85,65 @@ def test_hll_error_bound_and_exact(ray_session):
         assert abs(row.n_hll - row.n_exact) <= max(5, 0.46 * row.n_exact)
 
 
+def test_cms_heavy_hitters_properties(ray_session):
+    from web_crawler_search_engine_ray.pipelines.sketch import (
+        CMS_THRESHOLD,
+        heavy_hitters_cms,
+    )
+
+    df = heavy_hitters_cms(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_suppkey"]).to_pandas()
+    truth = li.groupby("l_suppkey").size()
+    # CMS only over-counts, and every true heavy hitter is reported
+    for row in df.itertuples():
+        assert row.n_cms >= row.n_exact == truth[row.l_suppkey]
+    for supp, n in truth.items():
+        if n >= CMS_THRESHOLD:
+            assert supp in set(df["l_suppkey"])
+
+
+def test_cms_sketch_is_partition_invariant():
+    """Bucket counts are associative sums: any shard split merged must equal
+    the single-pass sketch (the property that lets the shuffle carry 768
+    counters regardless of partitioning)."""
+    from web_crawler_search_engine_ray.pipelines.sketch import (
+        CMS_D,
+        CMS_SALT,
+        CMS_W,
+        mix32_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    keys = rng.zipf(1.3, size=30_000).astype(np.int64) % 1000
+
+    def sketch(idx):
+        m = np.zeros((CMS_D, CMS_W), np.int64)
+        for d in range(CMS_D):
+            b = (mix32_batch(keys[idx], CMS_SALT + d) % np.uint64(CMS_W)).astype(
+                np.int64
+            )
+            np.add.at(m[d], b, 1)
+        return m
+
+    whole = sketch(np.arange(len(keys)))
+    parts = np.array_split(np.arange(len(keys)), 9)
+    merged = sum(sketch(p) for p in parts)
+    assert np.array_equal(whole, merged)
+    # point estimates: min over rows never under-counts true frequency
+    counts = np.bincount(keys, minlength=1000)
+    uniq = np.unique(keys)
+    est = np.min(
+        np.stack(
+            [
+                whole[d, (mix32_batch(uniq, CMS_SALT + d) % np.uint64(CMS_W)).astype(np.int64)]
+                for d in range(CMS_D)
+            ]
+        ),
+        axis=0,
+    )
+    assert (est >= counts[uniq]).all()
+
+
 def test_hll_merge_is_partition_invariant():
     """Register construction is an associative max: hashing any shard split
     and merging must give identical registers to a single pass."""

@@ -52,6 +52,7 @@ __all__ = [
     "value_percentiles",
     "supplier_topk",
     "distinct_users_hll",
+    "heavy_hitters_cms",
 ]
 
 _M32 = np.uint64(1) << np.uint64(32)
@@ -272,6 +273,109 @@ def supplier_topk(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(partial, batch_format="pyarrow")
         .groupby("l_suppkey")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# --- Count-Min sketch heavy hitters -----------------------------------------
+
+CMS_D = 3  # hash rows
+CMS_W = 256  # buckets per row
+CMS_SALT = 7707  # row-d hash = mix32(key, CMS_SALT + d)
+CMS_THRESHOLD = 620  # report keys whose CMS estimate >= threshold
+
+
+def heavy_hitters_cms(sf_dir: str) -> pa.Table:
+    """Count-Min-sketch heavy hitters over ``lineitem.l_suppkey``.
+
+    Map side: per-batch exact (key, count) groupby, then each distinct key
+    folds its batch count into d=3 hashed buckets, so the shuffle carries
+    at most d*w = 768 (d, bucket) partial rows per batch — constant in BOTH
+    row count and key cardinality. That constant-size property is what
+    makes CMS the 100 TB heavy-hitter tool: an exact groupby shuffles one
+    row per distinct key, a CMS always moves 768 counters. Estimate for a
+    key = min over d of its bucket counts (Cormode & Muthukrishnan 2005);
+    it only ever over-counts, so ``est >= threshold`` cannot miss a true
+    heavy hitter. Exact counts ride alongside to expose the overestimate;
+    the DuckDB oracle replays the identical bucket arithmetic via _mix_sql.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_suppkey"]).aggregate([([], "count_all")])
+        keys = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cnt = pc.cast(g.column("count_all"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ds, bs, cs = [], [], []
+        for d in range(CMS_D):
+            b = (mix32_batch(keys, CMS_SALT + d) % np.uint64(CMS_W)).astype(
+                np.int64
+            )
+            order = np.argsort(b, kind="stable")
+            bb, start = np.unique(b[order], return_index=True)
+            ds.append(np.full(len(bb), d, np.int64))
+            bs.append(bb)
+            cs.append(np.add.reduceat(cnt[order], start))
+        return pa.table(
+            {
+                "d": pa.array(np.concatenate(ds), pa.int64()),
+                "b": pa.array(np.concatenate(bs), pa.int64()),
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+            }
+        )
+
+    src = _read(sf_dir, "lineitem", ["l_suppkey"])
+    sketch = collect_table(
+        src.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    # exact per-key counts (the driver-gate comparison column; also the
+    # distinct-key enumeration — at 100 TB you would instead probe the
+    # sketch with a candidate set, e.g. the batch-local top keys)
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_suppkey"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "l_suppkey": g.column("l_suppkey"),
+                "n_exact": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    exact = collect_table(
+        src.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("n_exact", alias_name="n_exact"))
+    )
+
+    counts = np.zeros((CMS_D, CMS_W), np.int64)
+    counts[
+        sketch.column("d").to_numpy(zero_copy_only=False),
+        sketch.column("b").to_numpy(zero_copy_only=False),
+    ] = sketch.column("c").to_numpy(zero_copy_only=False)
+
+    keys = exact.column("l_suppkey").to_numpy(zero_copy_only=False)
+    n_exact = exact.column("n_exact").to_numpy(zero_copy_only=False)
+    est = np.min(
+        np.stack(
+            [
+                counts[
+                    d, (mix32_batch(keys, CMS_SALT + d) % np.uint64(CMS_W)).astype(np.int64)
+                ]
+                for d in range(CMS_D)
+            ]
+        ),
+        axis=0,
+    )
+    keep = est >= CMS_THRESHOLD
+    order = np.argsort(keys[keep], kind="stable")
+    return pa.table(
+        {
+            "l_suppkey": pa.array(keys[keep][order], pa.int64()),
+            "n_exact": pa.array(n_exact[keep][order], pa.int64()),
+            "n_cms": pa.array(est[keep][order], pa.int64()),
+        }
     )
 
 
