@@ -91,16 +91,17 @@ SELECT doc_a, doc_b, CAST(floor(1000.0 * i / u + 0.5) AS BIGINT) AS jaccard_mill
 FROM j WHERE u > 0 AND 1.0 * i / u >= 0.8
 """
 
-def _mix_sql(src: str, k1: str, k2: str) -> str:
+def _mix_sql(src: str, k1: str, k2: str, sfx: str = "") -> str:
     """Staged-CTE SQL replay of pipelines/sketch.py::mix32_batch — LCG
-    multipliers + xor-shift, every step exact in BIGINT (// is the shift)."""
+    multipliers + xor-shift, every step exact in BIGINT (// is the shift).
+    ``sfx`` disambiguates CTE names when one query mixes two sources."""
     return f"""
-  s0 AS (SELECT *, ({k1} * 1103515245 + {k2} * 12345) % 4294967296 AS h0 FROM {src}),
-  s1 AS (SELECT *, xor(h0, h0 // 65536) AS h1 FROM s0),
-  s2 AS (SELECT *, (h1 * 69069) % 4294967296 AS h2 FROM s1),
-  s3 AS (SELECT *, xor(h2, h2 // 8192) AS h3 FROM s2),
-  s4 AS (SELECT *, (h3 * 1103515245) % 4294967296 AS h4 FROM s3),
-  s5 AS (SELECT *, xor(h4, h4 // 65536) AS mixh FROM s4)"""
+  s0{sfx} AS (SELECT *, ({k1} * 1103515245 + {k2} * 12345) % 4294967296 AS h0 FROM {src}),
+  s1{sfx} AS (SELECT *, xor(h0, h0 // 65536) AS h1 FROM s0{sfx}),
+  s2{sfx} AS (SELECT *, (h1 * 69069) % 4294967296 AS h2 FROM s1{sfx}),
+  s3{sfx} AS (SELECT *, xor(h2, h2 // 8192) AS h3 FROM s2{sfx}),
+  s4{sfx} AS (SELECT *, (h3 * 1103515245) % 4294967296 AS h4 FROM s3{sfx}),
+  s5{sfx} AS (SELECT *, xor(h4, h4 // 65536) AS mixh FROM s4{sfx})"""
 
 
 _SF0001 = "/root/testdata/sf0.001"
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
+        "bloom_semijoin": R.lineitem_bloom_semijoin,
         # --- sampling & sketches ---
         "sample_lineitem": K.sample_lineitem,
         "stratified_sample": K.stratified_sample_events,
@@ -609,6 +611,37 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE est.e END + 0.5) AS BIGINT) AS n_hll
             FROM events d JOIN est USING (event_type)
             GROUP BY d.event_type, est.v_zero, est.e
+        """,
+        "bloom_semijoin": f"""
+            WITH {_mix_sql(
+                "(SELECT o_orderkey, i FROM orders "
+                "CROSS JOIN (VALUES (0), (1)) t(i) WHERE o_totalprice > 400000)",
+                "o_orderkey", "(5005 + i)")},
+            bits AS (SELECT DISTINCT mixh % 65536 AS bit FROM s5),
+            {_mix_sql(
+                "(SELECT li.*, i FROM (SELECT row_number() OVER () AS rid, "
+                "l_orderkey, l_returnflag, l_quantity FROM lineitem) li "
+                "CROSS JOIN (VALUES (0), (1)) t(i))",
+                "l_orderkey", "(5005 + i)", sfx="l")},
+            lh AS (SELECT rid, l_orderkey, l_returnflag, l_quantity,
+                          mixh % 65536 AS bit FROM s5l),
+            cand AS (
+              SELECT rid, max(lh.l_orderkey) AS l_orderkey,
+                     max(lh.l_returnflag) AS l_returnflag,
+                     max(lh.l_quantity) AS q
+              FROM lh LEFT JOIN bits b ON lh.bit = b.bit
+              GROUP BY rid HAVING count(b.bit) = 2
+            ),
+            hikeys AS (SELECT DISTINCT o_orderkey FROM orders
+                       WHERE o_totalprice > 400000)
+            SELECT c.l_returnflag,
+                   count(*)::BIGINT AS n_candidates,
+                   count(k.o_orderkey)::BIGINT AS n_matched,
+                   CAST(floor(COALESCE(sum(c.q) FILTER (
+                     WHERE k.o_orderkey IS NOT NULL), 0.0) * 1000.0 + 0.5)
+                     AS BIGINT) AS sum_qty_milli
+            FROM cand c LEFT JOIN hikeys k ON c.l_orderkey = k.o_orderkey
+            GROUP BY 1
         """,
         "heavy_hitters_cms": f"""
             WITH {_mix_sql(

@@ -57,3 +57,35 @@ def test_events_orders_asof_spot_check(ray_session):
             else -1
         )
         assert got.loc[e.event_id, "asof_orderkey"] == want
+
+
+def test_bloom_semijoin_exact_and_fp(ray_session):
+    """The bloom must never drop a true match (no false negatives) and the
+    final matched aggregate must equal the exact semi-join; candidates
+    may exceed matches (false positives are allowed, misses are not)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        BLOOM_PRICE_CUT,
+        lineitem_bloom_semijoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = lineitem_bloom_semijoin(sf).to_pandas().set_index("l_returnflag")
+    orders = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    keys = set(orders[orders["o_totalprice"] > BLOOM_PRICE_CUT]["o_orderkey"])
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).to_pandas()
+    li["hit"] = li["l_orderkey"].isin(keys)
+    for flag, grp in li.groupby("l_returnflag"):
+        row = got.loc[flag]
+        n_match = int(grp["hit"].sum())
+        assert row["n_matched"] == n_match
+        assert row["n_candidates"] >= n_match
+        want_q = int(np.floor(grp[grp["hit"]]["l_quantity"].sum() * 1000.0 + 0.5))
+        assert abs(int(row["sum_qty_milli"]) - want_q) <= 1  # float-sum order

@@ -484,3 +484,113 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(asof, batch_format="pyarrow")
     )
+
+
+# --- Bloom-filter semi-join --------------------------------------------------
+
+BLOOM_M = 65536  # bits
+BLOOM_K = 2  # hash functions: mix32(key, BLOOM_SALT + i) % m
+BLOOM_SALT = 5005
+BLOOM_PRICE_CUT = 400000.0
+
+
+def lineitem_bloom_semijoin(sf_dir: str) -> pa.Table:
+    """Semi-join lineitem against high-value orders through a broadcast
+    Bloom filter, the classic shuffle-avoidance pattern for big⋈small at
+    100 TB: the big side never shuffles — a 2-hash / 64 Ki-bit filter
+    (8 KiB packed; ~10 bits/key vs 8 bytes/key for the exact key set at
+    10⁹ keys) rides to every task via ``ray.put`` and drops ~99% of
+    non-matching rows before the exact verify. Here the exact verify is a
+    sorted-key searchsorted against the same broadcast small side; on a
+    bigger small side it would be the hash-partitioned join over the
+    bloom survivors only.
+
+    Output per return flag: rows passing the bloom (candidates, i.e.
+    matches + false positives), exactly-matched rows, and their quantity
+    sum — the candidate column makes the filter's false-positive behavior
+    part of the driver-checked contract (the oracle replays bit
+    construction and probes in SQL)."""
+    from ray.data.aggregate import Sum
+
+    from .sketch import mix32_batch
+
+    def hi_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("o_totalprice"), pa.scalar(BLOOM_PRICE_CUT))
+        return batch.filter(mask).select(["o_orderkey"])
+
+    hi = collect_table(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            hi_keys, batch_format="pyarrow"
+        )
+    )
+    keys = np.unique(hi.column("o_orderkey").to_numpy(zero_copy_only=False))
+    bits = np.zeros(BLOOM_M, np.bool_)
+    for i in range(BLOOM_K):
+        bits[(mix32_batch(keys, BLOOM_SALT + i) % np.uint64(BLOOM_M)).astype(np.int64)] = True
+    bits_ref = ray.put(bits)
+    keys_ref = ray.put(keys)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        k = ray.get(keys_ref)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cand = np.ones(len(ok), np.bool_)
+        for i in range(BLOOM_K):
+            cand &= b[(mix32_batch(ok, BLOOM_SALT + i) % np.uint64(BLOOM_M)).astype(np.int64)]
+        t = batch.filter(pa.array(cand))
+        cok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, cok)
+        matched = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == cok)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "m": pa.array(matched.astype(np.int64), pa.int64()),
+                "q": pa.array(np.where(matched, qty, 0.0), pa.float64()),
+            }
+        )
+        g = part.group_by(["l_returnflag"]).aggregate(
+            [("one", "sum"), ("m", "sum"), ("q", "sum")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "n_candidates": g.column("one_sum"),
+                "n_matched": g.column("m_sum"),
+                "q": g.column("q_sum"),
+            }
+        )
+
+    agg = collect_table(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_candidates", alias_name="n_candidates"),
+            Sum("n_matched", alias_name="n_matched"),
+            Sum("q", alias_name="q"),
+        )
+    )
+    order = np.argsort(
+        np.asarray(agg.column("l_returnflag").to_pylist(), dtype=object)
+    )
+    q = agg.column("q").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(
+                [agg.column("l_returnflag").to_pylist()[i] for i in order], pa.string()
+            ),
+            "n_candidates": pa.array(
+                agg.column("n_candidates").to_numpy(zero_copy_only=False)[order],
+                pa.int64(),
+            ),
+            "n_matched": pa.array(
+                agg.column("n_matched").to_numpy(zero_copy_only=False)[order],
+                pa.int64(),
+            ),
+            "sum_qty_milli": pa.array(
+                np.floor(q[order] * 1000.0 + 0.5).astype(np.int64), pa.int64()
+            ),
+        }
+    )
