@@ -8,10 +8,12 @@ types and rounding exactly mirror the Ray pipeline (see
 web_crawler_search_engine_ray/pipelines/corpus.py's determinism contract).
 The crawl/index/search queries run the REAL pipelines over the
 conformance web (sources/conformance_web.py) and are checked against an
-independent unrolled-SQL replay of the crawl (conformance_sql.py). Only
-the three multimodal queries are rows-only (decode kernels are env-gated
-stubs); RNG-synthetic-web conformance lives in tests/ against the
-pure-Python reference oracle (web_crawler_search_engine_ray/oracle.py).
+independent unrolled-SQL replay of the crawl (conformance_sql.py). The
+multimodal stages' deterministic stub kernels are seeded from the
+SQL-replayable poly-hash + mix32, so even those queries carry full
+DuckDB oracles (feature norms / payload checksums / frame timestamps);
+RNG-synthetic-web conformance lives in tests/ against the pure-Python
+reference oracle (web_crawler_search_engine_ray/oracle.py).
 """
 
 from __future__ import annotations
@@ -318,6 +320,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from web_crawler_search_engine_ray import conformance_sql as _CSQL
+
+    # Conformance-web media spans (one image per doc, sources/
+    # conformance_web.py): doc_id/media_ref derived arithmetically from
+    # the documents view, seed key = poly_hash(media_ref).
+    _MEDIA_CTE = f"""med AS (
+              SELECT 'https://h' || (d % 5) || '.conf.org/p' || d AS doc_id,
+                     'media://conf' || printf('%04x', d) AS media_ref
+              FROM (SELECT CAST(doc_id AS BIGINT) AS d FROM documents
+                    WHERE CAST(doc_id AS BIGINT) < {_CSQL.CONF_N})
+            ),
+            medk AS (SELECT doc_id, media_ref,
+                     {_POLY_HASH.format(col="media_ref")} AS mkey FROM med)"""
 
     fp_text = _POLY_HASH.format(col="text")
     fp_token = _POLY_HASH.format(col="token")
@@ -742,6 +756,59 @@ def oracle_sql() -> dict[str, str]:
         "index_postings": _CSQL.INDEX_POSTINGS_SQL,
         "search_results": _CSQL.SEARCH_RESULTS_SQL,
         "search_contexts": _CSQL.SEARCH_CONTEXTS_SQL,
+        # --- multimodal: stub kernels are poly-hash+mix32 seeded
+        #     (stages/multimodal.py), replayed bit-exactly here ---
+        "multimodal_features": f"""
+            WITH {_MEDIA_CTE},
+            j8 AS (SELECT medk.*, j FROM medk
+                   CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
+            {_mix_sql("j8", "mkey", "(101 + j)")},
+            agg AS (
+              SELECT doc_id, media_ref,
+                     sum((mixh % 2001 - 1000) * (mixh % 2001 - 1000)) AS ss
+              FROM s5 GROUP BY 1, 2
+            )
+            SELECT doc_id, media_ref, 'image' AS kind,
+                   CAST(floor(sqrt(ss::DOUBLE) * 10.0 + 0.5) AS BIGINT)
+                     AS feat_norm_e4
+            FROM agg
+        """,
+        "multimodal_resize": f"""
+            WITH {_MEDIA_CTE},
+            medk2 AS (SELECT doc_id, media_ref,
+                      {_POLY_HASH.format(col="media_ref || '|64x64'")} AS mkey
+                      FROM med),
+            px AS (SELECT medk2.*, i FROM medk2
+                   CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS i)),
+            {_mix_sql("px", "mkey", "(400000 + i)")},
+            agg AS (
+              SELECT doc_id, media_ref,
+                     CAST(sum(mixh % 256) AS BIGINT) AS payload_crc
+              FROM s5 GROUP BY 1, 2
+            )
+            SELECT doc_id, media_ref, 64::INTEGER AS width,
+                   64::INTEGER AS height, payload_crc
+            FROM agg
+        """,
+        "multimodal_frames": f"""
+            WITH {_MEDIA_CTE},
+            {_mix_sql("medk", "mkey", "131", sfx="d")},
+            durs AS (SELECT doc_id, media_ref, mkey,
+                     1000 + mixh % 29000 AS dur FROM s5d),
+            fr AS (SELECT durs.*, f FROM durs
+                   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f)),
+            fb AS (SELECT fr.*, i FROM fr
+                   CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i)),
+            {_mix_sql("fb", "mkey", "(500000 + f * 256 + i)")},
+            agg AS (
+              SELECT doc_id, media_ref, f, max(dur) AS dur,
+                     CAST(sum(mixh % 256) AS BIGINT) AS frame_crc
+              FROM s5 GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, media_ref, CAST(f AS INTEGER) AS frame_idx,
+                   CAST(f * dur // 4 AS BIGINT) AS frame_ts_ms, frame_crc
+            FROM agg
+        """,
         # IVF run in exact mode (nprobe = nlist) ≡ brute-force top-k
         "ann_topk_ivf": """
             SELECT q.vec_id AS query_id, e.vec_id,

@@ -19,12 +19,34 @@ import numpy as np
 __all__ = [
     "poly_hash",
     "poly_hash_batch",
+    "mix32_batch",
     "stable_text_digest",
     "shingle_hashes",
     "minhash_signature",
     "minhash_band_keys",
     "simhash64",
 ]
+
+_M32 = np.uint64(1) << np.uint64(32)
+
+
+def mix32_batch(k1: np.ndarray, k2: np.ndarray | int) -> np.ndarray:
+    """Deterministic 32-bit mix of two non-negative integer keys.
+
+    LCG multipliers with xor-shift avalanche, every step exactly
+    reproducible in int64 SQL (no intermediate exceeds 2^63 for keys
+    < 2^33, far above any key used here). The SQL replay lives in
+    __ray_entry__._mix_sql."""
+    h = (
+        k1.astype(np.uint64) * np.uint64(1103515245)
+        + np.asarray(k2, dtype=np.uint64) * np.uint64(12345)
+    ) % _M32
+    h ^= h >> np.uint64(16)
+    h = (h * np.uint64(69069)) % _M32
+    h ^= h >> np.uint64(13)
+    h = (h * np.uint64(1103515245)) % _M32
+    h ^= h >> np.uint64(16)
+    return h
 
 _POW31_CACHE = np.ones(1, dtype=np.uint32)
 

@@ -43,6 +43,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.hashing import mix32_batch
 from .corpus import collect_table
 
 __all__ = [
@@ -55,7 +56,6 @@ __all__ = [
     "heavy_hitters_cms",
 ]
 
-_M32 = np.uint64(1) << np.uint64(32)
 SAMPLE_MOD = 100
 SAMPLE_KEEP = 10  # keep h % 100 < 10 -> 10% deterministic sample
 HLL_M = 64  # registers (6-bit index); 26-bit rank word
@@ -66,25 +66,6 @@ def _read(sf_dir: str, table: str, columns: List[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
-
-
-def mix32_batch(k1: np.ndarray, k2: np.ndarray | int) -> np.ndarray:
-    """Deterministic 32-bit mix of two non-negative integer keys.
-
-    LCG multipliers with xor-shift avalanche, every step exactly
-    reproducible in int64 SQL (no intermediate exceeds 2^63 for keys
-    < 2^33, far above any key in the testdata tables). The SQL replay
-    lives in __ray_entry__._mix_sql."""
-    h = (
-        k1.astype(np.uint64) * np.uint64(1103515245)
-        + np.asarray(k2, dtype=np.uint64) * np.uint64(12345)
-    ) % _M32
-    h ^= h >> np.uint64(16)
-    h = (h * np.uint64(69069)) % _M32
-    h ^= h >> np.uint64(13)
-    h = (h * np.uint64(1103515245)) % _M32
-    h ^= h >> np.uint64(16)
-    return h
 
 
 # --- deterministic Bernoulli sample -----------------------------------------

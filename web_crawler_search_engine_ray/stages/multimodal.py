@@ -4,11 +4,21 @@ The synthetic web's documents interleave text with media spans
 (``kind in {image, ...}`` carrying an opaque ``media_ref``). Real decoders
 (PIL/ffmpeg) are not available in this container, so the decode kernel is a
 clearly-marked stub: ``decode=deterministic`` produces a seeded fake
-feature vector from the media_ref bytes (stable across runs/processes),
-``decode=real`` raises NotImplementedError. Everything around the kernel —
-the Arrow schema, actor-pool signature, batch sizing, and output layout —
-is real and tested, so swapping in a genuine decoder is a one-function
-change.
+feature vector / payload from the media_ref (stable across runs and
+processes), ``decode=real`` raises NotImplementedError. Everything around
+the kernel — the Arrow schema, actor-pool signature, batch sizing, and
+output layout — is real and tested, so swapping in a genuine decoder is a
+one-function change.
+
+The deterministic fakes are seeded from ``poly_hash(media_ref)`` (the
+reference's base-31 Horner hash) expanded through ``mix32_batch`` — both
+of which have exact DuckDB replays (``__ray_entry__._POLY_HASH`` /
+``_mix_sql``), so the driver correctness gate can hash-check the
+multimodal queries end-to-end (feature norms, payload checksums, frame
+timestamps) instead of settling for rows-only. Each stage also emits an
+integer checksum column (``feat_norm_e4`` / ``payload_crc`` /
+``frame_crc``) precisely so the oracle has a value surface that survives
+dropping the raw float32/binary columns.
 
 Scale posture: media payloads are large, so the stage is an actor pool
 with a small ``batch_size`` and per-actor model/codec state built once in
@@ -17,13 +27,19 @@ with a small ``batch_size`` and per-actor model/codec state built once in
 
 from __future__ import annotations
 
-import hashlib
 from typing import List
 
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import mix32_batch, poly_hash
+
 FEATURE_DIM = 8
+FEAT_SALT = 101  # feature dim j is mixed with salt FEAT_SALT + j
+DUR_SALT = 131  # synthetic media duration
+RESIZE_SALT = 400_000  # payload byte i mixed with RESIZE_SALT + i
+FRAME_SALT = 500_000  # frame byte i of frame f: FRAME_SALT + f*FRAME_BYTES + i
+FRAME_BYTES = 256
 
 MEDIA_FEATURES_SCHEMA = pa.schema(
     [
@@ -36,14 +52,19 @@ MEDIA_FEATURES_SCHEMA = pa.schema(
 )
 
 
-def _fake_decode(media_ref: str) -> np.ndarray:
-    """STUB decode: a deterministic feature vector seeded by the media_ref
-    digest. Replace with a real image/audio decoder where available."""
-    seed = int.from_bytes(
-        hashlib.blake2b(media_ref.encode(), digest_size=4).digest(), "little"
+def _fake_feature_ints(media_refs: List[str]) -> np.ndarray:
+    """STUB decode, batched: an (n, FEATURE_DIM) int64 matrix of values in
+    [-1000, 1000]; the float feature is this / 1000. Seeded by
+    poly_hash(media_ref) through mix32 so a SQL oracle can replay it."""
+    n = len(media_refs)
+    keys = np.fromiter(
+        (poly_hash(r) for r in media_refs), dtype=np.uint64, count=n
     )
-    rng = np.random.RandomState(seed)
-    return rng.randn(FEATURE_DIM).astype(np.float32)
+    salts = FEAT_SALT + np.arange(FEATURE_DIM, dtype=np.uint64)
+    mixed = mix32_batch(
+        np.repeat(keys, FEATURE_DIM), np.tile(salts, n)
+    ).reshape(n, FEATURE_DIM)
+    return mixed.astype(np.int64) % 2001 - 1000
 
 
 class MediaFeatureStage:
@@ -66,26 +87,31 @@ class MediaFeatureStage:
                 "real media decoding requires image/audio libraries not "
                 "present in this environment; use decode='deterministic'"
             )
-        return _fake_decode(media_ref)
+        return (_fake_feature_ints([media_ref])[0] / 1000.0).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real media decoding requires image/audio libraries not "
+                "present in this environment; use decode='deterministic'"
+            )
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
         out_doc: List[str] = []
         out_ref: List[str] = []
         out_kind: List[str] = []
-        feats: List[np.ndarray] = []
         for did, spans in zip(doc_ids, spans_col):
             for s in spans or []:
                 if s["kind"] in self.media_kinds and s["media_ref"]:
                     out_doc.append(did)
                     out_ref.append(s["media_ref"])
                     out_kind.append(s["kind"])
-                    feats.append(self._decode(s["media_ref"]))
-        if feats:
-            fmat = np.stack(feats)
+        if out_ref:
+            kmat = _fake_feature_ints(out_ref)
+            fmat = (kmat / 1000.0).astype(np.float32)
+            # ‖f‖ = sqrt(Σ(k/1000)²) = sqrt(Σk²)/1000; *1e4 → *10 exact
             norms = np.floor(
-                np.sqrt((fmat.astype(np.float64) ** 2).sum(axis=1)) * 10000.0 + 0.5
+                np.sqrt((kmat * kmat).sum(axis=1).astype(np.float64)) * 10.0 + 0.5
             ).astype(np.int64)
             feat_arr = pa.FixedSizeListArray.from_arrays(
                 pa.array(fmat.ravel(), pa.float32()), FEATURE_DIM
@@ -112,6 +138,7 @@ RESIZED_SCHEMA = pa.schema(
         ("width", pa.int32()),
         ("height", pa.int32()),
         ("payload", pa.binary()),
+        ("payload_crc", pa.int64()),
     ]
 )
 
@@ -123,7 +150,8 @@ class MediaResizeStage:
     by media_ref + target size; ``decode='real'`` raises — PIL/ffmpeg are
     not in this container). The Ray plumbing is real: small ``batch_size``
     for large binary payloads, per-actor codec state in ``__init__``,
-    typed ``binary`` output column with width/height metadata."""
+    typed ``binary`` output column with width/height metadata and an
+    integer byte-sum checksum the SQL oracle replays."""
 
     def __init__(self, width: int = 64, height: int = 64,
                  media_kinds: tuple = ("image",), decode: str = "deterministic"):
@@ -138,23 +166,43 @@ class MediaResizeStage:
             raise NotImplementedError(
                 "real image resize requires PIL/ffmpeg; use decode='deterministic'"
             )
-        seed = hashlib.blake2b(
-            f"{media_ref}|{self.width}x{self.height}".encode(), digest_size=8
-        ).digest()
-        rng = np.random.RandomState(int.from_bytes(seed[:4], "little"))
-        return rng.bytes(self.width * self.height)  # 1 byte/px fake payload
+        return self._resize_batch([media_ref])[0][0]
+
+    def _resize_batch(self, refs: List[str]) -> tuple:
+        """(payload bytes list, crc int64 array) — one mix per pixel."""
+        n = len(refs)
+        npx = self.width * self.height
+        keys = np.fromiter(
+            (poly_hash(f"{r}|{self.width}x{self.height}") for r in refs),
+            dtype=np.uint64,
+            count=n,
+        )
+        salts = RESIZE_SALT + np.arange(npx, dtype=np.uint64)
+        px = (
+            mix32_batch(np.repeat(keys, npx), np.tile(salts, n)).reshape(n, npx)
+            % np.uint64(256)
+        ).astype(np.uint8)
+        crcs = px.sum(axis=1, dtype=np.int64)
+        return [row.tobytes() for row in px], crcs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real image resize requires PIL/ffmpeg; use decode='deterministic'"
+            )
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        out_doc, out_ref, payloads = [], [], []
+        out_doc, out_ref = [], []
         for did, spans in zip(doc_ids, spans_col):
             for s in spans or []:
                 if s["kind"] in self.media_kinds and s["media_ref"]:
                     out_doc.append(did)
                     out_ref.append(s["media_ref"])
-                    payloads.append(self._resize(s["media_ref"]))
         n = len(out_doc)
+        if n:
+            payloads, crcs = self._resize_batch(out_ref)
+        else:
+            payloads, crcs = [], np.empty(0, dtype=np.int64)
         return pa.Table.from_arrays(
             [
                 pa.array(out_doc, pa.string()),
@@ -162,6 +210,7 @@ class MediaResizeStage:
                 pa.array(np.full(n, self.width, dtype=np.int32), pa.int32()),
                 pa.array(np.full(n, self.height, dtype=np.int32), pa.int32()),
                 pa.array(payloads, pa.binary()),
+                pa.array(crcs, pa.int64()),
             ],
             schema=RESIZED_SCHEMA,
         )
@@ -174,6 +223,7 @@ FRAMES_SCHEMA = pa.schema(
         ("frame_idx", pa.int32()),
         ("frame_ts_ms", pa.int64()),
         ("frame", pa.binary()),
+        ("frame_crc", pa.int64()),
     ]
 )
 
@@ -181,9 +231,9 @@ FRAMES_SCHEMA = pa.schema(
 class FrameSampleStage:
     """Actor-pool frame-sampling stage: video-like media spans → one row
     per sampled frame (uniform stride). STUB decoder (deterministic fake
-    frames + synthetic duration from the media_ref digest; ``decode='real'``
-    raises); real Ray-side plumbing: flat_map-shaped output (rows multiply),
-    small batches, per-actor decoder state."""
+    frames + synthetic duration seeded by the media_ref poly-hash;
+    ``decode='real'`` raises); real Ray-side plumbing: flat_map-shaped
+    output (rows multiply), small batches, per-actor decoder state."""
 
     def __init__(self, num_frames: int = 4, media_kinds: tuple = ("image",),
                  decode: str = "deterministic"):
@@ -194,22 +244,28 @@ class FrameSampleStage:
         self.decode = decode
 
     def _duration_ms(self, media_ref: str) -> int:
-        d = hashlib.blake2b(media_ref.encode(), digest_size=4).digest()
-        return 1000 + int.from_bytes(d, "little") % 29_000  # 1-30 s
+        key = np.array([poly_hash(media_ref)], dtype=np.uint64)
+        return 1000 + int(mix32_batch(key, DUR_SALT)[0]) % 29_000  # 1-30 s
 
     def _frame(self, media_ref: str, idx: int) -> bytes:
         if self.decode == "real":
             raise NotImplementedError(
                 "real frame decoding requires ffmpeg; use decode='deterministic'"
             )
-        seed = hashlib.blake2b(f"{media_ref}|f{idx}".encode(), digest_size=4).digest()
-        rng = np.random.RandomState(int.from_bytes(seed, "little"))
-        return rng.bytes(256)
+        key = np.full(FRAME_BYTES, poly_hash(media_ref), dtype=np.uint64)
+        salts = FRAME_SALT + idx * FRAME_BYTES + np.arange(
+            FRAME_BYTES, dtype=np.uint64
+        )
+        return (mix32_batch(key, salts) % np.uint64(256)).astype(np.uint8).tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real frame decoding requires ffmpeg; use decode='deterministic'"
+            )
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        out_doc, out_ref, idxs, tss, frames = [], [], [], [], []
+        out_doc, out_ref, idxs, tss, frames, crcs = [], [], [], [], [], []
         for did, spans in zip(doc_ids, spans_col):
             for s in spans or []:
                 if s["kind"] in self.media_kinds and s["media_ref"]:
@@ -219,7 +275,9 @@ class FrameSampleStage:
                         out_ref.append(s["media_ref"])
                         idxs.append(i)
                         tss.append(i * dur // self.num_frames)
-                        frames.append(self._frame(s["media_ref"], i))
+                        fb = self._frame(s["media_ref"], i)
+                        frames.append(fb)
+                        crcs.append(int(np.frombuffer(fb, np.uint8).sum()))
         return pa.Table.from_arrays(
             [
                 pa.array(out_doc, pa.string()),
@@ -227,6 +285,7 @@ class FrameSampleStage:
                 pa.array(idxs, pa.int32()),
                 pa.array(tss, pa.int64()),
                 pa.array(frames, pa.binary()),
+                pa.array(crcs, pa.int64()),
             ],
             schema=FRAMES_SCHEMA,
         )
