@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
+        "shipping_priority": R.shipping_priority,
         # --- sampling & sketches ---
         "sample_lineitem": K.sample_lineitem,
         "stratified_sample": K.stratified_sample_events,
@@ -656,6 +657,22 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS sum_qty_milli
             FROM cand c LEFT JOIN hikeys k ON c.l_orderkey = k.o_orderkey
             GROUP BY 1
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+                   )::BIGINT AS revenue_e4,
+                   o.o_orderdate, o.o_orderpriority
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_e4 DESC, l.l_orderkey
+            LIMIT 10
         """,
         "heavy_hitters_cms": f"""
             WITH {_mix_sql(

@@ -89,3 +89,101 @@ def test_bloom_semijoin_exact_and_fp(ray_session):
         assert row["n_candidates"] >= n_match
         want_q = int(np.floor(grp[grp["hit"]]["l_quantity"].sum() * 1000.0 + 0.5))
         assert abs(int(row["sum_qty_milli"]) - want_q) <= 1  # float-sum order
+
+
+def test_hash_join_multimatch_and_misses(ray_session):
+    """Generic distributed hash join: multi-match fan-out (M×N rows per
+    key), unmatched keys on either side dropped, exact pandas parity."""
+    import pandas as pd
+    import ray.data
+
+    from web_crawler_search_engine_ray.stages.join import hash_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 2, 3, 5, 5, 5], "lv": [10, 11, 20, 30, 50, 51, 52]}
+    )
+    right = pd.DataFrame(
+        {"rk": [1, 1, 1, 3, 4, 5], "rv": ["a", "b", "c", "d", "e", "f"]}
+    )
+    out = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            left_on="k",
+            right_on="rk",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)[out.columns]
+    )
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_hash_join_string_keys_and_collision(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from web_crawler_search_engine_ray.stages.join import hash_join
+
+    left = pd.DataFrame({"host": ["a.com", "b.com", "c.com"], "n": [1, 2, 3]})
+    right = pd.DataFrame({"rhost": ["b.com", "c.com", "c.com"], "m": [7, 8, 9]})
+    out = hash_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        left_on="host",
+        right_on="rhost",
+        num_buckets=8,
+    ).to_pandas()
+    assert sorted(zip(out["host"], out["m"])) == [
+        ("b.com", 7),
+        ("c.com", 8),
+        ("c.com", 9),
+    ]
+
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(
+            ray.data.from_pandas(left.rename(columns={"n": "m"})),
+            ray.data.from_pandas(right),
+            left_on="host",
+            right_on="rhost",
+        )
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    """Q3-shaped big-join-big query vs an independent DuckDB replay."""
+    import duckdb
+
+    from web_crawler_search_engine_ray.pipelines.relational import shipping_priority
+
+    tbl = shipping_priority(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = con.execute(
+        """
+        SELECT l.l_orderkey,
+               sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+               )::BIGINT AS revenue_e4,
+               o.o_orderdate, o.o_orderpriority
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_e4 DESC, l.l_orderkey LIMIT 10
+        """
+    ).df()
+    assert list(tbl["l_orderkey"]) == list(exp["l_orderkey"])
+    assert list(tbl["revenue_e4"]) == list(exp["revenue_e4"])

@@ -486,6 +486,123 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# --- Shipping-priority: distributed hash join (big ⨝ big) --------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPN = 10
+
+
+def shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shaped top-N: revenue of not-yet-shipped lineitems for
+    orders of one market segment. Exercises the co-partitioned distributed
+    hash join (stages/join.py) — orders ⨝ lineitem where NEITHER side
+    broadcasts — plus a broadcast semi-join for the small customer
+    dimension and an exact integer revenue unit (l_extendedprice and
+    l_discount carry 2 decimals, so revenue in 10⁻⁴ units is an exact
+    int64 sum both here and in the SQL oracle; no float-ordering ties).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = np.unique(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), pa.scalar(Q3_SEGMENT)))
+        .column("c_custkey")
+        .to_numpy(zero_copy_only=False)
+    )
+    seg_ref = ray.put(seg_keys)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        b = batch.filter(
+            pc.less(
+                batch.column("o_orderdate"),
+                pa.scalar(cutoff, batch.column("o_orderdate").type),
+            )
+        )
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == ck)
+        b = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.greater(
+                batch.column("l_shipdate"),
+                pa.scalar(cutoff, batch.column("l_shipdate").type),
+            )
+        )
+        ext_c = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc_c = np.floor(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "revenue_e4": pa.array(ext_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    joined = hash_join(
+        items, orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]
+        ).aggregate([("revenue_e4", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "o_orderdate": g.column("o_orderdate"),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "revenue_e4": g.column("revenue_e4_sum"),
+            }
+        )
+
+    top = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(Q3_TOPN)
+    )
+    tbl = collect_table(top)
+    return pa.table(
+        {
+            "l_orderkey": pc.cast(tbl.column("l_orderkey"), pa.int64()),
+            "revenue_e4": pc.cast(tbl.column("revenue_e4"), pa.int64()),
+            "o_orderdate": pc.cast(tbl.column("o_orderdate"), pa.timestamp("us")),
+            "o_orderpriority": tbl.column("o_orderpriority"),
+        }
+    )
+
+
 # --- Bloom-filter semi-join --------------------------------------------------
 
 BLOOM_M = 65536  # bits
