@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_part_stats": R.brand_part_stats,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
         "shipping_priority": R.shipping_priority,
+        "events_rolling": R.events_rolling,
         # --- sampling & sketches ---
         "sample_lineitem": K.sample_lineitem,
         "stratified_sample": K.stratified_sample_events,
@@ -657,6 +658,18 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS sum_qty_milli
             FROM cand c LEFT JOIN hikeys k ON c.l_orderkey = k.o_orderkey
             GROUP BY 1
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   COALESCE(
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1
+                   )::BIGINT AS prev_gap_us,
+                   sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )::BIGINT AS roll_sum_milli
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "shipping_priority": """
             SELECT l.l_orderkey,

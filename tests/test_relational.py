@@ -187,3 +187,29 @@ def test_shipping_priority_matches_duckdb(ray_session):
     ).df()
     assert list(tbl["l_orderkey"]) == list(exp["l_orderkey"])
     assert list(tbl["revenue_e4"]) == list(exp["revenue_e4"])
+
+
+def test_events_rolling_window_invariants(ray_session):
+    """Rolling window: first event per user has gap -1, rolling sum over a
+    full window equals the sum of the last ROLL_WINDOW milli values."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.pipelines.corpus import collect_table
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        ROLL_WINDOW,
+        events_rolling,
+    )
+
+    tbl = collect_table(events_rolling(SF)).to_pandas()
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(tbl) == len(ev)
+    ev["milli"] = np.floor(ev["value"].to_numpy() * 1000.0 + 0.5).astype("int64")
+    m = tbl.merge(ev[["event_id", "ts", "milli"]], on="event_id")
+    for uid, grp in m.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        assert g.loc[0, "prev_gap_us"] == -1
+        assert (g["prev_gap_us"][1:] >= 0).all()
+        exp = g["milli"].rolling(ROLL_WINDOW, min_periods=1).sum().astype("int64")
+        assert (g["roll_sum_milli"] == exp).all()

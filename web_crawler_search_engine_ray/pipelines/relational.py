@@ -486,6 +486,53 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+ROLL_WINDOW = 5  # current event + 4 preceding
+
+
+def events_rolling(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window operator (lag + rolling aggregate): per user, events
+    ordered by (ts, event_id); each event gets the µs gap to the user's
+    previous event (-1 for the first) and the rolling sum of the last
+    ``ROLL_WINDOW`` values. The per-key shuffle is ``groupby(user_id)``;
+    inside a group everything is numpy (lexsort + cumsum-difference), and
+    values sum as exact integer milli units so Ray and the SQL window
+    frame (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) agree bit-for-bit.
+
+    Scale note: one group = one user's events, which is the natural
+    window-partition bound; a pathological single hot key would need
+    range-splitting by time plus a carry of ROLL_WINDOW-1 edge rows — not
+    required for user-keyed streams."""
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid, val = ts[order], eid[order], val[order]
+        t_us = ts.astype("datetime64[us]").astype(np.int64)
+        gaps = np.full(len(t_us), -1, np.int64)
+        gaps[1:] = np.diff(t_us)
+        vm = np.floor(val * 1000.0 + 0.5).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(vm)))
+        lo = np.maximum(np.arange(len(vm)) - (ROLL_WINDOW - 1), 0)
+        roll_sum = cs[1:] - cs[lo]
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(np.full(len(eid), uid, np.int64), pa.int64()),
+                "prev_gap_us": pa.array(gaps, pa.int64()),
+                "roll_sum_milli": pa.array(roll_sum, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pyarrow")
+    )
+
+
 # --- Shipping-priority: distributed hash join (big ⨝ big) --------------------
 
 Q3_SEGMENT = "BUILDING"
