@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": R.lineitem_bloom_semijoin,
         "shipping_priority": R.shipping_priority,
         "events_rolling": R.events_rolling,
+        "order_shipments_window": R.order_shipments_window,
         # --- sampling & sketches ---
         "sample_lineitem": K.sample_lineitem,
         "stratified_sample": K.stratified_sample_events,
@@ -657,6 +658,16 @@ def oracle_sql() -> dict[str, str]:
                      WHERE k.o_orderkey IS NOT NULL), 0.0) * 1000.0 + 0.5)
                      AS BIGINT) AS sum_qty_milli
             FROM cand c LEFT JOIN hikeys k ON c.l_orderkey = k.o_orderkey
+            GROUP BY 1
+        """,
+        "order_shipments_window": """
+            SELECT o.o_orderkey,
+                   count(l.l_shipdate)::BIGINT AS n_shipped_3d,
+                   COALESCE(sum(CAST(floor(l.l_quantity * 1000.0 + 0.5)
+                                     AS BIGINT)), 0)::BIGINT AS sum_qty_milli_3d
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_shipdate > o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY
             GROUP BY 1
         """,
         "events_rolling": """

@@ -185,11 +185,15 @@ def _bench_queries(sf_dir: str) -> dict:
         ("events_sessions", R.events_sessions),
         ("events_orders_asof", R.events_orders_asof),
         ("brand_part_stats", R.brand_part_stats),
+        ("bloom_semijoin", R.lineitem_bloom_semijoin),
+        ("shipping_priority", R.shipping_priority),
+        ("events_rolling", R.events_rolling),
         ("sample_lineitem", K.sample_lineitem),
         ("stratified_sample", K.stratified_sample_events),
         ("value_percentiles", K.value_percentiles),
         ("supplier_topk", K.supplier_topk),
         ("distinct_users_hll", K.distinct_users_hll),
+        ("heavy_hitters_cms", K.heavy_hitters_cms),
         ("pii_redact", T.pii_redact),
         ("quality_gopher", T.quality_gopher),
     ]:

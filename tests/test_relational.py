@@ -213,3 +213,54 @@ def test_events_rolling_window_invariants(ray_session):
         assert (g["prev_gap_us"][1:] >= 0).all()
         exp = g["milli"].rolling(ROLL_WINDOW, min_periods=1).sum().astype("int64")
         assert (g["roll_sum_milli"] == exp).all()
+
+
+def test_order_shipments_window_matches_duckdb(ray_session):
+    """Banded interval join vs a direct DuckDB non-equi join, including
+    windows that straddle band edges (counted exactly once)."""
+    import duckdb
+
+    from web_crawler_search_engine_ray.pipelines.corpus import collect_table
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        order_shipments_window,
+    )
+
+    tbl = (
+        collect_table(order_shipments_window(SF))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    exp = con.execute(
+        """
+        SELECT o.o_orderkey,
+               count(l.l_shipdate)::BIGINT AS n_shipped_3d,
+               COALESCE(sum(CAST(floor(l.l_quantity * 1000.0 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS sum_qty_milli_3d
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_shipdate > o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert len(tbl) == len(exp)
+    assert (tbl["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    assert (tbl["n_shipped_3d"].to_numpy() == exp["n_shipped_3d"].to_numpy()).all()
+    assert (
+        tbl["sum_qty_milli_3d"].to_numpy() == exp["sum_qty_milli_3d"].to_numpy()
+    ).all()
+    # the fixture really exercises band straddling: some window crosses a
+    # 16-day band edge
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    od = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate"])
+    t_us = od.column("o_orderdate").cast("int64").to_numpy(zero_copy_only=False)
+    band_us = 16 * 86_400_000_000
+    win_us = 3 * 86_400_000_000
+    assert ((t_us + 1) // band_us != (t_us + win_us) // band_us).any()

@@ -549,8 +549,6 @@ def shipping_priority(sf_dir: str) -> pa.Table:
     l_discount carry 2 decimals, so revenue in 10⁻⁴ units is an exact
     int64 sum both here and in the SQL oracle; no float-ordering ties).
     """
-    from ray.data.aggregate import Sum
-
     from ..stages.join import hash_join
 
     cutoff = np.datetime64(Q3_CUTOFF, "us")
@@ -615,31 +613,48 @@ def shipping_priority(sf_dir: str) -> pa.Table:
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(lineitem_side, batch_format="pyarrow")
 
-    joined = hash_join(
-        items, orders, left_on="l_orderkey", right_on="o_orderkey"
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(
+    def bucket_topn(joined: pa.Table) -> pa.Table:
+        """Per-bucket COMPLETE aggregate (an orderkey's joined rows live in
+        exactly one bucket) + local top-N prune, so no second all-to-all:
+        the driver only merges num_buckets × Q3_TOPN candidate rows."""
+        g = joined.group_by(
             ["l_orderkey", "o_orderdate", "o_orderpriority"]
         ).aggregate([("revenue_e4", "sum")])
+        rev = g.column("revenue_e4_sum").to_numpy(zero_copy_only=False)
+        okey = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -rev))[:Q3_TOPN]
+        t = g.take(pa.array(order, pa.int64()))
         return pa.table(
             {
-                "l_orderkey": g.column("l_orderkey"),
-                "o_orderdate": g.column("o_orderdate"),
-                "o_orderpriority": g.column("o_orderpriority"),
-                "revenue_e4": g.column("revenue_e4_sum"),
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": t.column("revenue_e4_sum"),
             }
         )
 
-    top = (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
-        .limit(Q3_TOPN)
+    top = hash_join(
+        items,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        bucket_post=bucket_topn,
     )
-    tbl = collect_table(top)
+    cand = collect_table(top)
+    rev = cand.column("revenue_e4").to_numpy(zero_copy_only=False)
+    okey = cand.column("l_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((okey, -rev))[:Q3_TOPN]
+    tbl = cand.take(pa.array(order, pa.int64()))
     return pa.table(
         {
             "l_orderkey": pc.cast(tbl.column("l_orderkey"), pa.int64()),
@@ -647,6 +662,130 @@ def shipping_priority(sf_dir: str) -> pa.Table:
             "o_orderdate": pc.cast(tbl.column("o_orderdate"), pa.timestamp("us")),
             "o_orderpriority": tbl.column("o_orderpriority"),
         }
+    )
+
+
+# --- Banded interval (range) join --------------------------------------------
+
+RANGE_WINDOW_DAYS = 3
+RANGE_BAND_DAYS = 16  # band >> window so each order window spans <= 2 bands
+
+
+def order_shipments_window(sf_dir: str) -> "ray.data.Dataset":
+    """Range join (non-equi, time-interval): for every order, count and
+    sum the quantity of ALL lineitems shipped in (o_orderdate,
+    o_orderdate + 3 days] — no key equality, pure interval containment.
+
+    Ray Data lacks a range join, so this is the banded-shuffle custom
+    operator: time is cut into fixed bands much wider than the probe
+    window; each lineitem goes to exactly ONE band (its shipdate band),
+    each order is replicated to every band its window overlaps (<= 2
+    here), and a ``groupby(band)`` co-locates them. Inside a band the
+    count is a sorted-array searchsorted difference, and per-band partial
+    counts sum in a final narrow ``groupby(o_orderkey)`` — so partials
+    from a window straddling a band edge combine exactly once. The
+    partitioning assumption: window length <= band length (else the
+    replication factor grows as ceil(window/band)+1).
+
+    Quantities sum as exact integer milli units (l_quantity has <= 2
+    decimals), so the SQL oracle matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    win_us = RANGE_WINDOW_DAYS * 86_400_000_000
+    band_us = RANGE_BAND_DAYS * 86_400_000_000
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        lo_band = (t + 1) // band_us  # window is (t, t+win]: open left edge
+        hi_band = (t + win_us) // band_us
+        reps = (hi_band - lo_band + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+        # band of each replicated row: lo_band[i] + offset within the run
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        band = np.repeat(lo_band, reps) + (np.arange(reps.sum()) - starts)
+        n = len(idx)
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int64()),
+                "is_order": pa.array(np.ones(n, bool), pa.bool_()),
+                "t_us": pa.array(t[idx], pa.int64()),
+                "o_orderkey": pa.array(okey[idx], pa.int64()),
+                "qty_milli": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def items_side(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty = np.floor(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        n = len(t)
+        return pa.table(
+            {
+                "band": pa.array(t // band_us, pa.int64()),
+                "is_order": pa.array(np.zeros(n, bool), pa.bool_()),
+                "t_us": pa.array(t, pa.int64()),
+                "o_orderkey": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "qty_milli": pa.array(qty, pa.int64()),
+            }
+        )
+
+    def band_probe(group: pa.Table) -> pa.Table:
+        is_o = group.column("is_order").to_numpy(zero_copy_only=False).astype(bool)
+        t = group.column("t_us").to_numpy(zero_copy_only=False)
+        band = group.column("band").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        qty = group.column("qty_milli").to_numpy(zero_copy_only=False)
+        oi = np.flatnonzero(is_o)
+        if len(oi) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "n_shipped": pa.array([], pa.int64()),
+                    "qty_milli": pa.array([], pa.int64()),
+                }
+            )
+        li = np.flatnonzero(~is_o)
+        st = t[li]
+        order = np.argsort(st, kind="stable")
+        st_sorted = st[order]
+        qcs = np.concatenate(([0], np.cumsum(qty[li][order])))
+        # clamp the probe window to THIS band so a straddling window
+        # counts each band's items exactly once
+        b0 = band[oi] * band_us
+        b1 = b0 + band_us
+        lo_t = np.maximum(t[oi], b0 - 1)  # (t, t+win] ∩ band
+        hi_t = np.minimum(t[oi] + win_us, b1 - 1)
+        lo = np.searchsorted(st_sorted, lo_t, side="right")
+        hi = np.searchsorted(st_sorted, hi_t, side="right")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[oi], pa.int64()),
+                "n_shipped": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "qty_milli": pa.array(qcs[hi] - qcs[lo], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pyarrow"
+    )
+    items = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]).map_batches(
+        items_side, batch_format="pyarrow"
+    )
+    return (
+        orders.union(items)
+        .groupby("band")
+        .map_groups(band_probe, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("n_shipped", alias_name="n_shipped_3d"),
+            Sum("qty_milli", alias_name="sum_qty_milli_3d"),
+        )
     )
 
 

@@ -99,10 +99,23 @@ def hash_join(
     left_on: str,
     right_on: str,
     num_buckets: int = 64,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+    bucket_post=None,
 ) -> "ray.data.Dataset":
     """Inner-join two Datasets on a single key column (co-partitioned
     shuffle join; see module docstring). Non-key column names must be
-    disjoint; both key columns appear in the output."""
+    disjoint; both key columns appear in the output.
+
+    Pass ``left_schema``/``right_schema`` when known statically —
+    ``Dataset.schema()`` on a lazy mapped dataset executes a task to
+    infer it, a wasted pipeline warm-up per side on the hot path.
+
+    ``bucket_post`` (optional) runs on each bucket's joined table INSIDE
+    the join stage. Because a key's rows are co-located in exactly one
+    bucket, any per-join-key aggregate/top-k computed there is already
+    complete — passing it here removes the follow-up all-to-all shuffle
+    a ``.groupby(key)`` after the join would cost."""
     def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
         s = ds.schema()
         base = getattr(s, "base_schema", None)
@@ -117,8 +130,8 @@ def hash_join(
             fields.append(pa.field(n, t))
         return pa.schema(fields)
 
-    l_fields = _arrow_schema(left)
-    r_fields = _arrow_schema(right)
+    l_fields = left_schema if left_schema is not None else _arrow_schema(left)
+    r_fields = right_schema if right_schema is not None else _arrow_schema(right)
     ls, rs = l_fields, r_fields
     clash = (set(ls.names) & set(rs.names)) - {left_on, right_on}
     if clash:
@@ -146,7 +159,8 @@ def hash_join(
             for name in l_names + r_names
         }
         if len(li) == 0 or len(ri) == 0:
-            return pa.table(empty)
+            out_tbl = pa.table(empty)
+            return bucket_post(out_tbl) if bucket_post is not None else out_tbl
         rk = keys[ri]
         order = np.argsort(rk, kind="stable")
         rk_sorted = rk[order]
@@ -157,7 +171,8 @@ def hash_join(
         left_idx = li[np.repeat(np.arange(len(li), dtype=np.int64), cnt)]
         right_idx = ri[order[_ranges_gather(lo, cnt)]]
         if len(left_idx) == 0:
-            return pa.table(empty)
+            out_tbl = pa.table(empty)
+            return bucket_post(out_tbl) if bucket_post is not None else out_tbl
         out = {}
         lt = group.take(pa.array(left_idx, pa.int64()))
         rt = group.take(pa.array(right_idx, pa.int64()))
@@ -165,7 +180,8 @@ def hash_join(
             out[name] = lt.column(name)
         for name in r_names:
             out[name] = rt.column(name)
-        return pa.table(out)
+        out_tbl = pa.table(out)
+        return bucket_post(out_tbl) if bucket_post is not None else out_tbl
 
     return (
         tagged.groupby(_BUCKET)
