@@ -59,10 +59,11 @@ def zip_with_index_counted(
     total_rows = sum(c for _, c in refs_counts)
     chunk = 0
     if target_splits and total_rows:
-        # floor of 64 rows/split: each downstream fetch task writes its
+        # floor of 256 rows/split: each downstream fetch task writes its
         # sink files once per block, so tiny blocks trade compute
-        # parallelism for per-file overhead
-        chunk = max(64, -(-total_rows // target_splits))
+        # parallelism for per-file + per-task overhead (measured: a 64-row
+        # floor at 32 CPUs made the stamp+fetch phases SLOWER than at 8)
+        chunk = max(256, -(-total_rows // target_splits))
     out_refs = []
     off = start
     for r, c in refs_counts:
