@@ -91,6 +91,7 @@ def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
         config=config,
         workdir=os.path.join(workdir, "crawl"),
         fetch_concurrency=max(2, num_cpus // 4),
+        sink_mode=os.environ.get("WCSE_SINK_MODE", "parquet"),
     )
     crawl_s = time.time() - t0
 
@@ -117,18 +118,21 @@ def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
         t = tokenize_batch(batch)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
-    t0 = time.time()
-    n_postings = (
-        ray.data.read_parquet(os.path.join(workdir, "crawl", "pages"))
-        .map_batches(tok_count, batch_format="pyarrow", batch_size=64, num_cpus=1)
-        .sum("n")
-    )
-    tokenize_s = time.time() - t0
+    if os.environ.get("WCSE_SINK_MODE") == "discard":
+        n_postings, tokenize_s = 0, None  # no pages sink to re-read
+    else:
+        t0 = time.time()
+        n_postings = (
+            ray.data.read_parquet(os.path.join(workdir, "crawl", "pages"))
+            .map_batches(tok_count, batch_format="pyarrow", batch_size=64, num_cpus=1)
+            .sum("n")
+        )
+        tokenize_s = time.time() - t0
 
     res = {
         "_workdir": workdir,
         "crawl_sec": round(crawl_s, 2),
-        "tokenize_sec": round(tokenize_s, 2),
+        "tokenize_sec": round(tokenize_s, 2) if tokenize_s else None,
         "pages_fetched": out.pages_fetched,
         "urls_discovered": out.urls_discovered,
         "n_postings": int(n_postings),
@@ -136,8 +140,9 @@ def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
         "phase_seconds": out.metrics["phase_seconds"],
         "pages_per_sec": round(out.pages_fetched / crawl_s, 2),
         "urls_per_sec": round(out.urls_discovered / crawl_s, 2),
-        "postings_per_sec": round(n_postings / tokenize_s, 2),
     }
+    if tokenize_s:
+        res["postings_per_sec"] = round(n_postings / tokenize_s, 2)
     if index_s is not None:
         res["index_sec"] = round(index_s, 2)
         res["docs_indexed_per_sec"] = round(out.pages_fetched / index_s, 2)
@@ -339,11 +344,33 @@ def run_wavescale(sizes=(10000, 30000, 100000)) -> dict:
     }
 
 
+def run_sinkscale(lo: int = 8, hi: int = 32) -> dict:
+    """Isolation sweep: the crawl loop with page/lineage/token sink writes
+    DISCARDED (all compute + seen bookkeeping + frontier/checkpoint intact).
+    On one box the sinks share a single disk, so comparing this leg's
+    efficiency with the default sweep separates 'doesn't scale because of
+    shared disk bandwidth' (scales here, not there) from 'doesn't scale
+    structurally' (scales in neither)."""
+    os.environ["WCSE_SINK_MODE"] = "discard"
+    try:
+        sweep = _scaling_sweep(lo, hi, "--child-lite")
+    finally:
+        os.environ.pop("WCSE_SINK_MODE", None)
+    return {
+        "metric": "crawl scaling efficiency with sinks discarded (N->4N cpus)",
+        "value": sweep["crawl_efficiency"],
+        "unit": "efficiency",
+        **sweep,
+        "num_cpus": hi,
+    }
+
+
 def main():
     global BENCH_WEB
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--wavescale", action="store_true")
+    ap.add_argument("--sinkscale", action="store_true")
     ap.add_argument("--child", action="store_true", help="internal: one full leg")
     ap.add_argument(
         "--child-lite", action="store_true", help="internal: crawl+tokenize leg"
@@ -360,6 +387,8 @@ def main():
         print(json.dumps(run_scaling(8, 32)))
     elif args.wavescale:
         print(json.dumps(run_wavescale()))
+    elif args.sinkscale:
+        print(json.dumps(run_sinkscale(8, 32)))
     else:
         result = run_once(NUM_CPUS)
         # scaling evidence rides the default bench output (BENCH_r{N}.json):

@@ -167,6 +167,7 @@ def run_crawl(
     link_extractor=None,
     priority_fn=None,
     compact_every: int = 16,
+    sink_mode: str = "parquet",
 ) -> CrawlOutputs:
     """Run the crawl to frontier exhaustion. Ray must already be initialised
     by the caller.
@@ -334,6 +335,14 @@ def run_crawl(
             fetch_fn = make_fetch_fn(docs_path, docs_ref)
             wv = wave
 
+            # sink_mode="discard" is the BENCH-ONLY isolation leg: all
+            # compute (fetch join, page hash, token partials, seen RPCs)
+            # runs, but nothing is written to the page/lineage/token sinks
+            # — separating the single-box disk-bandwidth share of the wave
+            # loop from the parts that scale with CPUs. Frontier/checkpoint
+            # writes stay on (the wave handoff reads them).
+            write_sinks = sink_mode != "discard"
+
             def _fetch_write(batch: pa.Table) -> pa.Table:
                 from ..stages.index import add_page_hash
 
@@ -341,25 +350,29 @@ def run_crawl(
                 part = f"part-{out.column('seq')[0].as_py():012d}.parquet"
                 # page_hash stored with the page so the indexer's dedup
                 # pass reads two pruned columns instead of re-hashing spans
-                pq.write_table(add_page_hash(out), os.path.join(pages_dir, part))
+                hashed = add_page_hash(out)
+                if write_sinks:
+                    pq.write_table(hashed, os.path.join(pages_dir, part))
                 lineage = out.select(
                     ["seq", "url", "host", "virtual_ts", "status"]
                 ).append_column(
                     "wave", pa.array(np.full(out.num_rows, wv, dtype=np.int32))
                 )
-                pq.write_table(lineage, os.path.join(lineage_dir, part))
+                if write_sinks:
+                    pq.write_table(lineage, os.path.join(lineage_dir, part))
 
                 scrapeable = filter_scrapeable(out)
                 analyzed = analyze_batch(scrapeable)
                 if analyzed.num_rows:
-                    pq.write_table(
-                        explode_token_partials(analyzed),
-                        os.path.join(tokens_dir, part),
-                    )
-                    pq.write_table(
-                        analyzed.select(["url", "seq", "length"]),
-                        os.path.join(lengths_dir, part),
-                    )
+                    token_partials = explode_token_partials(analyzed)
+                    if write_sinks:
+                        pq.write_table(
+                            token_partials, os.path.join(tokens_dir, part)
+                        )
+                        pq.write_table(
+                            analyzed.select(["url", "seq", "length"]),
+                            os.path.join(lengths_dir, part),
+                        )
                 # one completion RPC round: scrapeable pages carry their
                 # token length, everything else length 0
                 lengths = {
