@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": C.dedup_exact,
         "dedup_minhash_lsh": C.dedup_minhash_lsh,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
+        "dedup_components": C.dedup_components,
         "dedup_simhash": C.dedup_simhash,
         "embedding_neardup": C.embedding_neardup_pairs,
         # --- similarity search ---
@@ -462,6 +463,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _SHINGLE_CTE,
         "ngram_jaccard_pairs": _SHINGLE_CTE,
+        # connected components of the near-dup pair graph: the recursive
+        # CTE enumerates (node, reachable-root) pairs over the symmetric
+        # edge closure; min reachable id == the engine's min-label fixpoint
+        "dedup_components": f"""
+WITH RECURSIVE pairs AS ({_SHINGLE_CTE}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node)
+SELECT doc_id, component_id,
+       CAST(doc_id = component_id AS BIGINT) AS keep,
+       COUNT(*) OVER (PARTITION BY component_id) AS csize
+FROM comp ORDER BY doc_id
+""",
         "dedup_simhash": f"""
             WITH tf AS (
               SELECT doc_id, token, count(*)::BIGINT AS c

@@ -179,6 +179,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("dedup_exact", C.dedup_exact),
         ("dedup_minhash_lsh", C.dedup_minhash_lsh),
         ("ngram_jaccard_pairs", C.ngram_jaccard_pairs),
+        ("dedup_components", C.dedup_components),
         ("dedup_simhash", C.dedup_simhash),
         ("embedding_neardup", C.embedding_neardup_pairs),
         ("ann_topk", C.ann_topk_bruteforce),
@@ -193,6 +194,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("bloom_semijoin", R.lineitem_bloom_semijoin),
         ("shipping_priority", R.shipping_priority),
         ("events_rolling", R.events_rolling),
+        ("order_shipments_window", R.order_shipments_window),
         ("sample_lineitem", K.sample_lineitem),
         ("stratified_sample", K.stratified_sample_events),
         ("value_percentiles", K.value_percentiles),

@@ -51,6 +51,60 @@ def test_ngram_jaccard_matches_exact(ray_session, docs_table):
     assert pairs == _exact_jaccard_pairs(docs_table)
 
 
+def test_connected_components_chain(ray_session):
+    """Min-label propagation on a long chain (worst-case diameter), a
+    star, and singleton-free output: component id == min node id."""
+    import ray.data
+
+    from web_crawler_search_engine_ray.pipelines.corpus import connected_components
+
+    # chain 10-11-...-29 (diameter 19, forces many rounds), star at 100,
+    # isolated pair (7, 9)
+    chain = [(i, i + 1) for i in range(10, 29)]
+    star = [(100, x) for x in (103, 101, 108, 105)]
+    edges = chain + star + [(9, 7)]
+    a = [e[0] for e in edges]
+    b = [e[1] for e in edges]
+    ds = ray.data.from_items([{"doc_a": x, "doc_b": y} for x, y in zip(a, b)])
+    got = connected_components(ds)
+    comp = dict(
+        zip(got.column("doc_id").to_pylist(), got.column("component_id").to_pylist())
+    )
+    assert all(comp[n] == 10 for n in range(10, 30))
+    assert all(comp[n] == 100 for n in (100, 101, 103, 105, 108))
+    assert comp[7] == 7 and comp[9] == 7
+    keep = dict(zip(got.column("doc_id").to_pylist(), got.column("keep").to_pylist()))
+    assert sum(keep.values()) == 3 and keep[10] and keep[100] and keep[7]
+    csize = dict(zip(got.column("doc_id").to_pylist(), got.column("csize").to_pylist()))
+    assert csize[15] == 20 and csize[100] == 5 and csize[9] == 2
+
+
+def test_dedup_components_matches_union_find(ray_session, docs_table):
+    """Engine components over the real near-dup graph == python union-find
+    over the exact-Jaccard pair oracle."""
+    from web_crawler_search_engine_ray.pipelines.corpus import dedup_components
+
+    pairs = _exact_jaccard_pairs(docs_table)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for n in parent}
+    got = dedup_components(SF)
+    comp = dict(
+        zip(got.column("doc_id").to_pylist(), got.column("component_id").to_pylist())
+    )
+    assert comp == want
+
+
 def test_simhash_neardups_are_close(ray_session, docs_table):
     """Near-dup docs should have much closer simhashes than random docs."""
     from web_crawler_search_engine_ray.pipelines.corpus import (

@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import time as _time
 from collections import Counter
 from typing import Dict, List, Sequence, Tuple
 
@@ -705,8 +706,8 @@ def _verify_pairs_distributed(
     )
 
 
-def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
-    """MinHash+LSH near-dup pairs, exact-verified.
+def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash+LSH near-dup pairs, exact-verified, as a DATASET.
 
     shingle(3-gram) → 128-perm minhash → 32 band keys → bucketed groupby
     candidate pairs → exact Jaccard ≥ 0.8 on the candidates only.
@@ -769,11 +770,200 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     # materialize the (near-dup-sized, distributed) candidate pairs so the
     # two verify hops don't re-execute the signature chain
     candidates = _dedup_pairs(candidates).materialize()
-    verified = _verify_pairs_distributed(docs, candidates)
-    tbl = collect_table(verified)  # final near-dup pairs: small result
+    return _verify_pairs_distributed(docs, candidates)
+
+
+def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs (see `_minhash_verified_pairs`)."""
+    tbl = collect_table(_minhash_verified_pairs(sf_dir))
     if tbl.num_rows == 0:
         return _empty_jaccard()
     return tbl.select(["doc_a", "doc_b", "jaccard_milli"])
+
+
+def connected_components(
+    edges: "ray.data.Dataset", max_rounds: int = 64
+) -> pa.Table:
+    """Connected components of an undirected (doc_a, doc_b) edge Dataset
+    by distributed min-label propagation; returns the component map as a
+    small Arrow table (component-member-sized — the query result itself).
+
+    Each round every node's current label travels through ONE bucket-hash
+    shuffle along BOTH the graph edges and the current label pointers
+    (node↔label), i.e. the hash-to-min rule of Rastogi et al. 2012
+    ("Finding connected components in MapReduce"): label rows and edge
+    rows route to ``bucket(src)``, each bucket group attaches src's label
+    to its edges with a sorted searchsorted lookup (the
+    `_verify_pairs_distributed` join kernel), and a C-side
+    ``groupby(node).min(label)`` folds the messages. The pointer edges
+    double the propagation distance per round, so rounds are
+    O(log diameter), not O(diameter). Labels only ever decrease, so the
+    int64 sum of all labels is a strictly-decreasing convergence witness
+    — the driver sees one scalar per round, never the labels.
+    """
+    from ray.data.aggregate import Min
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges_dir = edges.map_batches(both, batch_format="pyarrow").materialize()
+    # data-proportional round width: unions + groupbys otherwise COMPOUND
+    # block counts across rounds (24 -> 96 -> 312 ... on a toy graph) and
+    # the fixpoint loop slows down instead of staying O(E+V) per round
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(1, min(2 * n_cpus, int(edges_dir.count()) // 65536 + 1))
+    edges_dir = edges_dir.repartition(width).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("src").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "label": pa.array(u, pa.int64())}
+        )
+
+    labels = (
+        edges_dir.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .repartition(width)
+        .materialize()
+    )
+    if edges_dir.count() == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "component_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+                "csize": pa.array([], pa.int64()),
+            }
+        )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("node"),
+                "other": pa.array(np.full(n, -1), pa.int64()),
+                "label": batch.column("label"),
+                "is_label": pa.array(np.ones(n, bool), pa.bool_()),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("src"),
+                "other": batch.column("dst"),
+                "label": pa.array(np.full(n, -1), pa.int64()),
+                "is_label": pa.array(np.zeros(n, bool), pa.bool_()),
+            }
+        )
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        h = batch.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()),
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        is_lab = group.column("is_label").to_numpy(zero_copy_only=False).astype(bool)
+        ks = group.column("k").to_numpy(zero_copy_only=False)
+        others = group.column("other").to_numpy(zero_copy_only=False)
+        labs = group.column("label").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(is_lab)
+        order = np.argsort(ks[li], kind="stable")
+        lk, lv = ks[li][order], labs[li][order]
+        ei = np.flatnonzero(~is_lab)
+        # every edge src has a label row in its own bucket by construction
+        pos = np.searchsorted(lk, ks[ei])
+        return pa.table(
+            {
+                "node": pa.array(others[ei], pa.int64()),
+                "label": pa.array(lv[pos], pa.int64()),
+            }
+        )
+
+    def ptr_edges(batch: pa.Table) -> pa.Table:
+        """Current label pointers as extra (src, dst) edges, both ways —
+        the pointer-doubling half of hash-to-min."""
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        nz = node != lab
+        n, l = node[nz], lab[nz]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([n, l]), pa.int64()),
+                "dst": pa.array(np.concatenate([l, n]), pa.int64()),
+            }
+        )
+
+    _dbg = bool(os.environ.get("WCSE_CC_DEBUG"))
+    prev_sum = int(labels.sum("label"))
+    for _round in range(max_rounds):
+        _t0 = _time.time() if _dbg else 0.0
+        round_edges = edges_dir.union(
+            labels.map_batches(ptr_edges, batch_format="pyarrow")
+        )
+        msgs = (
+            labels.map_batches(label_rows, batch_format="pyarrow")
+            .union(round_edges.map_batches(edge_rows, batch_format="pyarrow"))
+            .map_batches(bucketed, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(send, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.union(labels.select_columns(["node", "label"]))
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(width)
+            .materialize()
+        )
+        cur_sum = int(labels.sum("label"))
+        if _dbg:
+            print(
+                f"cc round {_round}: {_time.time() - _t0:.1f}s "
+                f"blocks={labels.num_blocks()} sum={cur_sum}",
+                flush=True,
+            )
+        if cur_sum == prev_sum:  # labels are non-increasing: fixpoint
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+    tbl = collect_table(labels)  # component map == the final result (small)
+    node = tbl.column("node").to_numpy(zero_copy_only=False)
+    comp = tbl.column("label").to_numpy(zero_copy_only=False)
+    order = np.argsort(node, kind="stable")
+    node, comp = node[order], comp[order]
+    _, inv, counts = np.unique(comp, return_inverse=True, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(node, pa.int64()),
+            "component_id": pa.array(comp, pa.int64()),
+            "keep": pa.array((node == comp).astype(np.int64), pa.int64()),
+            "csize": pa.array(counts[inv].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def dedup_components(sf_dir: str) -> pa.Table:
+    """Near-dup clusters over the documents table: connected components of
+    the exact-verified MinHash-LSH pair graph (`_minhash_verified_pairs`),
+    one row per clustered doc with its component id (= min doc_id in the
+    cluster), a keep flag on the canonical doc, and the cluster size —
+    the dedup GROUP operator an LLM-data pipeline applies after pairwise
+    near-dup detection (keep one doc per cluster, drop the rest)."""
+    pairs = _minhash_verified_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    return connected_components(pairs)
 
 
 def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
