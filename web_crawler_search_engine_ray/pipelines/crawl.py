@@ -54,7 +54,7 @@ from ..sources.synthetic_web import CrawlConfig
 from ..stages import schedule as SCH
 from ..stages.extract import analyze_batch, explode_token_partials, extract_links_batch
 from ..stages.fetch import make_fetch_fn, filter_scrapeable
-from ..stages.util import zip_with_index_counted
+from ..stages.util import split_prefix_zip, zip_with_index_counted
 from ..state.checkpoint import (
     begin_checkpoint,
     clear_wave_outputs,
@@ -287,31 +287,29 @@ def run_crawl(
         pre = frontier
         if priority_fn is not None:
             pre = pre.map_batches(priority_fn, batch_format="pyarrow")
+        # ONE fused execution: politeness groupby + robots marks + the
+        # global dispatch sort. ACTION_FETCH (=0) leads the sort key, so
+        # dispatched rows form a contiguous global prefix in dispatch
+        # order and split_prefix_zip below peels them off the materialized
+        # blocks with zero-copy slices — no second filter+sort execution.
         scheduled = (
             pre.map_batches(robots_fn, batch_format="pyarrow")
             .groupby("host")
             .map_groups(schedule_fn, batch_format="pyarrow")
             .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
+            .sort(["action", "virtual_ts", "host", "discovery_seq"])
             .materialize()
         )
         _tock("schedule", _t)
 
-        def _action_rows(batch: pa.Table, act: int) -> pa.Table:
-            # mask filter in map_batches (schema-preserving on empty output,
-            # unlike expression filters which can prune the schema away)
-            if batch.num_rows == 0 or "action" not in batch.column_names:
-                return batch
-            return batch.filter(pc.equal(batch.column("action"), act))
-
-        # --- dispatched, in deterministic dispatch order ---
-        dispatched = scheduled.map_batches(
-            lambda b: _action_rows(b, SCH.ACTION_FETCH), batch_format="pyarrow"
-        )
         _t = _tick()
-        # coarse shuffle blocks upstream; the stamp step re-splits toward
-        # ~2 blocks/core so the fetch/tokenize join fans out fully
-        ordered, n_dispatched = zip_with_index_counted(
-            dispatched.sort(["virtual_ts", "host", "discovery_seq"]),
+        # stamp re-splits toward ~2 blocks/core so the fetch/tokenize join
+        # fans out fully; rest_refs carry the CARRY/BLOCKED remainder for
+        # the frontier writer
+        ordered, n_dispatched, rest_refs = split_prefix_zip(
+            scheduled,
+            "action",
+            SCH.ACTION_CARRY,
             "seq",
             lineage_counter,
             target_splits=2 * target_blocks,
@@ -472,7 +470,7 @@ def run_crawl(
         fdir = os.path.join(tmp_dir, "frontier")
         futs = [
             _write_frontier_block.remote(r, SCH.ACTION_CARRY, fdir)
-            for r in scheduled.to_arrow_refs()
+            for r in rest_refs
         ]
         if n_fresh:
             futs += [

@@ -26,6 +26,23 @@ def _slice_block(table: pa.Table, offset: int, length: int) -> pa.Table:
     return table.slice(offset, length)
 
 
+@ray.remote
+def _prefix_len(table: pa.Table, col: str, upper: int) -> int:
+    """Rows in the block's prefix with table[col] < upper (col sorted asc)."""
+    import numpy as np
+
+    a = table.column(col).to_numpy(zero_copy_only=False)
+    return int(np.searchsorted(a, upper, side="left"))
+
+
+@ray.remote
+def _slice_stamp(table: pa.Table, length: int, col: str, start: int) -> pa.Table:
+    t = table.slice(0, length)
+    if col in t.column_names:
+        t = t.drop_columns([col])
+    return t.append_column(col, pa.array(range(start, start + length), pa.int64()))
+
+
 def zip_with_index(ds: "ray.data.Dataset", col: str, start: int) -> "ray.data.Dataset":
     return zip_with_index_counted(ds, col, start)[0]
 
@@ -83,3 +100,58 @@ def zip_with_index_counted(
     if not out_refs:
         return mat, 0
     return ray.data.from_arrow_refs(out_refs), total
+
+
+def split_prefix_zip(
+    mat: "ray.data.Dataset",
+    action_col: str,
+    upper: int,
+    col: str,
+    start: int,
+    target_splits: int = 0,
+) -> tuple:
+    """Over a MATERIALIZED dataset globally sorted with ``action_col`` as
+    the leading sort key: split every block into its ``action < upper``
+    prefix and the remainder (zero-copy slices), stamp a dense int64
+    ``col`` across the prefix rows in block order, and re-split the
+    stamped prefix toward ``target_splits`` blocks.
+
+    Returns ``(prefix_ds | None, n_prefix_rows, rest_refs)``.
+
+    This is the dispatch half of the wave loop fused into the schedule
+    execution: the politeness groupby, the global dispatch sort, the seq
+    stamping and the carry-block extraction all ride ONE streaming
+    execution plus one round of tiny per-block tasks — instead of a
+    second filter+sort+materialize run per wave (measured ~0.5 s/wave of
+    pure executor overhead at 32 CPUs on kilobyte-scale waves).
+    """
+    refs_counts = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:
+                n = ray.get(_block_count.remote(ref))
+            if n:
+                refs_counts.append((ref, n))
+    plens = ray.get([_prefix_len.remote(r, action_col, upper) for r, _ in refs_counts])
+    total = sum(plens)
+    chunk = 0
+    if target_splits and total:
+        # same 256-row floor rationale as zip_with_index_counted
+        chunk = max(256, -(-total // target_splits))
+    out_refs, rest_refs = [], []
+    off = start
+    for (r, n), fl in zip(refs_counts, plens):
+        if fl:
+            stamped = _slice_stamp.remote(r, fl, col, off)
+            if chunk and fl > chunk:
+                out_refs.extend(
+                    _slice_block.remote(stamped, i, chunk) for i in range(0, fl, chunk)
+                )
+            else:
+                out_refs.append(stamped)
+            off += fl
+        if n - fl:
+            rest_refs.append(_slice_block.remote(r, fl, n - fl))
+    prefix_ds = ray.data.from_arrow_refs(out_refs) if out_refs else None
+    return prefix_ds, total, rest_refs
