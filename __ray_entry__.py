@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_crawler_search_engine_ray.pipelines import sketch as K
     from web_crawler_search_engine_ray.pipelines import textprep as T
 
+    def _link_pagerank(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.graph import link_pagerank
+
+        return link_pagerank(sf_dir)
+
     def crawl_lineage(sf_dir: str) -> Any:
         return _conf_crawl(sf_dir)["crawl"].lineage()
 
@@ -278,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "dedup_components": C.dedup_components,
         "dedup_simhash": C.dedup_simhash,
+        # --- link-graph rank (crawl frontier prioritization) ---
+        "link_pagerank": _link_pagerank,
         "embedding_neardup": C.embedding_neardup_pairs,
         # --- similarity search ---
         "ann_topk": C.ann_topk_bruteforce,
@@ -320,6 +327,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
     }
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank replay (pipelines/graph.py): integer
+    floor division throughout, so DuckDB reproduces the engine's int64
+    ranks bit-for-bit (no float summation-order hazard)."""
+    head = f"""
+WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT node AS src, 3*node+1 AS dst FROM nodes WHERE 3*node+1 < (SELECT n FROM cnt)
+    UNION ALL SELECT node, 3*node+2 FROM nodes WHERE 3*node+2 < (SELECT n FROM cnt)
+    UNION ALL SELECT node, 3*node+3 FROM nodes WHERE 3*node+3 < (SELECT n FROM cnt)
+    UNION ALL SELECT node, (7*node+3) % (SELECT n FROM cnt) FROM nodes
+  )
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+base AS (SELECT (({scale} // n) * 15) // 100 AS b FROM cnt),
+r0 AS (SELECT node, CAST({scale} // (SELECT n FROM cnt) AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.outdeg)) AS s
+  FROM edges e JOIN r{k - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node,
+         CAST((SELECT b FROM base) + COALESCE(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node AS doc_id, r AS rank_fp FROM r{iters} ORDER BY doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -484,6 +531,7 @@ SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) AS csize
 FROM comp ORDER BY doc_id
 """,
+        "link_pagerank": _pagerank_sql(),
         "dedup_simhash": f"""
             WITH tf AS (
               SELECT doc_id, token, count(*)::BIGINT AS c

@@ -81,7 +81,9 @@ def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
     # a shared pre-generated web (scaling legs) avoids regenerating per leg
     web_dir = os.environ.get("WCSE_BENCH_WEB") or os.path.join(workdir, "web")
     robots, seeds = _bench_web(web_dir)
-    config = CrawlConfig(wave_span=BENCH_WAVE_SPAN)
+    config = CrawlConfig(
+        wave_span=float(os.environ.get("WCSE_BENCH_WAVE_SPAN", BENCH_WAVE_SPAN))
+    )
 
     t0 = time.time()
     out = run_crawl(
@@ -153,6 +155,7 @@ def _bench_queries(sf_dir: str) -> dict:
     import ray.data
 
     from web_crawler_search_engine_ray.pipelines import corpus as C
+    from web_crawler_search_engine_ray.pipelines import graph as G
     from web_crawler_search_engine_ray.pipelines import relational as R
     from web_crawler_search_engine_ray.pipelines import sketch as K
     from web_crawler_search_engine_ray.pipelines import textprep as T
@@ -203,6 +206,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("heavy_hitters_cms", K.heavy_hitters_cms),
         ("pii_redact", T.pii_redact),
         ("quality_gopher", T.quality_gopher),
+        ("link_pagerank", G.link_pagerank),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

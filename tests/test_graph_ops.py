@@ -1,0 +1,86 @@
+"""Tests for the distributed link-graph operators (pipelines/graph.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_pagerank(edges, iters=3, scale=10**12):
+    """Pure-python fixed-point oracle: same integer floor arithmetic as
+    the engine spec (damping 85/100, leak convention for dangling)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale // n) * 15 // 100
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * rank[s]) // (100 * outdeg[s])
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_python_oracle(ray_session):
+    """Engine fixed-point PageRank == python oracle on a graph with a
+    hub, a cycle, duplicate edges (deduped), a self-loop, and a dangling
+    node (mass leaks)."""
+    import ray.data
+
+    from web_crawler_search_engine_ray.pipelines.graph import pagerank
+
+    edges = (
+        [(0, i) for i in range(1, 6)]  # hub fan-out
+        + [(1, 2), (2, 3), (3, 1)]  # cycle
+        + [(4, 4)]  # self-loop
+        + [(5, 0), (5, 0)]  # duplicate edge (must dedupe)
+        + [(6, 7)]  # 7 is dangling (no out-edges): mass leaks
+    )
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = pagerank(ds, iters=3)
+    want = _py_pagerank(edges, iters=3)
+    got_map = dict(
+        zip(got.column("doc_id").to_pylist(), got.column("rank_fp").to_pylist())
+    )
+    assert got_map == want
+
+
+def test_pagerank_partition_invariant(ray_session):
+    """Same ranks regardless of input block layout (int arithmetic is
+    order-independent)."""
+    import ray.data
+
+    from web_crawler_search_engine_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(200, 2))]
+    rows = [{"src": a, "dst": b} for a, b in edges]
+    one = pagerank(ray.data.from_items(rows).repartition(1), iters=3)
+    many = pagerank(ray.data.from_items(rows).repartition(13), iters=3)
+    assert one.equals(many)
+
+
+def test_link_pagerank_matches_duckdb(ray_session):
+    """link_pagerank over sf0.001 == the unrolled-SQL oracle bit-for-bit."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from web_crawler_search_engine_ray.pipelines.graph import link_pagerank
+
+    got = link_pagerank(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.execute(E._pagerank_sql()).arrow()
+    assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+    assert got.column("rank_fp").to_pylist() == want.column("rank_fp").to_pylist()
+    # sanity: total fixed-point mass stays within [0, SCALE]
+    total = sum(got.column("rank_fp").to_pylist())
+    assert 0 < total <= 10**12

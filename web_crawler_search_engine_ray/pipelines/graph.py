@@ -1,0 +1,292 @@
+"""Distributed link-graph analytics over the crawl's URL graph.
+
+The reference crawler treats every frontier URL as equally urgent (FIFO
+queue, `web_crawler/crawler/frontier.py:20`); at 10^10-frontier scale a
+crawler must PRIORITIZE — the standard signal is link-graph PageRank over
+the pages crawled so far.  This module implements PageRank as a
+Ray-Data-native power iteration:
+
+- the graph lives as a distributed ``(src, dst, outdeg)`` edge Dataset —
+  never on the driver;
+- one iteration = ONE bucket-hash shuffle (rank rows and edge rows both
+  route to ``hash(key) % B``; each bucket group attaches rank[src] to its
+  edges with a sorted searchsorted lookup — the same join kernel as
+  `corpus.connected_components`) followed by a C-side
+  ``groupby(node).sum``;
+- arithmetic is FIXED-POINT int64 (ranks scaled by 10^12, per-edge
+  contribution ``(85 * rank) // (100 * outdeg)``, floor division), so the
+  result is bit-identical on any cluster size / block layout AND exactly
+  replayable by the DuckDB oracle's integer arithmetic — no float
+  summation-order hazard;
+- the driver never sees per-node state, only the final (query-result)
+  table.
+
+Dangling nodes (outdeg 0) contribute nothing — their mass leaks, the
+plain power-iteration convention; documented here because the oracle
+replays exactly that.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .corpus import _PAIR_BUCKETS, collect_table
+
+# fixed-point scale for ranks: 10^12 keeps 85*rank well inside int64 even
+# if all mass concentrates on one node (85 * 10^12 << 2^63)
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_ITERS = 3  # fixed unrolled depth — keeps the SQL oracle finite
+
+
+def _bucketed(batch: pa.Table, key: str, nbuck: int) -> pa.Table:
+    h = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return batch.append_column(
+        "bucket",
+        pa.array((h % np.uint64(nbuck)).astype(np.int32), pa.int32()),
+    )
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    iters: int = PR_ITERS,
+    nodes: Optional["ray.data.Dataset"] = None,
+    n_edges_hint: Optional[int] = None,
+) -> pa.Table:
+    """Fixed-point PageRank over an ``(src, dst)`` int64 edge Dataset.
+
+    ``nodes`` (a single ``node`` int64 column) may be passed when the
+    caller already knows the vertex set — skips a distinct-union shuffle;
+    default derives it as the union of srcs and dsts.  ``n_edges_hint``
+    (pre-dedup upper bound) sizes the shuffles without an extra count
+    execution.  Returns the final rank table ``(doc_id, rank_fp)`` sorted
+    by doc_id (the query result itself — small per node; at 10^10 nodes
+    the caller would `write_parquet` the pre-collect Dataset instead,
+    nothing else changes).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    # ---- static prep: distinct edges + per-src out-degree, one shuffle.
+    # Shuffle width and bucket count are DATA-proportional (the
+    # connected_components sizing rule): a kilobyte-scale graph must not
+    # pay a cluster-width AllToAll + hundreds of tiny serial groups per
+    # iteration, while a 10^10-edge graph still fans out to every core.
+    distinct = (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+    if n_edges_hint is None:
+        distinct = distinct.materialize()
+        n_edges = int(distinct.count())
+    else:
+        n_edges = n_edges_hint
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(1, min(2 * n_cpus, n_edges // 65536 + 1))
+    nbuck = max(width, min(_PAIR_BUCKETS, n_edges // 16384 + 1))
+    with_deg = (
+        distinct.repartition(width)
+        .map_batches(
+            lambda b: _bucketed(b, "src", nbuck), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(_attach_outdeg, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([s, d]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    if nodes is None:
+        nodes = (
+            with_deg.map_batches(node_rows, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["node"])
+            .repartition(width)
+        )
+    nodes = nodes.materialize()
+    n = int(nodes.count())
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rank_fp": pa.array([], pa.int64())}
+        )
+    base = (PR_SCALE // n) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    init = PR_SCALE // n
+
+    def init_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank_fp": pa.array(
+                    np.full(batch.num_rows, init, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rows, batch_format="pyarrow").materialize()
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "val": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("node"),
+                "dst": pa.array(np.full(nrows, -1, np.int64), pa.int64()),
+                "deg": pa.array(np.zeros(nrows, np.int64), pa.int64()),
+                "rank_fp": batch.column("rank_fp"),
+                "is_rank": pa.array(np.ones(nrows, bool), pa.bool_()),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("src"),
+                "dst": batch.column("dst"),
+                "deg": batch.column("outdeg"),
+                "rank_fp": pa.array(np.zeros(nrows, np.int64), pa.int64()),
+                "is_rank": pa.array(np.zeros(nrows, bool), pa.bool_()),
+            }
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        is_rank = group.column("is_rank").to_numpy(zero_copy_only=False).astype(bool)
+        ks = group.column("k").to_numpy(zero_copy_only=False)
+        ri = np.flatnonzero(is_rank)
+        order = np.argsort(ks[ri], kind="stable")
+        rk = ks[ri][order]
+        rv = group.column("rank_fp").to_numpy(zero_copy_only=False)[ri][order]
+        ei = np.flatnonzero(~is_rank)
+        if ei.size == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+            )
+        # every edge src has a rank row in its own bucket by construction
+        pos = np.searchsorted(rk, ks[ei])
+        deg = group.column("deg").to_numpy(zero_copy_only=False)[ei]
+        contrib = (PR_DAMP_NUM * rv[pos]) // (PR_DAMP_DEN * deg)
+        return pa.table(
+            {
+                "node": group.column("dst").to_numpy(zero_copy_only=False)[ei],
+                "val": pa.array(contrib, pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("val").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank_fp": pa.array(s + base, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        msgs = (
+            ranks.map_batches(rank_rows, batch_format="pyarrow")
+            .union(with_deg.map_batches(edge_rows, batch_format="pyarrow"))
+            .map_batches(
+                lambda b: _bucketed(b, "k", nbuck), batch_format="pyarrow"
+            )
+            .groupby("bucket")
+            .map_groups(send, batch_format="pyarrow")
+        )
+        ranks = (
+            msgs.union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("val", alias_name="val"))
+            .map_batches(finish, batch_format="pyarrow")
+            .repartition(width)
+            .materialize()
+        )
+
+    tbl = collect_table(ranks)
+    node = tbl.column("node").to_numpy(zero_copy_only=False)
+    rank = tbl.column("rank_fp").to_numpy(zero_copy_only=False)
+    order = np.argsort(node, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(node[order], pa.int64()),
+            "rank_fp": pa.array(rank[order], pa.int64()),
+        }
+    )
+
+
+def _attach_outdeg(group: pa.Table) -> pa.Table:
+    """Within one src-hash bucket: outdeg[src] via sorted run lengths."""
+    src = group.column("src").to_numpy(zero_copy_only=False)
+    dst = group.column("dst").to_numpy(zero_copy_only=False)
+    order = np.argsort(src, kind="stable")
+    s, d = src[order], dst[order]
+    uniq, counts = np.unique(s, return_counts=True)
+    deg = np.repeat(counts, counts)
+    return pa.table(
+        {
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "outdeg": pa.array(deg.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _doc_link_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic link graph over the documents table (the synthetic
+    stand-in for crawl-extracted links, same arithmetic family as
+    `sources.conformance_web.conf_links`): doc d links to 3d+1, 3d+2,
+    3d+3 (when < N) and (7d+3) mod N.  N = documents row count."""
+    from .corpus import _docs
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = int(docs.count())
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs, dsts = [], []
+        for mul_off in ((3, 1), (3, 2), (3, 3)):
+            t = mul_off[0] * d + mul_off[1]
+            m = t < n
+            srcs.append(d[m])
+            dsts.append(t[m])
+        srcs.append(d)
+        dsts.append((7 * d + 3) % n)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
+def link_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the documents link graph: 3 fixed-point iterations,
+    damping 85/100, scale 10^12.  Returns (doc_id, rank_fp) per doc."""
+    from .corpus import _docs
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = int(docs.count())
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    return pagerank(
+        _doc_link_edges(sf_dir), iters=PR_ITERS, nodes=nodes, n_edges_hint=4 * n
+    )
