@@ -241,8 +241,10 @@ def run_once(num_cpus: int, with_queries: bool = True, with_index: bool = True) 
     }
 
 
-def _run_leg(n: int, mode: str, web_dir: str) -> dict:
+def _run_leg(n: int, mode: str, web_dir: str, num_docs: int = 0) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(n), WCSE_BENCH_WEB=web_dir)
+    if num_docs:
+        env["WCSE_BENCH_DOCS"] = str(num_docs)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), mode],
         env=env,
@@ -254,14 +256,16 @@ def _run_leg(n: int, mode: str, web_dir: str) -> dict:
     return json.loads(line)
 
 
-def _scaling_sweep(lo: int, hi: int, mode: str) -> dict:
+def _scaling_sweep(lo: int, hi: int, mode: str, num_docs: int = 100_000) -> dict:
     """Same job at two parallelism levels in FRESH back-to-back processes
     over ONE pre-generated web — the sandbox stand-in for the north_rule's
     N vs 4N cluster sizes (see BASELINE.md for how to read single-box
-    numbers)."""
+    numbers). Default web is 100k docs: waves are then large enough that
+    the per-wave coordination constant stops dominating the small-CPU leg
+    (the regime the 10^10-frontier rule targets; see the wavescale curve)."""
     web_dir = tempfile.mkdtemp(prefix="wcse_scaling_web_")
     try:
-        results = {n: _run_leg(n, mode, web_dir) for n in (lo, hi)}
+        results = {n: _run_leg(n, mode, web_dir, num_docs) for n in (lo, hi)}
     finally:
         shutil.rmtree(web_dir, ignore_errors=True)
     factor = hi / lo
@@ -288,7 +292,10 @@ def _scaling_sweep(lo: int, hi: int, mode: str) -> dict:
 
 
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
-    sweep = _scaling_sweep(lo, hi, "--child")
+    # full-pipeline legs (crawl + index build): 30k docs keeps the index
+    # shuffle per leg in the minutes range; the headline crawl/tokenize
+    # efficiency evidence comes from the default bench's 100k-doc sweep
+    sweep = _scaling_sweep(lo, hi, "--child", num_docs=30_000)
     # Headline = the compute-bound stage (tokenize): on one box the two
     # "cluster sizes" share a single memory bus, object store and disk, so
     # shuffle/sink-bound phases under-measure what N->4N NODES would give
