@@ -168,6 +168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_pagerank(sf_dir)
 
+    def _anchor_texts(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.graph import anchor_texts
+
+        return anchor_texts(sf_dir)
+
     def crawl_lineage(sf_dir: str) -> Any:
         return _conf_crawl(sf_dir)["crawl"].lineage()
 
@@ -285,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": C.dedup_simhash,
         # --- link-graph rank (crawl frontier prioritization) ---
         "link_pagerank": _link_pagerank,
+        "anchor_texts": _anchor_texts,
         "embedding_neardup": C.embedding_neardup_pairs,
         # --- similarity search ---
         "ann_topk": C.ann_topk_bruteforce,
@@ -532,6 +538,33 @@ SELECT doc_id, component_id,
 FROM comp ORDER BY doc_id
 """,
         "link_pagerank": _pagerank_sql(),
+        # anchor-text replay: the j-th out-link of doc d (link order =
+        # the three 3d+k targets that exist, then (7d+3) mod n) carries
+        # T1 tokens[3j:3j+3] (1-based list slice 3j+1..3j+3 in DuckDB)
+        "anchor_texts": f"""
+WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+raw AS (
+  SELECT doc_id, 3*doc_id+1 AS dst, 0 AS ord FROM documents WHERE 3*doc_id+1 < (SELECT n FROM cnt)
+  UNION ALL SELECT doc_id, 3*doc_id+2, 1 FROM documents WHERE 3*doc_id+2 < (SELECT n FROM cnt)
+  UNION ALL SELECT doc_id, 3*doc_id+3, 2 FROM documents WHERE 3*doc_id+3 < (SELECT n FROM cnt)
+  UNION ALL SELECT doc_id, (7*doc_id+3) % (SELECT n FROM cnt), 3 FROM documents
+),
+links AS (
+  SELECT doc_id AS src, dst,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::BIGINT AS j
+  FROM raw
+),
+anchor AS (
+  SELECT l.dst AS doc_id, t.tk[3*l.j + 1 + off.k] AS token
+  FROM links l
+  JOIN toks t ON t.doc_id = l.src
+  CROSS JOIN (VALUES (0), (1), (2)) AS off(k)
+  WHERE 3*l.j + 1 + off.k <= len(t.tk)
+)
+SELECT doc_id, token, COUNT(*)::BIGINT AS anchor_tf
+FROM anchor GROUP BY doc_id, token
+""",
         "dedup_simhash": f"""
             WITH tf AS (
               SELECT doc_id, token, count(*)::BIGINT AS c

@@ -207,6 +207,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("pii_redact", T.pii_redact),
         ("quality_gopher", T.quality_gopher),
         ("link_pagerank", G.link_pagerank),
+        ("anchor_texts", G.anchor_texts),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -66,6 +66,45 @@ def test_pagerank_partition_invariant(ray_session):
     assert one.equals(many)
 
 
+def test_anchor_texts_matches_python_oracle(ray_session):
+    """Engine anchor aggregation == a direct python replay of the spec
+    (j-th out-link carries tokens[3j:3j+3], duplicates kept)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.functions.text import tokenize
+    from web_crawler_search_engine_ray.pipelines.graph import anchor_texts
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    n = len(ids)
+    want: Counter = Counter()
+    for d, text in zip(ids, texts):
+        toks = tokenize(text)
+        targets = [t for t in (3 * d + 1, 3 * d + 2, 3 * d + 3) if t < n]
+        targets.append((7 * d + 3) % n)
+        for j, t in enumerate(targets):
+            for tok in toks[3 * j : 3 * j + 3]:
+                want[(t, tok)] += 1
+    got_tbl = anchor_texts(SF).to_arrow_refs()
+    import pyarrow as pa
+    import ray
+
+    got_cat = pa.concat_tables([t for t in ray.get(got_tbl) if t.num_rows])
+    got = dict(
+        zip(
+            zip(
+                got_cat.column("doc_id").to_pylist(),
+                got_cat.column("token").to_pylist(),
+            ),
+            got_cat.column("anchor_tf").to_pylist(),
+        )
+    )
+    assert got == dict(want)
+
+
 def test_link_pagerank_matches_duckdb(ray_session):
     """link_pagerank over sf0.001 == the unrolled-SQL oracle bit-for-bit."""
     import duckdb

@@ -277,6 +277,65 @@ def _doc_link_edges(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(gen, batch_format="pyarrow")
 
 
+def anchor_texts(sf_dir: str) -> "ray.data.Dataset":
+    """Anchor-text aggregation over the documents link graph — the
+    classic in-link relevance signal an indexer folds into a target
+    page's postings (absent from the reference, which indexes only the
+    page's own text; standard in web-scale search and LLM-corpus URL
+    labeling).
+
+    The j-th out-link of doc d (same `_doc_link_edges` arithmetic,
+    duplicates kept in link order) carries tokens[3j:3j+3] of d's T1
+    token stream as its anchor text.  Counts aggregate per
+    (target doc_id, token): an in-batch Counter combiner first, then ONE
+    groupby(doc_id, token) shuffle — the map-side-combine + single
+    exchange shape that holds at 10^10 edges (anchor rows are bounded by
+    3 tokens x out-degree, never by page length)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import tokenize
+    from .corpus import _docs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = int(docs.count())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        combine: Counter = Counter()
+        for d, text in zip(ids, texts):
+            toks = tokenize(text)
+            targets = [t for t in (3 * d + 1, 3 * d + 2, 3 * d + 3) if t < n]
+            targets.append((7 * d + 3) % n)
+            for j, t in enumerate(targets):
+                for tok in toks[3 * j : 3 * j + 3]:
+                    combine[(t, tok)] += 1
+        if not combine:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        keys, cnts = zip(*combine.items())
+        return pa.table(
+            {
+                "doc_id": pa.array([k[0] for k in keys], pa.int64()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .aggregate(Sum("c", alias_name="anchor_tf"))
+    )
+
+
 def link_pagerank(sf_dir: str) -> pa.Table:
     """PageRank over the documents link graph: 3 fixed-point iterations,
     damping 85/100, scale 10^12.  Returns (doc_id, rank_fp) per doc."""
