@@ -148,10 +148,17 @@ def build_index(
         _pq.write_table(cat, os.path.join(cat_dir, part))
         return tokenize_batch(b)
 
+    # batch_size trades tokenize-task memory against the token-shuffle
+    # GRID: the groupby's sort-shuffle creates (map blocks x reduce
+    # partitions) sub-objects, and at ~500 blocks (batch 64 over 31.5k
+    # pages) the ~250k tiny shuffle objects put gigabytes of block
+    # metadata in the driver. 256 pages/batch keeps a task's postings
+    # under ~50 MB while cutting the grid 16x.
+    tok_batch = int(os.environ.get("WCSE_TOKENIZE_BATCH", 256))
     postings_raw = hashed.map_batches(
         _tokenize_catalog,
         batch_format="pyarrow",
-        batch_size=64,
+        batch_size=tok_batch,
         num_cpus=1,
     )
     scored = (
