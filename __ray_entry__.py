@@ -173,6 +173,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return anchor_texts(sf_dir)
 
+    def _embedding_kmeans(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.cluster import embedding_kmeans
+
+        return embedding_kmeans(sf_dir)
+
+    def _ann_topk_lsh(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.cluster import ann_topk_lsh
+
+        return ann_topk_lsh(sf_dir)
+
     def crawl_lineage(sf_dir: str) -> Any:
         return _conf_crawl(sf_dir)["crawl"].lineage()
 
@@ -298,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle on the IVF machinery; approximation quality (nprobe <
         # nlist) is covered by tests/test_corpus_ops.py recall bounds
         "ann_topk_ivf": lambda sf_dir: C.ann_topk_ivf(sf_dir, nlist=16, nprobe=16),
+        "ann_topk_lsh": _ann_topk_lsh,
+        # --- embedding clustering (fixed-point distributed k-means) ---
+        "embedding_kmeans": _embedding_kmeans,
         # --- relational dataflow ---
         "pricing_summary": R.pricing_summary,
         "top_customers": R.top_customers,
@@ -964,4 +977,87 @@ FROM anchor GROUP BY doc_id, token
               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
             ) <= 10
         """,
+        # sign-random-projection LSH: +-1 hyperplane entries from
+        # mix32(t*10007 + b*257 + dim, 77) & 1; exact cosine ONLY for
+        # code-colliding pairs (pipelines/cluster.py ann_topk_lsh)
+        "ann_topk_lsh": f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+tb AS (SELECT t.t, b.b FROM (SELECT unnest(range(0, 4)) AS t) t,
+                            (SELECT unnest(range(0, 8)) AS b) b),
+keys AS (SELECT t, b, dim, (t*10007 + b*257 + dim)::BIGINT AS k1
+         FROM tb CROSS JOIN dims),
+{_mix_sql("keys", "k1", "77")},
+signs AS (SELECT t, b, dim, CASE WHEN mixh % 2 = 1 THEN 1 ELSE -1 END AS s
+          FROM s5),
+pts AS (SELECT e.vec_id, d.dim,
+               CAST(floor(e.embedding[d.dim]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS x
+        FROM embeddings e CROSS JOIN dims d),
+bits AS (
+  SELECT p.vec_id, g.t, g.b,
+         CASE WHEN SUM(g.s * p.x) > 0 THEN 1 ELSE 0 END AS bit
+  FROM pts p JOIN signs g ON g.dim = p.dim
+  GROUP BY p.vec_id, g.t, g.b
+),
+codes AS (SELECT vec_id, t, SUM(bit * (1 << b))::BIGINT AS code
+          FROM bits GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vid
+  FROM codes q JOIN codes v ON v.t = q.t AND v.code = q.code
+  WHERE q.vec_id < 8
+)
+SELECT c.query_id, c.vid AS vec_id,
+       CAST(floor(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000.0 + 0.5) AS BIGINT) AS sim_e4
+FROM cand c
+JOIN embeddings q ON q.vec_id = c.query_id
+JOIN embeddings e ON e.vec_id = c.vid
+QUALIFY row_number() OVER (
+  PARTITION BY c.query_id
+  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, c.vid
+) <= 10
+""",
+        # fixed-point int64 k-means: 2 assignment rounds, 1 centroid
+        # update, init = vectors at vec_id = j*(n//8); all-integer so the
+        # replay is bit-exact (pipelines/cluster.py embedding_kmeans)
+        "embedding_kmeans": """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS dim),
+pts AS (SELECT e.vec_id, d.dim,
+               CAST(floor(e.embedding[d.dim]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS x
+        FROM embeddings e CROSS JOIN dims d),
+cent0 AS (
+  SELECT j.j AS cid, p.dim, p.x
+  FROM (SELECT unnest(range(0, 8)) AS j) j
+  JOIN pts p ON p.vec_id = j.j * (SELECT n // 8 FROM nn)
+),
+d1 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.x) * (p.x - c.x)) AS dist2
+  FROM pts p JOIN cent0 c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+upd AS (
+  SELECT a1.cid, p.dim,
+         CAST(floor(SUM(p.x)::DOUBLE / COUNT(*)) AS BIGINT) AS x
+  FROM a1 JOIN pts p ON p.vec_id = a1.vec_id
+  GROUP BY a1.cid, p.dim
+),
+cent1 AS (
+  SELECT c0.cid, c0.dim, COALESCE(u.x, c0.x) AS x
+  FROM cent0 c0 LEFT JOIN upd u ON u.cid = c0.cid AND u.dim = c0.dim
+),
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.x) * (p.x - c.x)) AS dist2
+  FROM pts p JOIN cent1 c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cid
+)
+SELECT vec_id, cid AS cluster_id, dist2 FROM (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d2) WHERE rn = 1
+""",
     }

@@ -154,6 +154,7 @@ def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
 def _bench_queries(sf_dir: str) -> dict:
     import ray.data
 
+    from web_crawler_search_engine_ray.pipelines import cluster as CL
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import graph as G
     from web_crawler_search_engine_ray.pipelines import relational as R
@@ -208,6 +209,8 @@ def _bench_queries(sf_dir: str) -> dict:
         ("quality_gopher", T.quality_gopher),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),
+        ("embedding_kmeans", CL.embedding_kmeans),
+        ("ann_topk_lsh", CL.ann_topk_lsh),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

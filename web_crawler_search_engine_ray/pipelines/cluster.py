@@ -1,0 +1,314 @@
+"""Embedding clustering + LSH-bucketed similarity search.
+
+Beyond-reference training-data operators (prompt §"add the operations"):
+
+- ``embedding_kmeans`` — distributed Lloyd k-means over the embeddings
+  table in **fixed-point int64** arithmetic, so every assignment and
+  centroid update is bit-identical on any block layout, any cluster
+  size, AND in the DuckDB replay (no float-summation-order hazard).
+  The per-iteration shuffle carries only O(k x d) partial sums — the
+  classic "centroid state is tiny, data is huge" shape that holds at
+  100 TB (the data passes stream; nothing per-row ever reaches the
+  driver).
+- ``ann_topk_lsh`` — sign-random-projection LSH (Charikar 2002) as the
+  bucketed scale path for similarity search: NT hash tables of NB-bit
+  hyperplane-sign codes; only (query, vector) pairs that collide in at
+  least one table get an exact cosine — per-batch sim work is the
+  candidate fraction of brute force (measured by
+  ``lsh_planned_sim_fraction``, pinned in tests). The hyperplanes have
+  +-1 entries drawn from the repo's mix32 integer avalanche, so a SQL
+  oracle replays code construction bit-for-bit.
+
+Both read only ``vec_id, embedding`` (pruned scan) and never
+materialize the dataset driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.hashing import mix32_batch
+from .corpus import (
+    ANN_NUM_QUERIES,
+    ANN_TOP_K,
+    _emb,
+    _list_col_matrix,
+    _load_embedding_matrix,
+)
+
+__all__ = [
+    "embedding_kmeans",
+    "ann_topk_lsh",
+    "lsh_planned_sim_fraction",
+]
+
+FP_SCALE = 1_000_000  # embedding fixed-point scale (floor(x*1e6 + 0.5))
+KMEANS_K = 8
+KMEANS_ITERS = 2  # assignment rounds (one centroid update between them)
+
+LSH_TABLES = 4
+LSH_BITS = 8
+LSH_SALT = 77
+
+
+def _fp_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) int64 fixed-point matrix, the shared
+    floor(x*1e6 + 0.5) formula (float32 -> float64 cast is exact on both
+    sides)."""
+    m = _list_col_matrix(col)
+    return np.floor(m * FP_SCALE + 0.5).astype(np.int64)
+
+
+def _dist2(x_fp: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) int64 squared L2 distances — exact integer arithmetic
+    (|x_fp| <= ~1e7, 64 dims: every term < 2^63)."""
+    xx = (x_fp * x_fp).sum(axis=1)[:, None]
+    cc = (cents * cents).sum(axis=1)[None, :]
+    return xx - 2 * (x_fp @ cents.T) + cc
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the vectors at vec_id = j * (n // k) — a tiny
+    keyed pushdown read (at 100 TB this stays k rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    n = ds.count_rows()
+    step = n // k
+    want = pa.array([j * step for j in range(k)], pa.int64())
+    t = ds.to_table(
+        columns=["vec_id", "embedding"], filter=pc.field("vec_id").isin(want)
+    )
+    order = np.argsort(np.asarray(t.column("vec_id"), dtype=np.int64))
+    return _fp_matrix(t.column("embedding"))[order]
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> "ray.data.Dataset":
+    """Distributed fixed-point k-means: ``iters`` assignment rounds with a
+    centroid update between consecutive rounds. Per update round the only
+    shuffle is (cluster, dim, partial-sum) rows -> ``groupby.sum`` to
+    k x d cells; new centroid = floor(sum / count) (exact: sums < 2^53 so
+    the double division floors correctly), empty clusters keep their
+    previous centroid. Returns the final (vec_id, cluster_id, dist2)
+    assignment as a streaming Dataset."""
+    from ray.data.aggregate import Sum
+
+    cents = _init_centroids(sf_dir, k)
+
+    for _ in range(iters - 1):
+        cref = ray.put(cents)
+
+        def partials(batch: pa.Table, _cref=cref) -> pa.Table:
+            C = ray.get(_cref)
+            x = _fp_matrix(batch.column("embedding"))
+            if not len(x):
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.int64()),
+                    }
+                )
+            assign = np.argmin(_dist2(x, C), axis=1)  # ties -> lowest cid
+            cl, dims, sums = [], [], []
+            for j in np.unique(assign):
+                member_sum = x[assign == j].sum(axis=0)  # exact int64
+                d = x.shape[1]
+                cl.extend([int(j)] * (d + 1))
+                dims.extend(range(1, d + 1))
+                sums.extend(member_sum.tolist())
+                dims.append(0)  # dim 0 carries the member count
+                sums.append(int((assign == j).sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(cl, pa.int64()),
+                    "dim": pa.array(dims, pa.int64()),
+                    "s": pa.array(sums, pa.int64()),
+                }
+            )
+
+        cells = (
+            _emb(sf_dir, ["embedding"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .to_arrow_refs()
+        )
+        tbl = pa.concat_tables([t for t in ray.get(cells) if t.num_rows])
+        cl = np.asarray(tbl.column("cluster"), dtype=np.int64)
+        dim = np.asarray(tbl.column("dim"), dtype=np.int64)
+        s = np.asarray(tbl.column("s"), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        counts[cl[dim == 0]] = s[dim == 0]
+        new = cents.copy()  # empty clusters keep their centroid
+        mask = dim > 0
+        sums = np.zeros((k, cents.shape[1]), dtype=np.int64)
+        sums[cl[mask], dim[mask] - 1] = s[mask]
+        nonempty = counts > 0
+        new[nonempty] = np.floor(
+            sums[nonempty].astype(np.float64) / counts[nonempty, None]
+        ).astype(np.int64)
+        cents = new
+
+    fref = ray.put(cents)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        C = ray.get(fref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        x = _fp_matrix(batch.column("embedding"))
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        d2 = _dist2(x, C)
+        assign = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(assign.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d2[np.arange(len(ids)), assign], pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        assign_rows, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def _lsh_signs(d: int) -> np.ndarray:
+    """(NT, NB, d) +-1 hyperplane entries from mix32(t*10007 + b*257 + dim,
+    LSH_SALT) & 1 — dim is 1-based so the SQL replay indexes lists
+    directly. Key ranges never collide (dim <= 256 < 257, b*257 < 10007)."""
+    t = np.arange(LSH_TABLES, dtype=np.int64)[:, None, None]
+    b = np.arange(LSH_BITS, dtype=np.int64)[None, :, None]
+    dim = np.arange(1, d + 1, dtype=np.int64)[None, None, :]
+    keys = (t * 10007 + b * 257 + dim).reshape(-1)
+    bits = (mix32_batch(keys, LSH_SALT) & np.uint64(1)).astype(np.int64)
+    return (bits * 2 - 1).reshape(LSH_TABLES, LSH_BITS, d)
+
+
+def _lsh_codes(x_fp: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """(n, NT) int64 bucket codes: bit b of table t is 1 iff
+    sum_d signs[t,b,d] * x_fp[d] > 0 (exact int64 — no float order
+    hazard)."""
+    # (NT*NB, d) @ (d, n) -> (NT, NB, n)
+    dots = (signs.reshape(-1, signs.shape[2]) @ x_fp.T).reshape(
+        signs.shape[0], signs.shape[1], -1
+    )
+    bits = (dots > 0).astype(np.int64)
+    weights = (1 << np.arange(LSH_BITS, dtype=np.int64))[None, :, None]
+    return (bits * weights).sum(axis=1).T  # (n, NT)
+
+
+def _query_side(sf_dir: str):
+    ids, mat = _load_embedding_matrix(sf_dir)
+    signs = _lsh_signs(mat.shape[1])
+    qmask = ids < ANN_NUM_QUERIES
+    q_ids, q_mat = ids[qmask], mat[qmask]
+    q_fp = np.floor(q_mat * FP_SCALE + 0.5).astype(np.int64)
+    q_codes = _lsh_codes(q_fp, signs)
+    return q_ids, q_mat, q_codes, signs
+
+
+def lsh_planned_sim_fraction(sf_dir: str) -> float:
+    """Fraction of the nq x n exact-sim work the LSH candidate set keeps —
+    the compute saving that justifies the bucketing (pinned << 1 in
+    tests)."""
+    q_ids, _q_mat, q_codes, signs = _query_side(sf_dir)
+    ids, mat = _load_embedding_matrix(sf_dir)
+    codes = _lsh_codes(np.floor(mat * FP_SCALE + 0.5).astype(np.int64), signs)
+    match = (q_codes[:, None, :] == codes[None, :, :]).any(axis=2)
+    return float(match.sum()) / float(len(q_ids) * len(ids))
+
+
+def ann_topk_lsh(sf_dir: str) -> "ray.data.Dataset":
+    """LSH-bucketed cosine top-k: exact sims computed ONLY for (query,
+    vector) pairs whose codes collide in >= 1 of the NT tables; per-batch
+    top-k prune, then one groupby(query_id) merge. Queries with fewer
+    than k candidates return fewer rows — the SQL oracle replays the
+    identical candidate set, so the driver hash still matches."""
+    q_ids, q_mat, q_codes, signs = _query_side(sf_dir)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bref = ray.put((q_ids, q_mat, q_norms, q_codes, signs))
+    k = ANN_TOP_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi_ids, qm, qn, qc, S = ray.get(bref)
+        bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if not len(bids):
+            return empty
+        bmat = _list_col_matrix(batch.column("embedding"))
+        bcodes = _lsh_codes(np.floor(bmat * FP_SCALE + 0.5).astype(np.int64), S)
+        match = (qc[:, None, :] == bcodes[None, :, :]).any(axis=2)  # (nq, nb)
+        qi, vi = np.nonzero(match)
+        if not len(qi):
+            return empty
+        # exact cosine per colliding pair only — O(pairs x d), not nq x nb x d
+        bnorms = np.sqrt((bmat * bmat).sum(axis=1))
+        sims = (qm[qi] * bmat[vi]).sum(axis=1) / (qn[qi] * bnorms[vi])
+        out_q, out_v, out_s = [], [], []
+        for r in np.unique(qi):
+            sel = np.nonzero(qi == r)[0]
+            if len(sel) > k:
+                sel = sel[np.argpartition(-sims[sel], k)[:k]]
+            out_q.extend([int(qi_ids[r])] * len(sel))
+            out_v.extend(bids[vi[sel]].tolist())
+            out_s.extend(sims[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        g = group.take(order[:k])
+        sim_e4 = np.floor(
+            g.column("sim").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "vec_id": g.column("vec_id"),
+                "sim_e4": pa.array(sim_e4, pa.int64()),
+            }
+        )
+
+    return (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
