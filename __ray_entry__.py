@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text prep (PII scrub, Gopher-style quality gate) ---
         "pii_redact": T.pii_redact,
         "quality_gopher": T.quality_gopher,
+        "decontaminate": T.decontaminate,
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
         #     conformance vs the python oracle lives in tests/) ---
@@ -868,6 +869,35 @@ FROM anchor GROUP BY doc_id, token
                    regexp_replace(s, '10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
             FROM r2
         """,
+        # decontamination: canary-augmented 8-token windows; benchmark =
+        # doc_id % 97 == 0, truly-contaminated = doc_id % 7 == 3
+        # (pipelines/textprep.py decontaminate)
+        "decontaminate": """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 97 = 0 OR doc_id % 7 = 3
+                 THEN ' benchmark canary alpha beta gamma delta epsilon zeta eta theta'
+                 ELSE '' END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM aug),
+pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM toks),
+grams AS (
+  SELECT doc_id,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                        tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS g
+  FROM pos
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT d.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+       CASE WHEN SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END::BIGINT AS contaminated
+FROM dg d LEFT JOIN bg b ON b.g = d.g
+GROUP BY d.doc_id
+""",
         "quality_gopher": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

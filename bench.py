@@ -207,6 +207,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("heavy_hitters_cms", K.heavy_hitters_cms),
         ("pii_redact", T.pii_redact),
         ("quality_gopher", T.quality_gopher),
+        ("decontaminate", T.decontaminate),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),
         ("embedding_kmeans", CL.embedding_kmeans),

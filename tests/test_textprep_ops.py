@@ -68,3 +68,42 @@ def test_stratified_sample_rates(ray_session):
     n_bulk = sum(base[t] for t in bulk)
     k_bulk = sum(kept.get(t, 0) for t in bulk)
     assert 0.02 < k_bulk / n_bulk < 0.10
+
+
+def test_decontaminate_flags_canary_docs(ray_session):
+    """Contaminated == exactly the doc_id % 7 == 3 training docs (the
+    canary-injected set), each overlapping in >= 3 windows (the 3 fully
+    inside-canary 8-grams); benchmark docs are excluded from the output."""
+    from web_crawler_search_engine_ray.pipelines.textprep import decontaminate
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        _decon_augment,
+        _decon_grams,
+    )
+
+    got = decontaminate(SF).to_pandas().set_index("doc_id")
+    assert not any(i % 97 == 0 for i in got.index)
+    flagged = set(got.index[got["contaminated"] == 1])
+    want_canary = {i for i in got.index if i % 7 == 3}
+    # every canary doc flagged, with at least the 3 inside-canary windows
+    assert want_canary <= flagged
+    assert (got.loc[sorted(want_canary), "n_overlap"] >= 3).all()
+    # full python-oracle replay: flagged == docs sharing any window with
+    # the benchmark side (canary docs + genuine near-dups of bench docs)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pairs = list(
+        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    )
+    bench = set()
+    for d, t in pairs:
+        if d % 97 == 0:
+            bench |= _decon_grams(_decon_augment(d, t))
+    for d, t in pairs:
+        if d % 97 == 0:
+            continue
+        grams = _decon_grams(_decon_augment(d, t))
+        assert got.loc[d, "n_grams"] == len(grams)
+        assert got.loc[d, "n_overlap"] == len(grams & bench)
+    clean = got[got["contaminated"] == 0]
+    assert (clean["n_overlap"] == 0).all()
+    assert (got["n_grams"] > 0).all()

@@ -34,7 +34,7 @@ import ray.data
 
 from .corpus import _TOK_RE, _docs
 
-__all__ = ["pii_redact", "quality_gopher"]
+__all__ = ["pii_redact", "quality_gopher", "decontaminate"]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
 # SAME pattern strings — keep in sync with __ray_entry__.py.
@@ -132,3 +132,92 @@ def quality_gopher(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8  # window length in tokens (13 is common for LLM decontam;
+#                  8 keeps the synthetic docs, avg ~54 tokens, testable)
+DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> the "benchmark" side
+# deterministic injected overlap (the synthetic prose has none), mirrored
+# exactly by the SQL oracle: the canary lands on every benchmark doc and on
+# every doc_id % 7 == 3 doc, so the latter are the true contaminated set.
+DECON_CANARY = (
+    " benchmark canary alpha beta gamma delta epsilon zeta eta theta"
+)
+
+
+def _decon_augment(doc_id: int, text: str) -> str:
+    if doc_id % DECON_BENCH_MOD == 0 or doc_id % 7 == 3:
+        return text + DECON_CANARY
+    return text
+
+
+def _decon_grams(text: str) -> set:
+    toks = _TOK_RE.findall(text.lower())
+    k = DECON_NGRAM
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Training-set decontamination (the eval-overlap gate every LLM data
+    pipeline runs before training — e.g. GPT-3 appendix C / Gopher):
+    flag training documents sharing any DECON_NGRAM-token window with the
+    benchmark set.
+
+    Scale shape: the benchmark side is a handful of eval suites — tiny at
+    ANY corpus scale — so it broadcasts via ``ray.put`` (one shared-memory
+    copy per node, never re-shipped per batch) and the training side
+    streams through one map_batches: no shuffle at all. Per doc we emit
+    (distinct-window count, overlap count, contaminated flag)."""
+    import numpy as np
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out: set = set()
+        for d, t in zip(ids, texts):
+            if d % DECON_BENCH_MOD == 0:
+                out.update(_decon_grams(_decon_augment(d, t)))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    from .corpus import collect_table
+
+    bench_tbl = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_grams, batch_format="pyarrow"
+        )
+    )
+    bench = frozenset(bench_tbl.column("g").to_pylist())
+    ref = ray.put(bench)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        doc_ids, n_grams, n_overlap, flag = [], [], [], []
+        for d, t in zip(ids, texts):
+            if d % DECON_BENCH_MOD == 0:
+                continue
+            grams = _decon_grams(_decon_augment(d, t))
+            if not grams:
+                continue
+            ov = len(grams & bset)
+            doc_ids.append(d)
+            n_grams.append(len(grams))
+            n_overlap.append(ov)
+            flag.append(1 if ov else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_overlap": pa.array(n_overlap, pa.int64()),
+                "contaminated": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
