@@ -122,6 +122,15 @@ def _dedup_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 _PAIR_BUCKETS = 256  # coarse shuffle buckets for pair emission
 
 
+def _proportional_buckets(n_rows: int, rows_per_bucket: int = 4096) -> int:
+    """Shuffle-bucket count proportional to input size, capped at
+    _PAIR_BUCKETS: a groupby's executor cost grows with groups x blocks,
+    so kilobyte-scale inputs shuffle into a handful of groups while
+    10^8-row inputs still fan out to the full width. Bucket count never
+    changes RESULTS (hash routing only) — only granularity."""
+    return max(1, min(_PAIR_BUCKETS, n_rows // rows_per_bucket + 1))
+
+
 def _emit_run_pairs(
     keys: np.ndarray, docs: np.ndarray, max_run: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -599,14 +608,23 @@ def _verify_pairs_distributed(
             }
         )
 
+    sets_ds = docs.map_batches(sh_sets, batch_format="pyarrow").materialize()
+    n_sets = int(sets_ds.count())
+    # data-proportional shuffle: the two verify hops move O(corpus) shingle
+    # sets; at bench scale (10^3-10^4 docs) a 256-group sort over 64 tiny
+    # blocks is pure executor overhead, so width follows the data
+    nb = _proportional_buckets(n_sets, rows_per_bucket=2048)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    width = max(1, min(2 * n_cpus, n_sets // 65536 + 1))
+    if sets_ds.num_blocks() > 4 * width:
+        sets_ds = sets_ds.repartition(width).materialize()
+
     def _vbucket(batch: pa.Table) -> pa.Table:
         h = np.asarray(batch.column("k"), dtype=np.uint64)
         return batch.append_column(
             "vbucket",
-            pa.array((h % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()),
+            pa.array((h % np.uint64(nb)).astype(np.int32), pa.int32()),
         )
-
-    sets_ds = docs.map_batches(sh_sets, batch_format="pyarrow").materialize()
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "doc_a" not in batch.column_names:
@@ -715,10 +733,12 @@ def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
     The band shuffle groups by a COARSE bucket (band_key64 % 256) rather
     than per band key: the pair kernel re-splits exact equal-key runs
     vectorized inside each bucket group, so there are O(buckets) Python
-    calls, not O(unique band keys). At 10 TB+ the candidate verify joins
-    shingles by doc_id partition; here the candidate set is tiny and
-    broadcast.
+    calls, not O(unique band keys), and the bucket count follows the data
+    (_proportional_buckets). The candidate verify joins shingles by doc_id
+    partition (_verify_pairs_distributed) — no driver materialization.
     """
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+    nb_sig = _proportional_buckets(n_docs * MINHASH_BANDS)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -748,7 +768,7 @@ def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
             {
                 "key64": pa.array(keys, pa.uint64()),
                 "bucket": pa.array(
-                    (keys % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()
+                    (keys % np.uint64(nb_sig)).astype(np.int32), pa.int32()
                 ),
                 "doc_id": pa.array(docs_col, pa.int64()),
             }
