@@ -19,14 +19,18 @@ each wave is a bounded Dataset flowing
                                  └─ sort(parent_seq, offset) → discovery_seq
                                       └─ frontier-block write ► wave K ckpt
 
-The next frontier is handed between waves AS the checkpoint: carry + fresh
-blocks are written by distributed tasks into ``checkpoints/wave=K/frontier``
-and the next wave reads them back — the driver only ever sees per-block
-(host, count) partials (the host set is orders of magnitude smaller than
-the frontier; it seeds the per-wave robots/politeness metadata broadcast).
-Seen-set state checkpoints as per-shard incremental deltas written by the
-shard actors themselves (state/checkpoint.py). Kill/resume replays exactly
-(state restored from deltas; outputs beyond the resume wave cleared).
+The next frontier is handed between waves as OBJECT-STORE REFS (filtered
+carry blocks + fresh blocks, coalesced to a data-proportional width); the
+driver only ever sees per-block (host, count) partials (the host set is
+orders of magnitude smaller than the frontier; it seeds the per-wave
+robots/politeness metadata broadcast). The same refs are written ASYNC as
+per-block parquet into ``checkpoints/wave=K/frontier`` — disk serves
+resume, not the hot path — and wave K is atomically published during wave
+K+1 (one extra re-run wave worst case on a crash). Seen-set state
+checkpoints as per-shard incremental deltas written by the shard actors
+themselves at the wave boundary (state/checkpoint.py). Kill/resume replays
+exactly (state restored from deltas; outputs beyond the resume wave
+cleared; frontier read back from the published checkpoint).
 
 Determinism: dispatch order is (virtual_ts, host, discovery_seq);
 discovery order is (parent dispatch seq, span offset) — both reproduced by
@@ -54,7 +58,12 @@ from ..sources.synthetic_web import CrawlConfig
 from ..stages import schedule as SCH
 from ..stages.extract import analyze_batch, explode_token_partials, extract_links_batch
 from ..stages.fetch import make_fetch_fn, filter_scrapeable
-from ..stages.util import split_prefix_zip, zip_with_index_counted
+from ..stages.util import (
+    coalesce_refs,
+    dataset_from_known_refs,
+    split_prefix_zip,
+    zip_with_index_counted,
+)
 from ..state.checkpoint import (
     begin_checkpoint,
     clear_wave_outputs,
@@ -116,32 +125,50 @@ _FRONTIER_COLS = ["url", "host", "discovery_seq", "depth"]
 _HOSTS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64())])
 
 
-@ray.remote
-def _write_frontier_block(
-    table: pa.Table, action: Optional[int], out_dir: str
-) -> pa.Table:
-    """Write one next-frontier block into the wave's checkpoint staging dir
-    and return only its per-host counts (the frontier itself never travels
-    to the driver). ``action`` filters scheduled blocks to CARRY rows;
-    ``None`` passes fresh-link blocks through. Part names key on the block's
-    min discovery_seq — globally unique (disjoint unique int sets), so task
-    retries overwrite their own file (idempotent)."""
+@ray.remote(num_returns=2)
+def _frontier_block(table: pa.Table, action: Optional[int]):
+    """Project one next-frontier block: CARRY-filter scheduled blocks
+    (``action`` set) or pass fresh-link blocks through (``None``), select
+    the frontier columns, and return ``(per-host counts, frontier table)``.
+    Only the tiny counts table is ever ``ray.get`` by the driver; the
+    frontier table stays in the object store and feeds BOTH the async
+    checkpoint write and the next wave's schedule execution (in-memory
+    wave handoff — disk is for resume, not for the hot path)."""
     if action is not None:
         if table.num_rows == 0 or "action" not in table.column_names:
-            return pa.Table.from_pylist([], schema=_HOSTS_SCHEMA)
+            empty = pa.Table.from_pylist([], schema=_FRONTIER_SCHEMA)
+            return pa.Table.from_pylist([], schema=_HOSTS_SCHEMA), empty
         table = table.filter(pc.equal(table.column("action"), action))
     if table.num_rows == 0:
-        return pa.Table.from_pylist([], schema=_HOSTS_SCHEMA)
-    table = table.select(_FRONTIER_COLS)
-    part = f"part-{pc.min(table.column('discovery_seq')).as_py():012d}.parquet"
-    pq.write_table(table, os.path.join(out_dir, part))
+        empty = pa.Table.from_pylist([], schema=_FRONTIER_SCHEMA)
+        return pa.Table.from_pylist([], schema=_HOSTS_SCHEMA), empty
+    table = table.select(_FRONTIER_COLS).combine_chunks()
     agg = table.group_by("host").aggregate([("discovery_seq", "count")])
-    return pa.table(
+    counts = pa.table(
         {
             "host": agg.column("host"),
             "n": pc.cast(agg.column("discovery_seq_count"), pa.int64()),
         }
     )
+    return counts, table
+
+
+@ray.remote
+def _concat_frontier(*tables: pa.Table) -> pa.Table:
+    return pa.concat_tables(tables).combine_chunks()
+
+
+@ray.remote
+def _write_frontier_group(table: pa.Table, out_dir: str) -> int:
+    """Async checkpoint write of one coalesced frontier block. Part names
+    key on the block's min discovery_seq — globally unique (disjoint
+    unique int sets), so task retries overwrite their own file
+    (idempotent)."""
+    if table.num_rows == 0:
+        return 0
+    part = f"part-{pc.min(table.column('discovery_seq')).as_py():012d}.parquet"
+    pq.write_table(table, os.path.join(out_dir, part))
+    return table.num_rows
 
 
 def _frontier_dataset(rows: List[dict]) -> "ray.data.Dataset":
@@ -257,6 +284,32 @@ def run_crawl(
         kilobyte-scale wave must not shuffle at cluster width — while a
         10^8-row wave still fans out to every core."""
         return min(max(1, n_rows // 65536), 4 * target_blocks)
+
+    def split_refs_dataset(refs, rows) -> "ray.data.Dataset":
+        return dataset_from_known_refs(refs, rows, _FRONTIER_SCHEMA)
+
+    # deferred checkpoint publication: (wave, write_futs, meta, seen_full).
+    # Wave K's frontier parquet writes run async during wave K+1; K is
+    # atomically published once they're done (next checkpoint phase).
+    pending: Optional[tuple] = None
+
+    def _drain_pending() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        pwave, futs, pmeta, pfull = pending
+        if futs:
+            ray.get(futs)
+        finalize_checkpoint(workdir, pwave, pmeta)
+        if pfull:
+            # everything before the full seen snapshot is dead state
+            gc_checkpoints(workdir, pwave)
+        else:
+            # earlier frontier payloads are consumed (resume reads only the
+            # latest complete wave); their seen deltas must survive until
+            # the next full snapshot
+            gc_frontiers(workdir, pwave)
+        pending = None
 
     while frontier_count > 0 and wave < max_waves:
         wave_start = wave * config.wave_span
@@ -394,15 +447,12 @@ def run_crawl(
 
             # --- link extraction → candidates ---
             # extract runs on the fetch stage's fine-grained blocks
-            # (compute parallelism); the tiny candidate rows then coalesce
-            # to a data-proportional width before the dedup shuffle, so the
-            # groupby/sort below never do cluster-width AllToAlls over
-            # kilobytes (links ≈ a few rows per fetched page)
+            # (compute parallelism) and stamps the dedup bucket key inline —
+            # the candidate rows flow STRAIGHT into the dedup groupby (one
+            # AllToAll), instead of paying a separate coalescing repartition
+            # barrier per wave (measured ~0.2-0.3 s/wave of pure executor
+            # overhead; the groupby's own shuffle handles the fan-in).
             extract = link_extractor if link_extractor is not None else extract_links_batch
-            links = fetched.map_batches(
-                lambda b: extract(filter_scrapeable(b), root_domains),
-                batch_format="pyarrow",
-            ).repartition(_shuffle_blocks(4 * n_dispatched))
 
             # within-wave first-wins dedup: keep min (parent_seq, offset)
             # per url. Bucketed on url-hash (256 groups, int32 shuffle key)
@@ -414,6 +464,20 @@ def run_crawl(
                     "ubucket",
                     pa.array((h % np.uint64(256)).astype(np.int32), pa.int32()),
                 )
+
+            links_mat = fetched.map_batches(
+                lambda b: _add_ubucket(extract(filter_scrapeable(b), root_domains)),
+                batch_format="pyarrow",
+            ).materialize()
+            # coalesce the tiny candidate blocks (links ≈ a few rows per
+            # fetched page) to a data-proportional width BEFORE the dedup
+            # shuffle — the groupby/sort AllToAlls pay per block. Done with
+            # driver-side concat tasks over the materialized refs instead
+            # of a repartition AllToAll: same block-width effect, one less
+            # barrier per wave.
+            links = coalesce_refs(
+                links_mat, _shuffle_blocks(4 * n_dispatched)
+            )
 
             def _first_wins_bucket(tbl: pa.Table) -> pa.Table:
                 codes = (
@@ -433,10 +497,8 @@ def run_crawl(
                     pa.array(order[first], pa.int64())
                 ).drop_columns(["ubucket"])
 
-            deduped = (
-                links.map_batches(_add_ubucket, batch_format="pyarrow")
-                .groupby("ubucket")
-                .map_groups(_first_wins_bucket, batch_format="pyarrow")
+            deduped = links.groupby("ubucket").map_groups(
+                _first_wins_bucket, batch_format="pyarrow"
             )
 
             # cross-wave dedup via seen shards (batched, idempotent)
@@ -459,33 +521,74 @@ def run_crawl(
             _tock("links", _t)
             discovery_counter += n_fresh
 
-        # --- wave checkpoint: next frontier written DISTRIBUTED (carry
-        # blocks filtered from the scheduled refs, fresh blocks passed
-        # through), per-shard seen deltas flushed by the shard actors, then
-        # the wave dir is atomically published. The next wave reads the
-        # frontier straight from the checkpoint — the handoff IS the
-        # checkpoint; only (host, count) partials reach the driver. ---
+        # --- wave checkpoint + handoff: carry blocks are filtered from the
+        # scheduled refs and fresh blocks projected by distributed tasks;
+        # only (host, count) partials reach the driver. The next wave's
+        # frontier is the SAME object-store refs (coalesced to a
+        # data-proportional width) — the parquet checkpoint write happens
+        # ASYNC off the critical path and wave K is finalized (atomically
+        # published) during wave K+1's checkpoint phase, once its writes
+        # have long finished. A crash therefore costs at most one extra
+        # re-run wave on resume (the not-yet-published one). Per-shard seen
+        # deltas are still flushed synchronously at the wave boundary — the
+        # delta files must contain exactly this wave's entries. ---
         _t = _tick()
         tmp_dir = begin_checkpoint(workdir, wave)
         fdir = os.path.join(tmp_dir, "frontier")
-        futs = [
-            _write_frontier_block.remote(r, SCH.ACTION_CARRY, fdir)
-            for r in rest_refs
-        ]
+        pairs = [_frontier_block.remote(r, SCH.ACTION_CARRY) for r in rest_refs]
         if n_fresh:
-            futs += [
-                _write_frontier_block.remote(r, None, fdir)
+            pairs += [
+                _frontier_block.remote(r, None)
                 for r in ordered_fresh.to_arrow_refs()
             ]
-        part_hosts = [t for t in ray.get(futs) if t.num_rows]
-        if part_hosts:
-            hc = pa.concat_tables(part_hosts)
+        count_tbls = ray.get([c for c, _ in pairs])
+        block_rows = [
+            int(pc.sum(t.column("n")).as_py()) if t.num_rows else 0
+            for t in count_tbls
+        ]
+        nonzero = [t for t in count_tbls if t.num_rows]
+        if nonzero:
+            hc = pa.concat_tables(nonzero)
             hc = hc.group_by("host").aggregate([("n", "sum")])
             frontier_hosts = sorted(hc.column("host").to_pylist())
-            frontier_count = int(pc.sum(hc.column("n_sum")).as_py())
+            frontier_count = sum(block_rows)
         else:
             frontier_hosts = []
             frontier_count = 0
+
+        # coalesce the non-empty frontier refs into ~_shuffle_blocks groups
+        # (greedy by row count) — the schedule AllToAlls pay per block, and
+        # each group becomes one checkpoint parquet part
+        write_futs: list = []
+        grp_refs: list = []
+        grp_rows: list = []
+        if frontier_count:
+            target_rows = -(-frontier_count // _shuffle_blocks(frontier_count))
+            cur_refs: list = []
+            cur_rows = 0
+            for (c, tref), n in zip(pairs, block_rows):
+                if not n:
+                    continue
+                cur_refs.append(tref)
+                cur_rows += n
+                if cur_rows >= target_rows:
+                    grp_refs.append(
+                        _concat_frontier.remote(*cur_refs)
+                        if len(cur_refs) > 1
+                        else cur_refs[0]
+                    )
+                    grp_rows.append(cur_rows)
+                    cur_refs, cur_rows = [], 0
+            if cur_refs:
+                grp_refs.append(
+                    _concat_frontier.remote(*cur_refs)
+                    if len(cur_refs) > 1
+                    else cur_refs[0]
+                )
+                grp_rows.append(cur_rows)
+            write_futs = [
+                _write_frontier_group.remote(g, fdir) for g in grp_refs
+            ]
         _tock("frontier_write", _t)
 
         # all mark_complete/test_and_add RPCs have settled (each execution
@@ -502,39 +605,27 @@ def run_crawl(
             seen.flush_full(os.path.join(tmp_dir, "seen"))
         else:
             seen.flush_deltas(os.path.join(tmp_dir, "seen"))
-        finalize_checkpoint(
-            workdir,
-            wave,
-            {
-                "wave": wave,
-                "lineage_counter": lineage_counter,
-                "discovery_counter": discovery_counter,
-                "frontier_count": frontier_count,
-                "frontier_hosts": frontier_hosts,
-                "seen_hosts": sorted(seen_hosts),
-                "num_seen_shards": seen.num_shards,
-                "seen_full": seen_full,
-            },
-        )
-        if seen_full:
-            # everything before the full snapshot is dead state
-            gc_checkpoints(workdir, wave)
-        else:
-            # earlier frontier payloads are consumed (resume reads only the
-            # latest complete wave); their seen deltas must survive until
-            # the next full snapshot
-            gc_frontiers(workdir, wave)
+        meta = {
+            "wave": wave,
+            "lineage_counter": lineage_counter,
+            "discovery_counter": discovery_counter,
+            "frontier_count": frontier_count,
+            "frontier_hosts": frontier_hosts,
+            "seen_hosts": sorted(seen_hosts),
+            "num_seen_shards": seen.num_shards,
+            "seen_full": seen_full,
+        }
+        # publish wave-1 (its writes finished during this wave's compute),
+        # then queue this wave's publication behind its async writes
+        _drain_pending()
+        pending = (wave, write_futs, meta, seen_full)
         _tock("checkpoint", _t)
 
         if frontier_count:
-            # data-proportional block count: the schedule groupby / sorts
-            # over the wave-bounded frontier pay per-task overhead per
-            # block, and the compute-heavy fetch stage re-splits later
-            frontier = ray.data.read_parquet(
-                frontier_dir(workdir, wave),
-                override_num_blocks=_shuffle_blocks(frontier_count),
-            )
+            frontier = split_refs_dataset(grp_refs, grp_rows)
         wave += 1
+
+    _drain_pending()
 
     seen.write_final(os.path.join(workdir, "seen_final"))
     metrics = {

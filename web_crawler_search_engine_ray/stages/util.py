@@ -2,15 +2,148 @@
 
 from __future__ import annotations
 
+from typing import List, Optional
+
 import pyarrow as pa
 
 import ray
 import ray.data
 
 
+def dataset_from_known_refs(
+    refs: List["ray.ObjectRef"],
+    row_counts: List[int],
+    schema: Optional[pa.Schema],
+    row_bytes: int = 160,
+) -> "ray.data.Dataset":
+    """Build a Dataset over Arrow-table ObjectRefs whose row counts and
+    schema the caller ALREADY knows — without ``from_arrow_refs``'s one
+    metadata task per ref + blocking ``ray.get`` over all of them.
+
+    In the wave loop every handoff is refs whose shapes were computed
+    driver-side (slice lengths, filter counts), so the metadata round is
+    pure latency: measured ~0.3-0.6 s/wave at 32 CPUs (worse at MORE cpus
+    — the task count grows with the re-split width while the work doesn't).
+    Crucially this never blocks on the refs themselves, so producer tasks
+    (stamp/slice/filter) overlap the next execution's startup instead of
+    being awaited by the driver.
+
+    Uses Ray Data internals pinned to this environment's ray 2.49; falls
+    back to the public ``from_arrow_refs`` if they drift.
+    """
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockMetadata, BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+    except ImportError:  # pragma: no cover - version drift fallback
+        return ray.data.from_arrow_refs(refs)
+    metas = [
+        BlockMetadataWithSchema(
+            BlockMetadata(
+                num_rows=n,
+                size_bytes=n * row_bytes,
+                input_files=None,
+                exec_stats=None,
+            ),
+            schema=schema,
+        )
+        for n in row_counts
+    ]
+    execution_plan = ExecutionPlan(
+        DatasetStats(metadata={"FromArrow": metas}, parent=None),
+        DataContext.get_current().copy(),
+    )
+    logical_plan = LogicalPlan(FromArrow(refs, metas), execution_plan._context)
+    return MaterializedDataset(execution_plan, logical_plan)
+
+
+def arrow_schema_of(ds: "ray.data.Dataset") -> Optional[pa.Schema]:
+    """The underlying pyarrow schema of a (materialized) dataset, without
+    triggering execution."""
+    sch = ds.schema(fetch_if_missing=False)
+    return getattr(sch, "base_schema", None) if sch is not None else None
+
+
+def chunk_floor() -> int:
+    """Target rows per re-split block for the dispatch→fetch handoff when
+    the wave is large (see ``even_chunk``). Env-tunable for experiments."""
+    import os
+
+    return int(os.environ.get("WCSE_CHUNK_FLOOR", "128"))
+
+
+def even_chunk(total: int, width: int, floor: int) -> int:
+    """Chunk size that splits ``total`` rows into a task count that is an
+    even MULTIPLE of the cluster width.
+
+    Straight ``max(floor, total//splits)`` chunking leaves a ragged last
+    scheduling round: e.g. 6.3k rows / 128 = 49 tasks on 32 cores = 1.53
+    rounds — the fetch stage then runs 2 wall-clock rounds with half the
+    cores idle in the second (measured as the 4N leg's fetch phase barely
+    beating the N leg). Instead pick r = how many ≥floor-row rounds fit,
+    then divide the wave EVENLY over r×width tasks: every core gets r
+    tasks, no ragged tail. Small waves (< floor×width rows) spread across
+    all cores down to a 32-row floor — per-task overhead is ~ms while a
+    row costs ~2.5 ms of fetch+tokenize, so wide-and-tiny beats
+    narrow-and-idle."""
+    if total <= 0 or width <= 0:
+        return floor
+    rounds = max(1, total // (floor * width))
+    return max(32, -(-total // (rounds * width)))
+
+
 @ray.remote
 def _block_count(table: pa.Table) -> int:
     return table.num_rows
+
+
+@ray.remote
+def _concat_blocks(*tables: pa.Table) -> pa.Table:
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def coalesce_refs(
+    mat: "ray.data.Dataset", target_blocks: int
+) -> "ray.data.Dataset":
+    """Coalesce a MATERIALIZED dataset's blocks toward ``target_blocks``
+    using driver-launched concat tasks over the block refs — the same
+    block-width effect as ``repartition(n)`` without its AllToAll barrier:
+    nothing here blocks the driver, and downstream executions consume the
+    concat outputs as they land."""
+    schema = arrow_schema_of(mat)
+    refs_counts = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:
+                n = ray.get(_block_count.remote(ref))
+            if n:
+                refs_counts.append((ref, n))
+    total = sum(c for _, c in refs_counts)
+    if not refs_counts:
+        return mat
+    if len(refs_counts) <= max(1, target_blocks):
+        return dataset_from_known_refs(
+            [r for r, _ in refs_counts], [c for _, c in refs_counts], schema
+        )
+    target_rows = -(-total // max(1, target_blocks))
+    out_refs, out_counts = [], []
+    cur, cur_rows = [], 0
+    for r, c in refs_counts:
+        cur.append(r)
+        cur_rows += c
+        if cur_rows >= target_rows:
+            out_refs.append(_concat_blocks.remote(*cur) if len(cur) > 1 else cur[0])
+            out_counts.append(cur_rows)
+            cur, cur_rows = [], 0
+    if cur:
+        out_refs.append(_concat_blocks.remote(*cur) if len(cur) > 1 else cur[0])
+        out_counts.append(cur_rows)
+    return dataset_from_known_refs(out_refs, out_counts, schema)
 
 
 @ray.remote
@@ -64,6 +197,7 @@ def zip_with_index_counted(
     map (the fetch/tokenize join) still fans out across the cluster.
     """
     mat = ds.materialize()
+    schema = arrow_schema_of(mat)
     # block row counts come from the materialized plan's metadata — no
     # count tasks, no extra ray.get round
     refs_counts = []
@@ -76,12 +210,8 @@ def zip_with_index_counted(
     total_rows = sum(c for _, c in refs_counts)
     chunk = 0
     if target_splits and total_rows:
-        # floor of 256 rows/split: each downstream fetch task writes its
-        # sink files once per block, so tiny blocks trade compute
-        # parallelism for per-file + per-task overhead (measured: a 64-row
-        # floor at 32 CPUs made the stamp+fetch phases SLOWER than at 8)
-        chunk = max(256, -(-total_rows // target_splits))
-    out_refs = []
+        chunk = even_chunk(total_rows, target_splits, chunk_floor())
+    out_refs, out_counts = [], []
     off = start
     for r, c in refs_counts:
         if not c:
@@ -90,16 +220,19 @@ def zip_with_index_counted(
             continue
         stamped = _with_index.remote(r, col, off)
         if chunk and c > chunk:
-            out_refs.extend(
-                _slice_block.remote(stamped, i, chunk) for i in range(0, c, chunk)
-            )
+            for i in range(0, c, chunk):
+                out_refs.append(_slice_block.remote(stamped, i, chunk))
+                out_counts.append(min(chunk, c - i))
         else:
             out_refs.append(stamped)
+            out_counts.append(c)
         off += c
     total = off - start
     if not out_refs:
         return mat, 0
-    return ray.data.from_arrow_refs(out_refs), total
+    if schema is not None and col not in schema.names:
+        schema = schema.append(pa.field(col, pa.int64()))
+    return dataset_from_known_refs(out_refs, out_counts, schema), total
 
 
 def split_prefix_zip(
@@ -125,6 +258,7 @@ def split_prefix_zip(
     second filter+sort+materialize run per wave (measured ~0.5 s/wave of
     pure executor overhead at 32 CPUs on kilobyte-scale waves).
     """
+    schema = arrow_schema_of(mat)
     refs_counts = []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
@@ -137,21 +271,25 @@ def split_prefix_zip(
     total = sum(plens)
     chunk = 0
     if target_splits and total:
-        # same 256-row floor rationale as zip_with_index_counted
-        chunk = max(256, -(-total // target_splits))
-    out_refs, rest_refs = [], []
+        chunk = even_chunk(total, target_splits, chunk_floor())
+    out_refs, out_counts, rest_refs = [], [], []
     off = start
     for (r, n), fl in zip(refs_counts, plens):
         if fl:
             stamped = _slice_stamp.remote(r, fl, col, off)
             if chunk and fl > chunk:
-                out_refs.extend(
-                    _slice_block.remote(stamped, i, chunk) for i in range(0, fl, chunk)
-                )
+                for i in range(0, fl, chunk):
+                    out_refs.append(_slice_block.remote(stamped, i, chunk))
+                    out_counts.append(min(chunk, fl - i))
             else:
                 out_refs.append(stamped)
+                out_counts.append(fl)
             off += fl
         if n - fl:
             rest_refs.append(_slice_block.remote(r, fl, n - fl))
-    prefix_ds = ray.data.from_arrow_refs(out_refs) if out_refs else None
+    if schema is not None and col not in schema.names:
+        schema = schema.append(pa.field(col, pa.int64()))
+    prefix_ds = (
+        dataset_from_known_refs(out_refs, out_counts, schema) if out_refs else None
+    )
     return prefix_ds, total, rest_refs
