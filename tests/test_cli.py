@@ -5,7 +5,7 @@ from __future__ import annotations
 import json
 
 
-def test_cli_end_to_end(ray_session, tmp_path, capsys):
+def test_cli_end_to_end(ray_session, tmp_path, capsys, monkeypatch):
     from web_crawler_search_engine_ray.__main__ import main
 
     web = str(tmp_path / "web")
@@ -27,3 +27,10 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     results = [json.loads(line) for line in out if line.startswith('{"doc_id"')]
     assert results and all("url" in r and "context" in r for r in results)
+
+    # REPL mode (the reference UI's query loop): one query, then quit
+    answers = iter(["data stream", ":q"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+    assert main(["search", "--index", index, "--pages", f"{crawl}/pages"]) == 0
+    repl_out = capsys.readouterr().out
+    assert "Search completed in" in repl_out and "##" in repl_out

@@ -108,25 +108,56 @@ def cmd_index(args) -> int:
     return 0
 
 
-def cmd_search(args) -> int:
+def _run_query(svc, presenter, query: str, k: int, as_json: bool) -> None:
+    """One query → top-k results, mirroring the reference UI's display
+    path (start_search_engine.py:117-167 display_results/main): per result
+    the title, url and M16 context window, plus the elapsed-time line.
+    Serving is single-process like the reference — no Ray session needed."""
+    import time
+
     from .functions.text import query_tokens
+
+    start = time.time()
+    rows = svc.search(query, k=k)
+    elapsed = round(time.time() - start, 6)
+    primary, _ = query_tokens(query)
+    ctx = presenter.contexts([r[2] for r in rows], primary) if presenter else {}
+    if as_json:
+        for doc_id, score, url, title in rows:
+            rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
+            if presenter:
+                rec["context"] = ctx.get(url, "")
+            print(json.dumps(rec))
+    else:
+        print(f"Search completed in {elapsed} seconds.")
+        for doc_id, score, url, title in rows:
+            print(f"\n## {title}")
+            print(url)
+            if presenter:
+                print(ctx.get(url, ""))
+            print("---")
+
+
+def cmd_search(args) -> int:
     from .pipelines.search import ResultPresenter, SearchService
 
     svc = SearchService(
         os.path.join(args.index, "postings"), os.path.join(args.index, "catalog")
     )
     presenter = ResultPresenter(args.pages) if args.pages else None
-    rows = svc.search(args.query, k=args.k)
-    primary, _ = query_tokens(args.query)
-    ctx = (
-        presenter.contexts([r[2] for r in rows], primary) if presenter else {}
-    )
-    for doc_id, score, url, title in rows:
-        rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
-        if presenter:
-            rec["context"] = ctx.get(url, "")
-        print(json.dumps(rec))
-    return 0
+    if args.query:
+        _run_query(svc, presenter, args.query, args.k, as_json=not args.repl)
+        return 0
+    # REPL: the terminal stand-in for the reference's Streamlit query loop
+    while True:
+        try:
+            query = input("Enter a query: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not query or query in (":q", "exit", "quit"):
+            return 0
+        _run_query(svc, presenter, query, args.k, as_json=False)
 
 
 def main(argv=None) -> int:
@@ -157,10 +188,11 @@ def main(argv=None) -> int:
     i.add_argument("--min-ngram-df", type=int, default=10)
     i.set_defaults(fn=cmd_index)
 
-    s = sub.add_parser("search", help="query the index (one-shot)")
+    s = sub.add_parser("search", help="query the index (one-shot or REPL)")
     s.add_argument("--index", required=True, help="index dir (postings/ + catalog/)")
     s.add_argument("--pages", default=None, help="pages dir for context windows")
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", default=None, help="one-shot query; omit for a REPL")
+    s.add_argument("--repl", action="store_true", help="human-readable output")
     s.add_argument("-k", type=int, default=5)
     s.set_defaults(fn=cmd_search)
 
