@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": T.pii_redact,
         "quality_gopher": T.quality_gopher,
         "decontaminate": T.decontaminate,
+        "dup_substring_spans": T.dup_substring_spans,
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
         #     conformance vs the python oracle lives in tests/) ---
@@ -897,6 +898,46 @@ SELECT d.doc_id,
             THEN 1 ELSE 0 END::BIGINT AS contaminated
 FROM dg d LEFT JOIN bg b ON b.g = d.g
 GROUP BY d.doc_id
+""",
+        # exact substring-duplication spans: 10-token windows shared
+        # verbatim across docs; runs via gaps-and-islands
+        # (pipelines/textprep.py dup_substring_spans)
+        "dup_substring_spans": """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 2
+                 THEN ' duplicated boilerplate segment alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu'
+                 ELSE '' END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM aug),
+pos AS (
+  SELECT doc_id, len(tk) - 9 AS nw, tk, unnest(range(1, len(tk) - 8)) AS i
+  FROM toks WHERE len(tk) >= 10
+),
+grams AS (
+  SELECT doc_id, nw, i,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4],
+                        tk[i+5], tk[i+6], tk[i+7], tk[i+8], tk[i+9]) AS g
+  FROM pos
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dwin AS (SELECT doc_id, nw, i FROM grams JOIN dup USING (g)),
+runs AS (
+  SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dwin
+),
+rl AS (SELECT doc_id, grp, count(*)::BIGINT AS run_len FROM runs GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+         CAST(max(nw) AS BIGINT) AS n_windows
+  FROM dwin GROUP BY 1
+),
+mr AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_dup_run FROM rl GROUP BY 1)
+SELECT p.doc_id, p.n_windows, p.n_dup_windows,
+       (1000 * p.n_dup_windows + p.n_windows // 2) // p.n_windows AS dup_frac_milli,
+       m.max_dup_run, m.max_dup_run + 9 AS longest_dup_span
+FROM per p JOIN mr m USING (doc_id)
 """,
         "quality_gopher": """
             WITH toks AS (

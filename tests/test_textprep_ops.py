@@ -107,3 +107,76 @@ def test_decontaminate_flags_canary_docs(ray_session):
     clean = got[got["contaminated"] == 0]
     assert (clean["n_overlap"] == 0).all()
     assert (got["n_grams"] > 0).all()
+
+
+def test_dup_substring_spans_matches_python_oracle(ray_session):
+    """Independent python replay of the windowed exact-substring dedup:
+    10-token windows, cross-doc duplicates, gaps-and-islands runs."""
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        DUPSPAN_CANARY,
+        DUPSPAN_MOD,
+        DUPSPAN_W,
+        dup_substring_spans,
+    )
+
+    got = (
+        dup_substring_spans(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    W = DUPSPAN_W
+    wins = {}  # doc -> list of window strings
+    for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        if d % DUPSPAN_MOD == 2:
+            t = t + DUPSPAN_CANARY
+        toks = tok.findall(t.lower())
+        if len(toks) >= W:
+            wins[d] = [" ".join(toks[i : i + W]) for i in range(len(toks) - W + 1)]
+    doc_count = Counter()
+    for d, ws in wins.items():
+        for g in set(ws):
+            doc_count[g] += 1
+    dup = {g for g, c in doc_count.items() if c >= 2}
+    exp = {}
+    for d, ws in wins.items():
+        pos = [i for i, g in enumerate(ws) if g in dup]
+        if not pos:
+            continue
+        runs, cur = [], 1
+        for a, b in zip(pos, pos[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        nw, nd = len(ws), len(pos)
+        exp[d] = (
+            nw,
+            nd,
+            (1000 * nd + nw // 2) // nw,
+            max(runs),
+            max(runs) + W - 1,
+        )
+
+    assert set(got["doc_id"]) == set(exp)
+    for _, r in got.iterrows():
+        e = exp[r["doc_id"]]
+        assert (
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["dup_frac_milli"],
+            r["max_dup_run"],
+            r["longest_dup_span"],
+        ) == e
+    # injected boilerplate guarantees every %5==2 doc is flagged with a
+    # run spanning at least the 16-token canary
+    canary_docs = {d for d in wins if d % DUPSPAN_MOD == 2}
+    flagged = set(got["doc_id"])
+    assert canary_docs <= flagged
+    sub = got[got["doc_id"] % DUPSPAN_MOD == 2]
+    assert (sub["longest_dup_span"] >= 16).all()

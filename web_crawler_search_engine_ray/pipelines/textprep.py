@@ -28,13 +28,19 @@ import re
 from collections import Counter
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from .corpus import _TOK_RE, _docs
 
-__all__ = ["pii_redact", "quality_gopher", "decontaminate"]
+__all__ = [
+    "pii_redact",
+    "quality_gopher",
+    "decontaminate",
+    "dup_substring_spans",
+]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
 # SAME pattern strings — keep in sync with __ray_entry__.py.
@@ -221,3 +227,166 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         scan, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-duplication spans (window form of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": find text
+# shared VERBATIM across documents and measure how much of each document
+# is duplicated — the remove-span counterpart to whole-doc MinHash dedup)
+# ---------------------------------------------------------------------------
+
+DUPSPAN_W = 10  # window length in tokens (Lee et al. use 50-token spans at
+#                 corpus scale; 10 fits the ~54-token synthetic docs)
+DUPSPAN_MOD = 5  # doc_id % 5 == 2 docs carry the injected boilerplate
+# deterministic injected cross-doc duplicate (16 tokens), mirrored exactly
+# by the SQL oracle — the synthetic prose alone shares few exact windows
+DUPSPAN_CANARY = (
+    " duplicated boilerplate segment alpha beta gamma delta epsilon zeta"
+    " eta theta iota kappa lambda mu nu"
+)
+
+
+def _dupspan_augment(doc_id: int, text: str) -> str:
+    return text + DUPSPAN_CANARY if doc_id % DUPSPAN_MOD == 2 else text
+
+
+def dup_substring_spans(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document duplicated-substring spans: for every document that
+    shares at least one DUPSPAN_W-token window VERBATIM with another
+    document, emit how many of its windows are cross-doc duplicates and
+    the longest consecutive duplicated run (→ longest duplicated span in
+    tokens, the unit Lee et al. remove).
+
+    Distributed shape (scale path): two bucketed shuffles, both carrying
+    narrow rows —
+      1. (window, doc, pos) rows bucket-grouped by window hash; a
+         vectorized kernel keeps only windows seen in ≥2 DISTINCT docs
+         (cross-doc duplicates; within-doc repeats alone don't count).
+         At 100 TB the window string is replaced by a 128-bit content
+         hash (collision-safe), shrinking the shuffle to fixed-width
+         rows; here the string itself is the key so the DuckDB oracle
+         replays byte-for-byte.
+      2. surviving (doc, pos) rows bucket-grouped by doc id; a numpy
+         gaps-and-islands pass turns sorted positions into run lengths.
+    No driver-side materialization anywhere; both kernels are C-side."""
+    import numpy as np
+
+    W = DUPSPAN_W
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        g_out, d_out, p_out, nw_out = [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = _TOK_RE.findall(_dupspan_augment(d, t).lower())
+            nw = len(toks) - W + 1
+            if nw <= 0:
+                continue
+            joined = toks  # sliding join below
+            for i in range(nw):
+                g_out.append(" ".join(joined[i : i + W]))
+                d_out.append(d)
+                p_out.append(i + 1)  # 1-based, matching the SQL replay
+                nw_out.append(nw)
+        from ..functions.urls import hash64_batch
+
+        # bucket on the engine's deterministic 64-bit hash: ONLY a shuffle
+        # key (equality is on the string), but it must agree ACROSS worker
+        # processes — never the salted builtin hash()
+        h = hash64_batch(g_out) if g_out else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "g": pa.array(g_out, pa.string()),
+                "doc_id": pa.array(d_out, pa.int64()),
+                "pos": pa.array(p_out, pa.int64()),
+                "nw": pa.array(nw_out, pa.int64()),
+                "gbucket": pa.array(
+                    (h % np.uint64(256)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def dup_only(tbl: pa.Table) -> pa.Table:
+        """Within a window-hash bucket: keep rows whose window occurs in
+        ≥2 distinct docs. Vectorized: dictionary-encode the window
+        strings, count distinct docs per code."""
+        codes = (
+            pc.dictionary_encode(tbl.column("g").combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        docs = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, codes))
+        cs, ds = codes[order], docs[order]
+        new_pair = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (ds[1:] != ds[:-1]))
+        ) if len(cs) else np.empty(0, bool)
+        # distinct-doc count per code
+        pair_codes = cs[new_pair]
+        n_codes = int(codes.max()) + 1 if len(codes) else 0
+        ddc = np.bincount(pair_codes, minlength=n_codes)
+        keep = ddc[codes] >= 2
+        return tbl.filter(pa.array(keep)).select(["doc_id", "pos", "nw"])
+
+    def doc_spans(tbl: pa.Table) -> pa.Table:
+        """Within a doc bucket: per doc, count duplicated windows and the
+        longest consecutive run (numpy gaps-and-islands)."""
+        docs = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        poss = tbl.column("pos").to_numpy(zero_copy_only=False)
+        nws = tbl.column("nw").to_numpy(zero_copy_only=False)
+        order = np.lexsort((poss, docs))
+        d, p, w = docs[order], poss[order], nws[order]
+        n = len(d)
+        if not n:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_windows": pa.array([], pa.int64()),
+                    "n_dup_windows": pa.array([], pa.int64()),
+                    "dup_frac_milli": pa.array([], pa.int64()),
+                    "max_dup_run": pa.array([], pa.int64()),
+                    "longest_dup_span": pa.array([], pa.int64()),
+                }
+            )
+        new_doc = np.concatenate(([True], d[1:] != d[:-1]))
+        new_run = new_doc | np.concatenate(([True], p[1:] != p[:-1] + 1))
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        doc_id_of_run = d[new_run]
+        doc_idx = np.cumsum(new_doc) - 1
+        n_docs = int(doc_idx[-1]) + 1
+        n_dup = np.bincount(doc_idx, minlength=n_docs)
+        doc_of = d[new_doc]
+        nw_of = w[new_doc]
+        run_doc_idx = doc_idx[new_run]
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(max_run, run_doc_idx, run_len)
+        frac = (1000 * n_dup + nw_of // 2) // nw_of
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_of, pa.int64()),
+                "n_windows": pa.array(nw_of.astype(np.int64)),
+                "n_dup_windows": pa.array(n_dup.astype(np.int64)),
+                "dup_frac_milli": pa.array(frac.astype(np.int64)),
+                "max_dup_run": pa.array(max_run, pa.int64()),
+                "longest_dup_span": pa.array(max_run + W - 1, pa.int64()),
+            }
+        )
+
+    def add_dbucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(batch.column("doc_id"), pa.scalar(255, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("dbucket", b)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        windows, batch_format="pyarrow"
+    )
+    dup = (
+        ds.groupby("gbucket")
+        .map_groups(dup_only, batch_format="pyarrow")
+        .map_batches(add_dbucket, batch_format="pyarrow")
+    )
+    return dup.groupby("dbucket").map_groups(doc_spans, batch_format="pyarrow")

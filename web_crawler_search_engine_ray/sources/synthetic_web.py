@@ -263,7 +263,12 @@ def generate_web(
 def write_web(tables: Dict[str, pa.Table], out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, table in tables.items():
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # bounded row groups: keeps every nested-column chunk far below
+        # Arrow's 2 GiB 32-bit-offset ceiling on read, and gives the fetch
+        # join's predicate pushdown row-group granularity to prune against
+        pq.write_table(
+            table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=16384
+        )
 
 
 def generate_and_write(

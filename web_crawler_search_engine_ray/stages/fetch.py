@@ -62,6 +62,34 @@ class DocStore:
             self._index = {
                 u: i for i, u in enumerate(self._mem.column("doc_id").to_pylist())
             }
+            # per-chunk views + row offsets: a .take() on a multi-GB
+            # CHUNKED table concatenates the underlying arrays first,
+            # which overflows Arrow's 32-bit string/list offsets — so
+            # gather per chunk instead (each result is batch-sized)
+            self._parts = [
+                pa.Table.from_batches([b], schema=self._mem.schema)
+                for b in self._mem.to_batches()
+            ]
+            self._offs = np.cumsum([0] + [p.num_rows for p in self._parts])
+
+    def _gather(self, rows: np.ndarray) -> pa.Table:
+        """Chunk-aware row gather from the in-memory table, preserving the
+        order of ``rows``."""
+        if len(self._parts) == 1:
+            return self._parts[0].take(pa.array(rows, pa.int64()))
+        if not len(rows):
+            return self._mem.schema.empty_table()
+        order = np.argsort(rows, kind="stable")
+        srt = rows[order]
+        ci = np.searchsorted(self._offs, srt, side="right") - 1
+        pieces = []
+        for c in np.unique(ci):
+            local = srt[ci == c] - self._offs[c]
+            pieces.append(self._parts[c].take(pa.array(local, pa.int64())))
+        small = pa.concat_tables(pieces)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order), dtype=np.int64)
+        return small.take(pa.array(inv, pa.int64()))
 
     def take(self, urls: list) -> tuple:
         """Return (pos, table): ``pos[i]`` is the row index of ``urls[i]``
@@ -71,7 +99,7 @@ class DocStore:
                 (self._index.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
             )
             hit = mem_pos >= 0
-            tbl = self._mem.take(pa.array(mem_pos[hit], pa.int64()))
+            tbl = self._gather(mem_pos[hit])
             pos = np.full(len(urls), -1, dtype=np.int64)
             pos[hit] = np.arange(int(hit.sum()), dtype=np.int64)
             return pos, tbl
@@ -121,7 +149,16 @@ def broadcast_docs_ref(docs_path: str):
     )
     if total_bytes > _BROADCAST_BYTES:
         return None
-    return _ray.put(ds.to_table())
+    # read as a stream of record batches and keep the columns CHUNKED:
+    # combining a multi-GB nested column into one array overflows Arrow's
+    # 32-bit list offsets ("Nested data conversions not implemented ...")
+    batches = list(ds.to_batches())
+    tbl = (
+        pa.Table.from_batches(batches, schema=ds.schema)
+        if batches
+        else ds.schema.empty_table()
+    )
+    return _ray.put(tbl)
 
 
 def make_fetch_fn(docs_path: str, table_ref=None):
