@@ -193,3 +193,41 @@ def test_crawl_conformance_configs(ray_session, tmp_path_factory, seed, hosts, d
         r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
     }
     assert eng_seen == dict(oracle.seen)
+
+
+def test_distributed_path_equals_fast_path(ray_session, tmp_path_factory, monkeypatch):
+    """The adaptive small-wave fast path (one-task schedule / link chain)
+    and the distributed path (groupby+sort AllToAlls) must produce
+    IDENTICAL lineage + seen state: run the same web with the fast path
+    disabled and compare against the oracle (which the fast-path configs
+    above already match)."""
+    import web_crawler_search_engine_ray.pipelines.crawl as CR
+    from web_crawler_search_engine_ray.sources.synthetic_web import generate_web
+
+    monkeypatch.setattr(CR, "SMALL_WAVE_ROWS", 0)  # force distributed path
+
+    web = generate_web(seed=123, num_hosts=8, num_docs=90)
+    cfg = CrawlConfig(wave_span=8.0)
+    seeds = web["seeds"].column("url").to_pylist()
+    oracle = oracle_crawl(web["docs"], web["robots"], seeds, cfg)
+
+    data_dir = str(tmp_path_factory.mktemp("webdist"))
+    write_web(web, data_dir)
+    outputs = run_crawl(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies={r["host"]: r["body"] for r in web["robots"].to_pylist()},
+        seed_urls=seeds,
+        config=cfg,
+        workdir=str(tmp_path_factory.mktemp("crawldist")),
+    )
+    eng = outputs.lineage().to_pandas()
+    got = list(zip(eng["seq"], eng["url"], eng["virtual_ts"]))
+    want = [(w[0], w[2], w[4]) for w in oracle.lineage]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert abs(g[2] - w[2]) < 1e-9, (g, w)
+    eng_seen = {
+        r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
+    }
+    assert eng_seen == dict(oracle.seen)

@@ -59,8 +59,11 @@ from ..stages import schedule as SCH
 from ..stages.extract import analyze_batch, explode_token_partials, extract_links_batch
 from ..stages.fetch import make_fetch_fn, filter_scrapeable
 from ..stages.util import (
-    coalesce_refs,
+    arrow_schema_of,
+    coalesce_ref_list,
     dataset_from_known_refs,
+    refs_and_counts,
+    resplit_ref,
     split_prefix_zip,
     zip_with_index_counted,
 )
@@ -124,6 +127,20 @@ _FRONTIER_COLS = ["url", "host", "discovery_seq", "depth"]
 
 _HOSTS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64())])
 
+# schedule output + dispatch seq (fast-path metadata; blocks carry their
+# own schema — this mirrors schedule.make_schedule_fn's column order)
+_DISPATCH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("discovery_seq", pa.int64()),
+        ("depth", pa.int32()),
+        ("action", pa.int8()),
+        ("virtual_ts", pa.float64()),
+        ("seq", pa.int64()),
+    ]
+)
+
 
 @ray.remote(num_returns=2)
 def _frontier_block(table: pa.Table, action: Optional[int]):
@@ -158,6 +175,78 @@ def _concat_frontier(*tables: pa.Table) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks()
 
 
+# Waves at or below this many frontier rows run the schedule / link-dedup
+# chains as ONE task each (adaptive local execution, the same move Spark
+# AQE makes for sub-block shuffles): a kilobyte-scale wave must not pay
+# two AllToAll barriers + an executor startup (~0.5 s/wave measured at 32
+# cpus) for work a single core finishes in milliseconds. Above it — the
+# 10^10-frontier regime, waves of 10^6+ rows — the distributed path runs,
+# and a conformance config pins both paths to identical output.
+SMALL_WAVE_ROWS = 65536
+
+
+@ray.remote(num_returns=3)
+def _schedule_small_wave(
+    robots_fn, schedule_fn, blocked_fn, priority_fn, seq_start: int, *blocks
+):
+    """Small-wave fast path for the schedule phase: politeness grouping,
+    robots marks, the global dispatch sort and the seq stamp in one task.
+    Same kernels as the distributed path (schedule_fn per host slice, the
+    identical sort key), so dispatch order is bit-identical."""
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    if priority_fn is not None:
+        tbl = priority_fn(tbl)
+    tbl = robots_fn(tbl)
+    hosts = np.asarray(tbl.column("host").to_pylist(), dtype=object)
+    horder = np.argsort(hosts.astype(str), kind="stable")
+    srt = tbl.take(pa.array(horder, pa.int64()))
+    hs = hosts[horder].astype(str)
+    starts = np.nonzero(np.concatenate(([True], hs[1:] != hs[:-1])))[0]
+    bounds = list(starts) + [len(hs)]
+    groups = [
+        schedule_fn(srt.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        for i in range(len(bounds) - 1)
+    ]
+    sched = pa.concat_tables(groups).combine_chunks()
+    sched = blocked_fn(sched)
+    act = sched.column("action").to_numpy(zero_copy_only=False)
+    vts = sched.column("virtual_ts").to_numpy(zero_copy_only=False)
+    hstr = np.asarray(sched.column("host").to_pylist(), dtype=str)
+    dsq = sched.column("discovery_seq").to_numpy(zero_copy_only=False)
+    # same key tuple as the distributed Dataset.sort; rows past the FETCH
+    # prefix have NaN virtual_ts, but their relative order is irrelevant
+    # (every ordered quantity downstream re-derives from sorts)
+    order = np.lexsort((dsq, hstr, vts, act))
+    plen = int(np.searchsorted(act[order], SCH.ACTION_CARRY, side="left"))
+    prefix = sched.take(pa.array(order[:plen], pa.int64())).append_column(
+        "seq", pa.array(range(seq_start, seq_start + plen), pa.int64())
+    )
+    rest = sched.take(pa.array(order[plen:], pa.int64()))
+    return prefix, rest, plen
+
+
+@ray.remote(num_returns=2)
+def _links_small_wave(first_wins_fn, seen_filter_fn, seq_start: int, *blocks):
+    """Small-wave fast path for the candidate chain: within-wave
+    first-wins dedup, the seen-shard filter RPC, the (parent_seq, offset)
+    discovery sort and the discovery_seq stamp in one task. Kernels shared
+    with the distributed path."""
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    if tbl.num_rows:
+        tbl = first_wins_fn(tbl)
+        tbl = seen_filter_fn(tbl)
+    if tbl.num_rows:
+        ps = tbl.column("parent_seq").to_numpy(zero_copy_only=False)
+        off = tbl.column("offset").to_numpy(zero_copy_only=False)
+        order = np.lexsort((off, ps))
+        tbl = tbl.take(pa.array(order, pa.int64()))
+    n = tbl.num_rows
+    tbl = tbl.append_column(
+        "discovery_seq", pa.array(range(seq_start, seq_start + n), pa.int64())
+    )
+    return tbl, n
+
+
 @ray.remote
 def _write_frontier_group(table: pa.Table, out_dir: str) -> int:
     """Async checkpoint write of one coalesced frontier block. Part names
@@ -169,11 +258,6 @@ def _write_frontier_group(table: pa.Table, out_dir: str) -> int:
     part = f"part-{pc.min(table.column('discovery_seq')).as_py():012d}.parquet"
     pq.write_table(table, os.path.join(out_dir, part))
     return table.num_rows
-
-
-def _frontier_dataset(rows: List[dict]) -> "ray.data.Dataset":
-    tbl = pa.Table.from_pylist(rows, schema=_FRONTIER_SCHEMA)
-    return ray.data.from_arrow(tbl)
 
 
 def _wave_dir(workdir: str, sub: str, wave: int) -> str:
@@ -222,11 +306,13 @@ def run_crawl(
         seen.restore_from_deltas(seen_delta_files(workdir, ckpt_wave))
         clear_wave_outputs(workdir, ckpt_wave)
         frontier_count = meta["frontier_count"]
-        frontier = (
-            ray.data.read_parquet(frontier_dir(workdir, ckpt_wave))
-            if frontier_count
-            else None
-        )
+        frontier = None
+        frontier_refs: Optional[list] = None
+        if frontier_count:
+            frontier = ray.data.read_parquet(
+                frontier_dir(workdir, ckpt_wave)
+            ).materialize()
+            frontier_refs, _ = refs_and_counts(frontier)
         frontier_hosts = list(meta["frontier_hosts"])
         wave = ckpt_wave + 1
         lineage_counter = meta["lineage_counter"]
@@ -248,7 +334,11 @@ def run_crawl(
             {"url": u, "host": U.host_of(u), "discovery_seq": i, "depth": 0}
             for i, u in enumerate(uniq)
         ]
-        frontier = _frontier_dataset(rows)
+        seed_tbl = pa.Table.from_pylist(rows, schema=_FRONTIER_SCHEMA)
+        frontier_refs = [ray.put(seed_tbl)]
+        frontier = dataset_from_known_refs(
+            frontier_refs, [len(rows)], _FRONTIER_SCHEMA
+        )
         frontier_count = len(rows)
         frontier_hosts = sorted({r["host"] for r in rows})
         wave = 0
@@ -337,46 +427,75 @@ def run_crawl(
             return batch
 
         _t = _tick()
-        pre = frontier
-        if priority_fn is not None:
-            pre = pre.map_batches(priority_fn, batch_format="pyarrow")
-        # ONE fused execution: politeness groupby + robots marks + the
-        # global dispatch sort. ACTION_FETCH (=0) leads the sort key, so
-        # dispatched rows form a contiguous global prefix in dispatch
-        # order and split_prefix_zip below peels them off the materialized
-        # blocks with zero-copy slices — no second filter+sort execution.
-        scheduled = (
-            pre.map_batches(robots_fn, batch_format="pyarrow")
-            .groupby("host")
-            .map_groups(schedule_fn, batch_format="pyarrow")
-            .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
-            .sort(["action", "virtual_ts", "host", "discovery_seq"])
-            .materialize()
-        )
-        _tock("schedule", _t)
+        if frontier_refs is not None and frontier_count <= SMALL_WAVE_ROWS:
+            # adaptive fast path: the whole schedule phase as one task
+            pref_ref, rest_ref, plen_ref = _schedule_small_wave.remote(
+                robots_fn,
+                schedule_fn,
+                _mark_blocked_passthrough,
+                priority_fn,
+                lineage_counter,
+                *frontier_refs,
+            )
+            n_dispatched = int(ray.get(plen_ref))
+            rest_refs = [rest_ref]
+            _tock("schedule", _t)
+            _t = _tick()
+            ordered = None
+            if n_dispatched:
+                o_refs, o_counts = resplit_ref(
+                    pref_ref, n_dispatched, 2 * target_blocks
+                )
+                ordered = dataset_from_known_refs(
+                    o_refs, o_counts, _DISPATCH_SCHEMA
+                )
+            _tock("dispatch_sort", _t)
+        else:
+            pre = frontier
+            if priority_fn is not None:
+                pre = pre.map_batches(priority_fn, batch_format="pyarrow")
+            # ONE fused execution: politeness groupby + robots marks + the
+            # global dispatch sort. ACTION_FETCH (=0) leads the sort key, so
+            # dispatched rows form a contiguous global prefix in dispatch
+            # order and split_prefix_zip below peels them off the
+            # materialized blocks with zero-copy slices — no second
+            # filter+sort execution.
+            scheduled = (
+                pre.map_batches(robots_fn, batch_format="pyarrow")
+                .groupby("host")
+                .map_groups(schedule_fn, batch_format="pyarrow")
+                .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
+                .sort(["action", "virtual_ts", "host", "discovery_seq"])
+                .materialize()
+            )
+            _tock("schedule", _t)
 
-        _t = _tick()
-        # stamp re-splits toward ~2 blocks/core so the fetch/tokenize join
-        # fans out fully; rest_refs carry the CARRY/BLOCKED remainder for
-        # the frontier writer
-        ordered, n_dispatched, rest_refs = split_prefix_zip(
-            scheduled,
-            "action",
-            SCH.ACTION_CARRY,
-            "seq",
-            lineage_counter,
-            target_splits=2 * target_blocks,
-        )
-        _tock("dispatch_sort", _t)
-        ordered_fresh = None
+            _t = _tick()
+            # stamp re-splits toward ~2 blocks/core so the fetch/tokenize
+            # join fans out fully; rest_refs carry the CARRY/BLOCKED
+            # remainder for the frontier writer
+            ordered, n_dispatched, rest_refs = split_prefix_zip(
+                scheduled,
+                "action",
+                SCH.ACTION_CARRY,
+                "seq",
+                lineage_counter,
+                target_splits=2 * target_blocks,
+            )
+            _tock("dispatch_sort", _t)
         n_fresh = 0
+        fresh_refs: list = []
         if n_dispatched:
             lineage_counter += n_dispatched
 
             # One fused execution: fetch-join, pages + lineage sinks (side
             # effect per batch, retry-stable filenames keyed by first seq),
-            # seen-ledger completion with lengths, and the A1/A2 analytics
-            # sinks. Hot-host skew is spread by the dispatch sort (hosts
+            # seen-ledger completion with lengths, the A1/A2 analytics
+            # sinks, AND link extraction — the task RETURNS the candidate
+            # link rows, so the full page payload (spans) never
+            # round-trips through the object store a second time and the
+            # extract stage pays no extra execution/materialize per wave.
+            # Hot-host skew is spread by the dispatch sort (hosts
             # interleave by virtual_ts), so equal blocks ≈ host-balanced
             # fetch tasks (north_rule salting).
             pages_dir = _wave_dir(workdir, "pages", wave)
@@ -435,23 +554,11 @@ def run_crawl(
                 }
                 urls = out.column("url").to_pylist()
                 seen.mark_complete(urls, [lengths.get(u, 0) for u in urls])
-                return out
+                # link extraction fused into the fetch task: return the
+                # candidate rows with the dedup bucket stamped — the page
+                # payload never leaves this task
+                return _add_ubucket(extract(scrapeable, root_domains))
 
-            _t = _tick()
-            fetched = (
-                ordered.drop_columns(["action"])
-                .map_batches(_fetch_write, batch_format="pyarrow", num_cpus=1)
-                .materialize()
-            )
-            _tock("fetch_write", _t)
-
-            # --- link extraction → candidates ---
-            # extract runs on the fetch stage's fine-grained blocks
-            # (compute parallelism) and stamps the dedup bucket key inline —
-            # the candidate rows flow STRAIGHT into the dedup groupby (one
-            # AllToAll), instead of paying a separate coalescing repartition
-            # barrier per wave (measured ~0.2-0.3 s/wave of pure executor
-            # overhead; the groupby's own shuffle handles the fan-in).
             extract = link_extractor if link_extractor is not None else extract_links_batch
 
             # within-wave first-wins dedup: keep min (parent_seq, offset)
@@ -465,19 +572,13 @@ def run_crawl(
                     pa.array((h % np.uint64(256)).astype(np.int32), pa.int32()),
                 )
 
-            links_mat = fetched.map_batches(
-                lambda b: _add_ubucket(extract(filter_scrapeable(b), root_domains)),
-                batch_format="pyarrow",
-            ).materialize()
-            # coalesce the tiny candidate blocks (links ≈ a few rows per
-            # fetched page) to a data-proportional width BEFORE the dedup
-            # shuffle — the groupby/sort AllToAlls pay per block. Done with
-            # driver-side concat tasks over the materialized refs instead
-            # of a repartition AllToAll: same block-width effect, one less
-            # barrier per wave.
-            links = coalesce_refs(
-                links_mat, _shuffle_blocks(4 * n_dispatched)
+            _t = _tick()
+            links_mat = (
+                ordered.drop_columns(["action"])
+                .map_batches(_fetch_write, batch_format="pyarrow", num_cpus=1)
+                .materialize()
             )
+            _tock("fetch_write", _t)
 
             def _first_wins_bucket(tbl: pa.Table) -> pa.Table:
                 codes = (
@@ -497,10 +598,6 @@ def run_crawl(
                     pa.array(order[first], pa.int64())
                 ).drop_columns(["ubucket"])
 
-            deduped = links.groupby("ubucket").map_groups(
-                _first_wins_bucket, batch_format="pyarrow"
-            )
-
             # cross-wave dedup via seen shards (batched, idempotent)
             wv_ = wave
 
@@ -511,13 +608,43 @@ def run_crawl(
                 mask = seen.test_and_add(urls, wave=wv_)
                 return batch.filter(pa.array(mask))
 
-            fresh = deduped.map_batches(_seen_filter, batch_format="pyarrow")
             _t = _tick()
-            ordered_fresh, n_fresh = zip_with_index_counted(
-                fresh.sort(["parent_seq", "offset"]),
-                "discovery_seq",
-                discovery_counter,
-            )
+            cand_refs, cand_counts = refs_and_counts(links_mat)
+            n_cand = sum(cand_counts)
+            if not n_cand:
+                n_fresh, fresh_refs = 0, []
+            elif n_cand <= SMALL_WAVE_ROWS:
+                # adaptive fast path: dedup + seen filter + discovery sort
+                # + stamp as one task
+                fresh_ref, nf_ref = _links_small_wave.remote(
+                    _first_wins_bucket,
+                    _seen_filter,
+                    discovery_counter,
+                    *cand_refs,
+                )
+                n_fresh = int(ray.get(nf_ref))
+                fresh_refs = [fresh_ref] if n_fresh else []
+            else:
+                # coalesce the tiny candidate blocks (links ≈ a few rows
+                # per fetched page) to a data-proportional width BEFORE
+                # the dedup shuffle — the groupby/sort AllToAlls pay per
+                # block. Driver-side concat tasks, no repartition barrier.
+                links = coalesce_ref_list(
+                    cand_refs,
+                    cand_counts,
+                    arrow_schema_of(links_mat),
+                    _shuffle_blocks(4 * n_dispatched),
+                )
+                deduped = links.groupby("ubucket").map_groups(
+                    _first_wins_bucket, batch_format="pyarrow"
+                )
+                fresh = deduped.map_batches(_seen_filter, batch_format="pyarrow")
+                ordered_fresh, n_fresh = zip_with_index_counted(
+                    fresh.sort(["parent_seq", "offset"]),
+                    "discovery_seq",
+                    discovery_counter,
+                )
+                fresh_refs = ordered_fresh.to_arrow_refs() if n_fresh else []
             _tock("links", _t)
             discovery_counter += n_fresh
 
@@ -537,10 +664,7 @@ def run_crawl(
         fdir = os.path.join(tmp_dir, "frontier")
         pairs = [_frontier_block.remote(r, SCH.ACTION_CARRY) for r in rest_refs]
         if n_fresh:
-            pairs += [
-                _frontier_block.remote(r, None)
-                for r in ordered_fresh.to_arrow_refs()
-            ]
+            pairs += [_frontier_block.remote(r, None) for r in fresh_refs]
         count_tbls = ray.get([c for c, _ in pairs])
         block_rows = [
             int(pc.sum(t.column("n")).as_py()) if t.num_rows else 0
@@ -623,6 +747,7 @@ def run_crawl(
 
         if frontier_count:
             frontier = split_refs_dataset(grp_refs, grp_rows)
+            frontier_refs = grp_refs
         wave += 1
 
     _drain_pending()

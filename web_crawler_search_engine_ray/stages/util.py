@@ -106,34 +106,38 @@ def _concat_blocks(*tables: pa.Table) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks()
 
 
-def coalesce_refs(
-    mat: "ray.data.Dataset", target_blocks: int
-) -> "ray.data.Dataset":
-    """Coalesce a MATERIALIZED dataset's blocks toward ``target_blocks``
-    using driver-launched concat tasks over the block refs — the same
-    block-width effect as ``repartition(n)`` without its AllToAll barrier:
-    nothing here blocks the driver, and downstream executions consume the
-    concat outputs as they land."""
-    schema = arrow_schema_of(mat)
-    refs_counts = []
+def refs_and_counts(mat: "ray.data.Dataset"):
+    """(non-empty block refs, their row counts) of a MATERIALIZED dataset,
+    from plan metadata — no tasks unless a count is missing."""
+    refs, counts = [], []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             n = meta.num_rows
             if n is None:
                 n = ray.get(_block_count.remote(ref))
             if n:
-                refs_counts.append((ref, n))
-    total = sum(c for _, c in refs_counts)
-    if not refs_counts:
-        return mat
-    if len(refs_counts) <= max(1, target_blocks):
-        return dataset_from_known_refs(
-            [r for r, _ in refs_counts], [c for _, c in refs_counts], schema
+                refs.append(ref)
+                counts.append(n)
+    return refs, counts
+
+
+def coalesce_ref_list(
+    refs, counts, schema: Optional[pa.Schema], target_blocks: int
+) -> "ray.data.Dataset":
+    """Coalesce block refs toward ``target_blocks`` with driver-launched
+    concat tasks — the block-width effect of ``repartition(n)`` without its
+    AllToAll barrier; nothing blocks the driver."""
+    total = sum(counts)
+    if not refs:
+        return ray.data.from_arrow(
+            schema.empty_table() if schema is not None else pa.table({})
         )
+    if len(refs) <= max(1, target_blocks):
+        return dataset_from_known_refs(refs, counts, schema)
     target_rows = -(-total // max(1, target_blocks))
     out_refs, out_counts = [], []
     cur, cur_rows = [], 0
-    for r, c in refs_counts:
+    for r, c in zip(refs, counts):
         cur.append(r)
         cur_rows += c
         if cur_rows >= target_rows:
@@ -144,6 +148,29 @@ def coalesce_refs(
         out_refs.append(_concat_blocks.remote(*cur) if len(cur) > 1 else cur[0])
         out_counts.append(cur_rows)
     return dataset_from_known_refs(out_refs, out_counts, schema)
+
+
+def coalesce_refs(
+    mat: "ray.data.Dataset", target_blocks: int
+) -> "ray.data.Dataset":
+    """``coalesce_ref_list`` over a materialized dataset's own blocks."""
+    refs, counts = refs_and_counts(mat)
+    if not refs:
+        return mat
+    return coalesce_ref_list(refs, counts, arrow_schema_of(mat), target_blocks)
+
+
+def resplit_ref(ref: "ray.ObjectRef", total_rows: int, target_splits: int):
+    """Slice one block ref into even task rounds (see even_chunk); returns
+    (refs, counts) without blocking."""
+    chunk = even_chunk(total_rows, target_splits, chunk_floor())
+    if total_rows <= chunk:
+        return [ref], [total_rows]
+    refs, counts = [], []
+    for i in range(0, total_rows, chunk):
+        refs.append(_slice_block.remote(ref, i, chunk))
+        counts.append(min(chunk, total_rows - i))
+    return refs, counts
 
 
 @ray.remote
