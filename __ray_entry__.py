@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subdomain_counts": C.subdomain_counts,
         "postings_tfidf": C.postings_tfidf,
         "search_topk": C.search_topk,
+        "search_topk_bm25": C.search_topk_bm25,
         # --- text analysis ---
         "quality_scores": C.quality_scores,
         "lang_profile": C.lang_profile,
@@ -899,6 +900,45 @@ SELECT d.doc_id,
 FROM dg d LEFT JOIN bg b ON b.g = d.g
 GROUP BY d.doc_id
 """,
+        # Okapi BM25 top-5 (pipelines/corpus.py search_topk_bm25). The fp
+        # expression SHAPE matches the engine exactly — incl. (1.2 + 1.0)
+        # rather than 2.2, which is a DIFFERENT double — so milli rounding
+        # agrees bit-for-bit.
+        "search_topk_bm25": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+              FROM dl
+            ),
+            tf AS (
+              SELECT doc_id, t AS token, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+              WHERE t IN ('data', 'stream', 'merge', 'sort')
+              GROUP BY 1, 2
+            ),
+            df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       (ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * (tf.tf::DOUBLE * (1.2 + 1.0))
+                        / (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+                           + 0.75 * dl.dl::DOUBLE / stats.avgdl)))
+                       * 1000.0 + 0.5) AS BIGINT) AS milli
+              FROM tf
+              JOIN df USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats
+            )
+            SELECT doc_id, CAST(sum(milli) AS BIGINT) AS score_milli
+            FROM scored GROUP BY doc_id
+            ORDER BY score_milli DESC, doc_id LIMIT 5
+        """,
         # exact substring-duplication spans: 10-token windows shared
         # verbatim across docs; runs via gaps-and-islands
         # (pipelines/textprep.py dup_substring_spans)

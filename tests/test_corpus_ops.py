@@ -421,3 +421,51 @@ def test_ngram_jaccard_hot_shingle_cap(ray_session, tmp_path):
     assert (0, 300) in pairs                       # identical pair found
     assert all(j == 1000 for p, j in zip(pairs, out.column("jaccard_milli").to_pylist()) if p == (0, 300))
     assert len(pairs) < 1000                       # no boilerplate blowup
+
+
+def test_bm25_matches_python_oracle(ray_session):
+    """Independent python replay of the BM25 scorer (identical fp
+    expression shape, milli rounding, tie order)."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        BM25_B,
+        BM25_K1,
+        SEARCH_QUERY_TOKENS,
+        search_topk_bm25,
+    )
+
+    got = search_topk_bm25(SF).to_pylist()
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    toks = {
+        d: tok.findall(t.lower())
+        for d, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    n = float(len(toks))
+    avgdl = float(sum(len(v) for v in toks.values())) / float(len(toks))
+    q = set(SEARCH_QUERY_TOKENS)
+    tf = {d: Counter(t for t in v if t in q) for d, v in toks.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    scores = {}
+    for d, c in tf.items():
+        s = 0
+        for t, f in c.items():
+            idf = math.log((n - float(df[t]) + 0.5) / (float(df[t]) + 0.5) + 1.0)
+            raw = (
+                idf
+                * (float(f) * (BM25_K1 + 1.0))
+                / (float(f) + BM25_K1 * ((1.0 - BM25_B) + BM25_B * len(toks[d]) / avgdl))
+            )
+            s += int(math.floor(raw * 1000.0 + 0.5))
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["doc_id"], r["score_milli"]) for r in got] == want

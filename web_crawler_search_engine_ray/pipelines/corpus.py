@@ -408,6 +408,101 @@ def search_topk(sf_dir: str) -> pa.Table:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def search_topk_bm25(sf_dir: str) -> pa.Table:
+    """Okapi BM25 top-5 for the fixed query — the modern ranking
+    counterpart to the reference's (1+ln tf)·ln(N/df) scorer, kept as a
+    first-class query so both ranking families are driver-checked.
+
+    Lucene-style non-negative idf: ln((N-df+0.5)/(df+0.5)+1); per-term
+    scores round to exact milli units before the integer doc sum, so
+    ranking is block-layout-independent and the SQL oracle replays the
+    identical floating-point expression shape.
+
+    Scale shape: one streaming map emits only (doc, query-term, tf, dl)
+    rows — postings for the 4 query terms, never the full vocabulary —
+    then a tiny per-term df aggregate (driver-side: 4 rows) and ONE
+    narrow groupby(doc).sum. The doc-length/N/avgdl corpus stats are two
+    scalar aggregates."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    query = list(SEARCH_QUERY_TOKENS)
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out, t_out, tf_out, dl_out = [], [], [], []
+        for did, text in zip(ids, texts):
+            toks = _TOK_RE.findall(text.lower())
+            dl = len(toks)
+            c = Counter(t for t in toks if t in query)
+            for t, tf in c.items():
+                d_out.append(did)
+                t_out.append(t)
+                tf_out.append(tf)
+                dl_out.append(dl)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "token": pa.array(t_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "dl": pa.array(dl_out, pa.int64()),
+            }
+        )
+
+    def dl_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        dls = [len(_TOK_RE.findall(t.lower())) for t in texts]
+        return pa.table({"dl": pa.array(dls, pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    # corpus stats: N and avgdl (two scalar aggregates over a pruned scan)
+    lens = docs.map_batches(dl_rows, batch_format="pyarrow")
+    n_docs = lens.count()
+    total_dl = lens.sum("dl")
+    avgdl = float(total_dl) / float(n_docs)
+
+    matches = docs.map_batches(term_rows, batch_format="pyarrow").materialize()
+    # per-term df: 4 rows — collect and broadcast in the closure
+    df_tbl = collect_table(
+        matches.groupby("token").count()
+    )
+    df = {
+        r["token"]: float(r["count()"])
+        for r in df_tbl.to_pylist()
+    }
+    n_f = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfs = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dls = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfs = np.asarray(
+            [df[t] for t in batch.column("token").to_pylist()], dtype=np.float64
+        )
+        idf = np.log((n_f - dfs + 0.5) / (dfs + 0.5) + 1.0)
+        raw = idf * (tfs * (BM25_K1 + 1.0)) / (
+            tfs + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dls / avgdl)
+        )
+        milli = np.floor(raw * 1000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "milli": pa.array(milli, pa.int64())}
+        )
+
+    top = (
+        matches.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("milli", alias_name="score_milli"))
+        .sort(["score_milli", "doc_id"], descending=[True, False])
+        .limit(5)
+    )
+    return collect_table(top).select(["doc_id", "score_milli"])
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality, language-ID, token counting, fingerprints
 # ---------------------------------------------------------------------------
