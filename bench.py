@@ -208,6 +208,8 @@ def _bench_queries(sf_dir: str) -> dict:
         ("pii_redact", T.pii_redact),
         ("quality_gopher", T.quality_gopher),
         ("decontaminate", T.decontaminate),
+        ("dup_substring_spans", T.dup_substring_spans),
+        ("search_topk_bm25", C.search_topk_bm25),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),
         ("embedding_kmeans", CL.embedding_kmeans),
