@@ -276,6 +276,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _multimodal(sf_dir, FrameSampleStage, "frame")
 
+    def multimodal_phash_pairs(sf_dir: str) -> Any:
+        import ray.data
+
+        from web_crawler_search_engine_ray.stages.multimodal import phash_pairs
+
+        return phash_pairs(ray.data.read_parquet(_conf_crawl(sf_dir)["docs"]))
+
     return {
         # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
         "word_frequencies": C.word_frequencies,
@@ -348,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal_features,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
+        "multimodal_phash_pairs": multimodal_phash_pairs,
     }
 
 
@@ -1057,6 +1065,49 @@ FROM per p JOIN mr m USING (doc_id)
             SELECT doc_id, media_ref, 64::INTEGER AS width,
                    64::INTEGER AS height, payload_crc
             FROM agg
+        """,
+        # pHash near-dup pairs: stub pHash = group base bits + v salted
+        # flips for variant v (stages/multimodal.py phash_for_refs);
+        # banded LSH candidates + Hamming<=6 verify, both replayed here
+        "multimodal_phash_pairs": f"""
+            WITH mg AS (
+              SELECT CAST(doc_id AS BIGINT) AS d,
+                     CAST(doc_id AS BIGINT) // 4 AS g,
+                     CAST(doc_id AS BIGINT) % 4 AS v,
+                     'media://conf' || printf('%04x', CAST(doc_id AS BIGINT)) AS media_ref
+              FROM documents WHERE CAST(doc_id AS BIGINT) < {_CSQL.CONF_N}
+            ),
+            bj AS (SELECT *, unnest(range(0, 48)) AS j FROM mg),
+            {_mix_sql("bj", "g", "(700000 + j)")},
+            base AS (
+              SELECT d, CAST(sum(CASE WHEN mixh % 2 = 1
+                         THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bh
+              FROM s5 GROUP BY d
+            ),
+            vi AS (SELECT d, g, v, unnest(range(1, v + 1)) AS i FROM mg WHERE v > 0),
+            {_mix_sql("vi", "g", "(800000 + 64 * v + i)", sfx="f")},
+            flips AS (
+              SELECT d, bit_xor(1::BIGINT << CAST(mixh % 48 AS INTEGER)) AS fm
+              FROM s5f GROUP BY d
+            ),
+            ph AS (
+              SELECT mg.media_ref, xor(base.bh, coalesce(flips.fm, 0)) AS phash
+              FROM mg JOIN base USING (d) LEFT JOIN flips USING (d)
+            ),
+            bk AS (
+              SELECT media_ref, phash,
+                     (phash >> CAST(12 * b AS INTEGER)) % 4096 AS bv, b
+              FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.media_ref AS media_a, c.media_ref AS media_b,
+                     a.phash AS pa, c.phash AS pb
+              FROM bk a JOIN bk c ON a.b = c.b AND a.bv = c.bv
+                                  AND a.media_ref < c.media_ref
+            )
+            SELECT media_a, media_b,
+                   CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(pa, pb)) <= 6
         """,
         "multimodal_frames": f"""
             WITH {_MEDIA_CTE},

@@ -469,3 +469,57 @@ def test_bm25_matches_python_oracle(ray_session):
             scores[d] = s
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r["doc_id"], r["score_milli"]) for r in got] == want
+
+
+def test_phash_pairs_structure(ray_session):
+    """pHash near-dup pairs: every pair stays within its re-encoding
+    group (cross-group stub hashes are ~24 bits apart), distances respect
+    the threshold, and a python replay of hash+LSH+verify matches."""
+    import numpy as np
+    import ray.data
+
+    from web_crawler_search_engine_ray.sources.conformance_web import (
+        build_conformance_web,
+    )
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        PHASH_GROUP,
+        PHASH_MAX_DIST,
+        phash_for_refs,
+        phash_pairs,
+    )
+
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="phash_web_")
+    docs_path = build_conformance_web(SF, out)
+    docs = ray.data.read_parquet(docs_path)
+    got = phash_pairs(docs).to_pandas()
+
+    def gid(ref):
+        return int(ref.rsplit("conf", 1)[1], 16) // PHASH_GROUP
+
+    assert len(got) > 0
+    assert (got["hamming"] <= PHASH_MAX_DIST).all()
+    assert (got["media_a"] < got["media_b"]).all()
+    for _, r in got.iterrows():
+        assert gid(r["media_a"]) == gid(r["media_b"]), r
+
+    # python replay: same refs, same hashes, same banded-LSH candidacy
+    refs = sorted({*got["media_a"], *got["media_b"]})
+    all_refs = sorted(
+        {f"media://conf{d:04x}" for d in range(50)}
+    )
+    ph = dict(zip(all_refs, phash_for_refs(all_refs)))
+    want = set()
+    for i, a in enumerate(all_refs):
+        for b in all_refs[i + 1:]:
+            x = int(ph[a] ^ ph[b])
+            if bin(x).count("1") > PHASH_MAX_DIST:
+                continue
+            shares_band = any(
+                (int(ph[a]) >> (12 * k)) & 0xFFF == (int(ph[b]) >> (12 * k)) & 0xFFF
+                for k in range(4)
+            )
+            if shares_band:
+                want.add((a, b))
+    assert {(r["media_a"], r["media_b"]) for _, r in got.iterrows()} == want

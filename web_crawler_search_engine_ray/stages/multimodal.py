@@ -289,3 +289,144 @@ class FrameSampleStage:
             ],
             schema=FRAMES_SCHEMA,
         )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection over media spans (the image-side
+# counterpart of MinHash text dedup: pHash + banded LSH + Hamming verify)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 48  # 48 not 64: every bit op stays exact in signed-BIGINT SQL
+PHASH_BANDS = 4  # 12-bit bands
+PHASH_SALT = 700_000
+PHASH_VAR_SALT = 800_000
+PHASH_GROUP = 4  # consecutive refs model re-encodings of one source image
+PHASH_MAX_DIST = 6
+
+
+def phash_for_refs(media_refs: List[str]) -> np.ndarray:
+    """STUB perceptual hash (real pHash needs an image decoder): the
+    synthetic corpus declares each run of PHASH_GROUP consecutive media
+    refs to be re-encodings of one source image — variant v of group g
+    hashes to g's base bit pattern with v salted bit flips, so true
+    near-dups sit at small Hamming distance and everything else is ~24
+    bits apart. Base bits and flip positions come from the mix32
+    avalanche on (g, salt), replayed exactly by the SQL oracle."""
+    d = np.asarray(
+        [int(r.rsplit("conf", 1)[1], 16) for r in media_refs], dtype=np.uint64
+    )
+    g = d // np.uint64(PHASH_GROUP)
+    v = d % np.uint64(PHASH_GROUP)
+    n = len(d)
+    js = np.arange(PHASH_BITS, dtype=np.uint64)
+    bits = (
+        mix32_batch(
+            np.repeat(g, PHASH_BITS), np.tile(np.uint64(PHASH_SALT) + js, n)
+        )
+        & np.uint64(1)
+    ).reshape(n, PHASH_BITS)
+    ph = (bits << js).sum(axis=1, dtype=np.uint64)
+    for i in range(1, PHASH_GROUP):
+        rows = np.nonzero(v >= i)[0]
+        if len(rows):
+            p = (
+                mix32_batch(
+                    g[rows],
+                    np.uint64(PHASH_VAR_SALT) + np.uint64(64) * v[rows] + np.uint64(i),
+                )
+                % np.uint64(PHASH_BITS)
+            )
+            ph[rows] ^= np.uint64(1) << p
+    return ph
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy 1.x has no bit_count ufunc)."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    b = np.unpackbits(x.astype("<u8").view(np.uint8).reshape(len(x), 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def phash_pairs(docs) -> "object":
+    """Near-duplicate media pairs over a docs-with-spans Dataset.
+
+    Shape (the 100 TB path): one streaming map computes per-span pHashes
+    and emits PHASH_BANDS fixed-width band rows per media; ONE
+    groupby(band bucket) shuffle of those narrow rows; candidate pairs
+    verified by Hamming distance inside each (tiny) bucket; a second
+    narrow groupby dedups pairs found by multiple bands. Mirrors the
+    MinHash-LSH text path (pipelines/corpus.py) on the media side."""
+    import pyarrow.compute as pc
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        refs: List[str] = []
+        for spans in batch.column("spans").to_pylist():
+            for s in spans or []:
+                if s["kind"] == "image" and s["media_ref"]:
+                    refs.append(s["media_ref"])
+        if not refs:
+            return pa.table(
+                {
+                    "bkey": pa.array([], pa.int64()),
+                    "media_ref": pa.array([], pa.string()),
+                    "phash": pa.array([], pa.int64()),
+                }
+            )
+        ph = phash_for_refs(refs)
+        n = len(refs)
+        bs = np.arange(PHASH_BANDS, dtype=np.uint64)
+        bvals = (ph[:, None] >> (np.uint64(12) * bs)) & np.uint64(0xFFF)
+        bkey = (np.tile(bs, n) * np.uint64(4096)) + bvals.reshape(-1)
+        return pa.table(
+            {
+                "bkey": pa.array(bkey.astype(np.int64), pa.int64()),
+                "media_ref": pa.array(np.repeat(refs, PHASH_BANDS), pa.string()),
+                "phash": pa.array(
+                    np.repeat(ph, PHASH_BANDS).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        refs = np.asarray(tbl.column("media_ref").to_pylist(), dtype=object)
+        ph = tbl.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(refs.astype(str), kind="stable")
+        refs, ph = refs[order], ph[order]
+        # a ref can appear once per band value; within one bucket refs are
+        # distinct unless hash-equal — dedup defensively
+        uniq = np.concatenate(([True], refs[1:] != refs[:-1]))
+        refs, ph = refs[uniq], ph[uniq]
+        m = len(refs)
+        empty = pa.table(
+            {
+                "media_a": pa.array([], pa.string()),
+                "media_b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+                "pkey": pa.array([], pa.string()),
+            }
+        )
+        if m < 2:
+            return empty
+        ia, ib = np.triu_indices(m, 1)
+        ham = _popcount64(ph[ia] ^ ph[ib])
+        keep = ham <= PHASH_MAX_DIST
+        if not keep.any():
+            return empty
+        a = refs[ia[keep]].astype(str)
+        b = refs[ib[keep]].astype(str)
+        return pa.table(
+            {
+                "media_a": pa.array(a, pa.string()),
+                "media_b": pa.array(b, pa.string()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+                "pkey": pa.array(np.char.add(np.char.add(a, "|"), b), pa.string()),
+            }
+        )
+
+    def first_row(tbl: pa.Table) -> pa.Table:
+        return tbl.slice(0, 1).drop_columns(["pkey"])
+
+    bands = docs.map_batches(band_rows, batch_format="pyarrow")
+    pairs = bands.groupby("bkey").map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby("pkey").map_groups(first_row, batch_format="pyarrow")
