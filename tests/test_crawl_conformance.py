@@ -231,3 +231,40 @@ def test_distributed_path_equals_fast_path(ray_session, tmp_path_factory, monkey
         r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
     }
     assert eng_seen == dict(oracle.seen)
+
+
+def test_backlog_bypass_hot_host_distributed(ray_session, tmp_path_factory, monkeypatch):
+    """Distributed path with the hot-host backlog bypass ACTIVE: narrow
+    waves (slots_cap = wave_span/politeness = 4) over a skewed web make
+    every host's backlog exceed the cap, so most carry rows skip the
+    schedule shuffle — output must still match the oracle exactly."""
+    import web_crawler_search_engine_ray.pipelines.crawl as CR
+    from web_crawler_search_engine_ray.sources.synthetic_web import generate_web
+
+    monkeypatch.setattr(CR, "SMALL_WAVE_ROWS", 0)
+
+    web = generate_web(seed=31, num_hosts=4, num_docs=80, hot_host_frac=0.55)
+    cfg = CrawlConfig(wave_span=2.0)
+    seeds = web["seeds"].column("url").to_pylist()
+    oracle = oracle_crawl(web["docs"], web["robots"], seeds, cfg)
+
+    data_dir = str(tmp_path_factory.mktemp("webbyp"))
+    write_web(web, data_dir)
+    outputs = run_crawl(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies={r["host"]: r["body"] for r in web["robots"].to_pylist()},
+        seed_urls=seeds,
+        config=cfg,
+        workdir=str(tmp_path_factory.mktemp("crawlbyp")),
+    )
+    eng = outputs.lineage().to_pandas()
+    got = list(zip(eng["seq"], eng["url"], eng["virtual_ts"]))
+    want = [(w[0], w[2], w[4]) for w in oracle.lineage]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert abs(g[2] - w[2]) < 1e-9, (g, w)
+    eng_seen = {
+        r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
+    }
+    assert eng_seen == dict(oracle.seen)

@@ -225,6 +225,69 @@ def _schedule_small_wave(
     return prefix, rest, plen
 
 
+@ray.remote(num_returns=3)
+def _split_flag_block(table: pa.Table):
+    """Split one contender-sorted block into (contenders, bypass, n_cont);
+    both halves drop the flag column (zero-copy slices)."""
+    cf = table.column("cflag").to_numpy(zero_copy_only=False)
+    clen = int(np.searchsorted(cf, 1))
+    t = table.drop_columns(["cflag"])
+    return t.slice(0, clen), t.slice(clen), clen
+
+
+def make_flag_contenders(slots_cap: int, has_priority: bool):
+    """Per-block contender selection for the distributed schedule path
+    (hot-host backlog bypass): within each block, per host, only the
+    first ``slots_cap`` ALLOWED rows in dispatch order (priority, then
+    discovery_seq) can possibly win a politeness slot this wave — plus
+    every robots-blocked row (marked complete without burning a slot).
+    Everything else is pure carryover and BYPASSES the groupby(host)
+    shuffle entirely. Per-block top-k is a superset of global top-k, so
+    the schedule kernel's output is unchanged; what changes is shuffle
+    volume: a host with a 10^7-row backlog ships O(blocks x slots_cap)
+    rows through the AllToAll instead of the whole backlog (the north
+    rule's hot-host skew clause)."""
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if not n:
+            return batch.append_column("cflag", pa.array([], pa.int8()))
+        hosts = (
+            pc.dictionary_encode(batch.column("host").combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dseq = batch.column("discovery_seq").to_numpy(zero_copy_only=False)
+        allowed = batch.column("allowed").to_numpy(zero_copy_only=False).astype(bool)
+        if has_priority:
+            prio = batch.column("priority").to_numpy(zero_copy_only=False)
+            order = np.lexsort((dseq, prio, hosts))
+        else:
+            order = np.lexsort((dseq, hosts))
+        hs = hosts[order]
+        al = allowed[order]
+        seg_start = np.concatenate(([True], hs[1:] != hs[:-1]))
+        # rank among allowed rows within the host segment (1-based)
+        cum = np.cumsum(al)
+        starts = np.nonzero(seg_start)[0]
+        offsets = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        seg_id = np.cumsum(seg_start) - 1
+        rank = cum - offsets[seg_id]
+        contender = (~al) | (rank <= slots_cap)
+        part = np.concatenate((order[contender], order[~contender]))
+        flags = np.concatenate(
+            (
+                np.zeros(int(contender.sum()), dtype=np.int8),
+                np.ones(int((~contender).sum()), dtype=np.int8),
+            )
+        )
+        return batch.take(pa.array(part, pa.int64())).append_column(
+            "cflag", pa.array(flags, pa.int8())
+        )
+
+    return flag
+
+
 @ray.remote(num_returns=2)
 def _links_small_wave(first_wins_fn, seen_filter_fn, seq_start: int, *blocks):
     """Small-wave fast path for the candidate chain: within-wave
@@ -439,6 +502,7 @@ def run_crawl(
             )
             n_dispatched = int(ray.get(plen_ref))
             rest_refs = [rest_ref]
+            bypass_refs: list = []
             _tock("schedule", _t)
             _t = _tick()
             ordered = None
@@ -454,15 +518,42 @@ def run_crawl(
             pre = frontier
             if priority_fn is not None:
                 pre = pre.map_batches(priority_fn, batch_format="pyarrow")
-            # ONE fused execution: politeness groupby + robots marks + the
-            # global dispatch sort. ACTION_FETCH (=0) leads the sort key, so
-            # dispatched rows form a contiguous global prefix in dispatch
-            # order and split_prefix_zip below peels them off the
-            # materialized blocks with zero-copy slices — no second
-            # filter+sort execution.
-            scheduled = (
+            # hot-host backlog bypass: robots marks + per-block contender
+            # selection in one streaming pass, then a driver-side split —
+            # only rows that can possibly win a politeness slot this wave
+            # (per host: slots_cap allowed + all blocked) enter the
+            # groupby(host) AllToAll; the backlog goes straight to the
+            # frontier writer as carryover.
+            slots_cap = max(1, int(config.wave_span / config.politeness))
+            flag_fn = make_flag_contenders(slots_cap, priority_fn is not None)
+            pre_mat = (
                 pre.map_batches(robots_fn, batch_format="pyarrow")
-                .groupby("host")
+                .map_batches(flag_fn, batch_format="pyarrow")
+                .materialize()
+            )
+            prefs, pcounts = refs_and_counts(pre_mat)
+            trips = [_split_flag_block.remote(r) for r in prefs]
+            clens = ray.get([t[2] for t in trips])
+            bypass_refs = [
+                t[1] for t, n, c in zip(trips, pcounts, clens) if n - c
+            ]
+            pre_schema = arrow_schema_of(pre_mat)
+            if pre_schema is not None and "cflag" in pre_schema.names:
+                pre_schema = pre_schema.remove(
+                    pre_schema.get_field_index("cflag")
+                )
+            cont = dataset_from_known_refs(
+                [t[0] for t, c in zip(trips, clens) if c],
+                [c for c in clens if c],
+                pre_schema,
+            )
+            # ONE fused execution over the contenders: politeness groupby
+            # + the global dispatch sort. ACTION_FETCH (=0) leads the sort
+            # key, so dispatched rows form a contiguous global prefix in
+            # dispatch order and split_prefix_zip below peels them off the
+            # materialized blocks with zero-copy slices.
+            scheduled = (
+                cont.groupby("host")
                 .map_groups(schedule_fn, batch_format="pyarrow")
                 .map_batches(_mark_blocked_passthrough, batch_format="pyarrow")
                 .sort(["action", "virtual_ts", "host", "discovery_seq"])
@@ -663,6 +754,9 @@ def run_crawl(
         tmp_dir = begin_checkpoint(workdir, wave)
         fdir = os.path.join(tmp_dir, "frontier")
         pairs = [_frontier_block.remote(r, SCH.ACTION_CARRY) for r in rest_refs]
+        # backlog-bypass blocks (distributed path) are pure carryover:
+        # they skipped the schedule shuffle and re-contend next wave
+        pairs += [_frontier_block.remote(r, None) for r in bypass_refs]
         if n_fresh:
             pairs += [_frontier_block.remote(r, None) for r in fresh_refs]
         count_tbls = ray.get([c for c, _ in pairs])
