@@ -134,7 +134,6 @@ def value_percentiles(sf_dir: str) -> pa.Table:
     (event_type, v_milli) partial counts so the shuffle carries histogram
     cardinality, not rows. Quantile = smallest v with cumulative count >=
     ceil(q*n), all in integer arithmetic (identical to the SQL oracle)."""
-    from ray.data.aggregate import Sum
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         v = batch.column("value").to_numpy(zero_copy_only=False)
@@ -154,11 +153,33 @@ def value_percentiles(sf_dir: str) -> pa.Table:
             }
         )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # int32 bucket of (type, value): the shuffle sorts 64 small
+        # buckets instead of sort-aggregating a composite (string, int64)
+        # key over every partial row (measured 14 s -> ~2 s at sf0.1)
+        from ..functions.urls import hash64_batch
+
+        h = hash64_batch(batch.column("event_type").to_pylist())
+        v = batch.column("v_milli").to_numpy(zero_copy_only=False)
+        b = ((h ^ v.astype(np.uint64)) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("hbucket", pa.array(b, pa.int32()))
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["event_type", "v_milli"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "v_milli": g.column("v_milli"),
+                "c": pc.cast(g.column("c_sum"), pa.int64()),
+            }
+        )
+
     hist = collect_table(
         _read(sf_dir, "events", ["event_type", "value"])
         .map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["event_type", "v_milli"])
-        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
     types = hist.column("event_type").to_numpy(zero_copy_only=False)
