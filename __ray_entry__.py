@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gopher": T.quality_gopher,
         "decontaminate": T.decontaminate,
         "dup_substring_spans": T.dup_substring_spans,
+        "sequence_pack": T.sequence_pack,
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
         #     conformance vs the python oracle lives in tests/) ---
@@ -987,6 +988,28 @@ SELECT p.doc_id, p.n_windows, p.n_dup_windows,
        m.max_dup_run, m.max_dup_run + 9 AS longest_dup_span
 FROM per p JOIN mr m USING (doc_id)
 """,
+        # training-sequence packing: ordered prefix sum over doc_id order
+        # (pipelines/textprep.py sequence_pack; engine = distributed scan)
+        "sequence_pack": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            scan AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_offset
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 256 AS pack_id,
+                   greatest(start_offset, start_offset + n_tokens - 1) // 256 AS end_pack,
+                   greatest(start_offset, start_offset + n_tokens - 1) // 256
+                     - start_offset // 256 + 1 AS n_packs_spanned
+            FROM scan
+        """,
         "quality_gopher": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

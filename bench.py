@@ -209,6 +209,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("quality_gopher", T.quality_gopher),
         ("decontaminate", T.decontaminate),
         ("dup_substring_spans", T.dup_substring_spans),
+        ("sequence_pack", T.sequence_pack),
         ("search_topk_bm25", C.search_topk_bm25),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),

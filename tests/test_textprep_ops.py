@@ -180,3 +180,38 @@ def test_dup_substring_spans_matches_python_oracle(ray_session):
     assert canary_docs <= flagged
     sub = got[got["doc_id"] % DUPSPAN_MOD == 2]
     assert (sub["longest_dup_span"] >= 16).all()
+
+
+def test_sequence_pack_scan_invariants(ray_session):
+    """The distributed prefix-scan must produce a gapless token stream in
+    doc_id order, matching a single-process replay exactly."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        PACK_CAPACITY,
+        sequence_pack,
+    )
+
+    df = sequence_pack(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    n = {
+        d: len(tok.findall(t.lower()))
+        for d, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    assert list(df["doc_id"]) == sorted(n)
+    assert list(df["n_tokens"]) == [n[d] for d in sorted(n)]
+    # gapless: each start = previous start + previous length
+    starts = df["start_offset"].to_numpy()
+    lens = df["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + lens[:-1]).all()
+    # pack arithmetic
+    assert (df["pack_id"] == starts // PACK_CAPACITY).all()
+    last = np.maximum(starts, starts + lens - 1)
+    assert (df["end_pack"] == last // PACK_CAPACITY).all()
+    assert (df["n_packs_spanned"] >= 1).all()
+    assert (df["n_packs_spanned"].to_numpy() >= 2).any()  # capacity spans happen

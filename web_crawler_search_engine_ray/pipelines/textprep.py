@@ -40,6 +40,7 @@ __all__ = [
     "quality_gopher",
     "decontaminate",
     "dup_substring_spans",
+    "sequence_pack",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -390,3 +391,108 @@ def dup_substring_spans(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(add_dbucket, batch_format="pyarrow")
     )
     return dup.groupby("dbucket").map_groups(doc_spans, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (GPT-style: concatenate documents in a fixed
+# global order, split into fixed-capacity token windows) — built on a
+# DISTRIBUTED ORDERED PREFIX-SCAN, the primitive Ray Data lacks natively
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256  # tokens per training sequence (2048/4096 in practice;
+#                      256 makes the ~54-token synthetic docs span packs)
+
+
+def sequence_pack(sf_dir: str) -> "ray.data.Dataset":
+    """Assign every document its byte-exact place in the packed training
+    stream: concatenation order is doc_id ascending; each doc occupies
+    [start_offset, start_offset + n_tokens) in the global token stream and
+    therefore lands in pack(s) of PACK_CAPACITY tokens.
+
+    The global start_offset is an ORDERED PREFIX SUM — the one shape a
+    pure groupby/map engine can't express — implemented the scan way:
+    (1) one streaming pass computes per-block token subtotals (the driver
+    sees ONE scalar per block, never rows); (2) the driver exclusive-scans
+    those subtotals (O(blocks)); (3) a second per-block pass stamps
+    offsets = block_base + local cumsum. Blocks are processed in doc_id
+    order because the scan sorts by each block's min doc_id and asserts
+    block ranges don't interleave (repartition-safe: the sort execution
+    guarantees it).
+
+    Output per doc: n_tokens, start_offset, pack_id (of its first token),
+    end_pack (of its last), n_packs_spanned. SQL oracle = a window
+    cumulative sum."""
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = [len(_TOK_RE.findall(t.lower())) for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    import numpy as np
+
+    import ray as _ray
+
+    from ..stages.util import dataset_from_known_refs, refs_and_counts
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .sort("doc_id")
+        .materialize()
+    )
+    refs, nrows = refs_and_counts(counts)
+
+    @_ray.remote(num_returns=2)
+    def block_stats(tbl: pa.Table):
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        return (int(d[0]), int(d[-1]), int(n.sum())), tbl
+
+    pairs = [block_stats.remote(r) for r in refs]
+    stats = _ray.get([p[0] for p in pairs])
+    order = np.argsort([s[0] for s in stats], kind="stable")
+    # block doc ranges must partition the key space (sort guarantees it)
+    for a, b in zip(order[:-1], order[1:]):
+        assert stats[a][1] < stats[b][0], "sorted blocks interleave"
+    base = 0
+    bases = {}
+    for i in order:
+        bases[i] = base
+        base += stats[i][2]
+
+    @_ray.remote
+    def stamp(tbl: pa.Table, base_off: int) -> pa.Table:
+        n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = base_off + np.cumsum(n) - n
+        pack = start // PACK_CAPACITY
+        last = np.maximum(start, start + n - 1)  # empty docs stay in place
+        end_pack = last // PACK_CAPACITY
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": tbl.column("n_tokens"),
+                "start_offset": pa.array(start, pa.int64()),
+                "pack_id": pa.array(pack, pa.int64()),
+                "end_pack": pa.array(end_pack, pa.int64()),
+                "n_packs_spanned": pa.array(end_pack - pack + 1, pa.int64()),
+            }
+        )
+
+    out_refs = [stamp.remote(pairs[i][1], bases[i]) for i in range(len(pairs))]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_offset", pa.int64()),
+            ("pack_id", pa.int64()),
+            ("end_pack", pa.int64()),
+            ("n_packs_spanned", pa.int64()),
+        ]
+    )
+    return dataset_from_known_refs(out_refs, nrows, schema)
