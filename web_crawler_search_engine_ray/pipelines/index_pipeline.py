@@ -160,14 +160,29 @@ def build_index(
         batch_format="pyarrow",
         batch_size=tok_batch,
         num_cpus=1,
-    )
-    scored = (
-        postings_raw.map_batches(add_token_bucket, batch_format="pyarrow")
-        .groupby("tbucket")
-        .map_groups(make_score_fn(n_indexed, min_ngram_df), batch_format="pyarrow")
-    )
+    ).map_batches(add_token_bucket, batch_format="pyarrow")
+    from ..stages.index import _TOKEN_BUCKETS
+    from ..stages.util import bucket_exchange
+
+    if os.environ.get("WCSE_INDEX_SHUFFLE", "exchange") == "exchange":
+        # MANUAL hash exchange (stages/util.py bucket_exchange): Ray's
+        # sort-based groupby shuffle spends ~460 s CPU sorting +
+        # merge-sorting the 129M-row string postings just to co-locate
+        # 256 integer bucket values; the exchange does one integer argsort
+        # + gather per map block and a concat per reduce bucket.
+        postings_mat = postings_raw.materialize()
+        scored = bucket_exchange(
+            postings_mat,
+            "tbucket",
+            _TOKEN_BUCKETS,
+            make_score_fn(n_indexed, min_ngram_df),
+        )
+    else:  # A/B leg: Ray Data sort-based shuffle
+        scored = postings_raw.groupby("tbucket").map_groups(
+            make_score_fn(n_indexed, min_ngram_df), batch_format="pyarrow"
+        )
     post_dir = os.path.join(out_dir, "postings")
-    # bucket-partitioned sorted runs (each map_groups output is locally
+    # bucket-partitioned sorted runs (each reduce output is locally
     # (token, doc_id)-sorted) — no global string sort; see make_score_fn
     scored.write_parquet(post_dir)
 

@@ -160,6 +160,65 @@ def coalesce_refs(
     return coalesce_ref_list(refs, counts, arrow_schema_of(mat), target_blocks)
 
 
+@ray.remote
+def _partition_block(table: pa.Table, key: str, nparts: int):
+    """Map side of the manual hash exchange: one stable int-key argsort +
+    one gather, then zero-copy slices — no per-key sort-merge machinery."""
+    import numpy as np
+
+    k = table.column(key).to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    t = table.take(pa.array(order, pa.int64()))
+    ks = k[order]
+    bounds = np.searchsorted(ks, np.arange(nparts + 1))
+    return tuple(
+        t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(nparts)
+    )
+
+
+@ray.remote
+def _reduce_concat(fn, key: str, *parts: pa.Table) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return parts[0].drop_columns([key]) if parts else pa.table({})
+    tbl = pa.concat_tables(tables)
+    if key in tbl.column_names:
+        tbl = tbl.drop_columns([key])
+    return fn(tbl)
+
+
+def bucket_exchange(
+    mat: "ray.data.Dataset", bucket_col: str, n_buckets: int, fn
+) -> "ray.data.Dataset":
+    """Manual hash-partition exchange: every row lands in the reduce task
+    of its ``bucket_col`` value (ints in [0, n_buckets)), where ``fn``
+    runs over the whole bucket.
+
+    Replaces ``groupby(bucket).map_groups(fn)`` for the wide integer-
+    bucketed shuffles: Ray's sort-based shuffle SORTS every block and
+    MERGE-SORTS every reduce partition — measured 460 s of CPU on the
+    129M-row postings shuffle just to co-locate 256 bucket values. Here
+    the map side is one stable integer argsort + gather + zero-copy
+    slices per block, and the reduce side is a concat. Every exchanged
+    object is addressed (block, bucket), so data still moves point-to-
+    point on a multi-node cluster exactly like a shuffle."""
+    refs, _counts = refs_and_counts(mat)
+    if not refs:
+        return mat
+    part_lists = [
+        _partition_block.options(num_returns=n_buckets).remote(
+            r, bucket_col, n_buckets
+        )
+        for r in refs
+    ]
+    out_refs = [
+        _reduce_concat.remote(fn, bucket_col, *[pl[b] for pl in part_lists])
+        for b in range(n_buckets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def resplit_ref(ref: "ray.ObjectRef", total_rows: int, target_splits: int):
     """Slice one block ref into even task rounds (see even_chunk); returns
     (refs, counts) without blocking."""
