@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_user_stats": R.events_user_stats,
         "events_sessions": R.events_sessions,
+        "events_funnel": R.events_funnel,
         "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
@@ -648,6 +649,32 @@ FROM anchor GROUP BY doc_id, token
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # conversion funnel: strictly-increasing view -> click -> purchase
+        # per user (pipelines/relational.py events_funnel)
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            ),
+            s AS (
+              SELECT v.user_id,
+                     CASE WHEN p.user_id IS NOT NULL THEN 3
+                          WHEN c.user_id IS NOT NULL THEN 2
+                          ELSE 1 END AS stage
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+            )
+            SELECT stage, count(*)::BIGINT AS n_users FROM s GROUP BY 1
         """,
         "events_sessions": """
             WITH s AS (

@@ -193,6 +193,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("events_hourly", R.events_hourly),
         ("events_user_stats", R.events_user_stats),
         ("events_sessions", R.events_sessions),
+        ("events_funnel", R.events_funnel),
         ("events_orders_asof", R.events_orders_asof),
         ("brand_part_stats", R.brand_part_stats),
         ("bloom_semijoin", R.lineitem_bloom_semijoin),

@@ -264,3 +264,50 @@ def test_order_shipments_window_matches_duckdb(ray_session):
     band_us = 16 * 86_400_000_000
     win_us = 3 * 86_400_000_000
     assert ((t_us + 1) // band_us != (t_us + win_us) // band_us).any()
+
+
+def test_events_funnel_stages(ray_session, tmp_path):
+    """Crafted funnel paths: full conversion, click-before-view (doesn't
+    count), view-only, view+click-only, ts ties (strict > required), and
+    a user with no view at all (excluded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import events_funnel
+
+    T = lambda s: pa.scalar(s, pa.timestamp("us"))
+    rows = [
+        # u1: full funnel
+        (1, "2024-01-01T00:00:00", "view"),
+        (1, "2024-01-01T00:01:00", "click"),
+        (1, "2024-01-01T00:02:00", "purchase"),
+        # u2: click BEFORE view, purchase after -> stage 1 (no click after view)
+        (2, "2024-01-01T00:00:00", "click"),
+        (2, "2024-01-01T00:01:00", "view"),
+        (2, "2024-01-01T00:02:00", "purchase"),
+        # u3: view only -> stage 1
+        (3, "2024-01-01T00:00:00", "view"),
+        # u4: view + click, purchase TIED with click ts -> stage 2 (strict >)
+        (4, "2024-01-01T00:00:00", "view"),
+        (4, "2024-01-01T00:01:00", "click"),
+        (4, "2024-01-01T00:01:00", "purchase"),
+        # u5: no view -> excluded entirely
+        (5, "2024-01-01T00:00:00", "click"),
+        (5, "2024-01-01T00:01:00", "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        int(r["stage"]): int(r["n_users"])
+        for r in events_funnel(str(tmp_path)).to_pylist()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}

@@ -897,3 +897,91 @@ def lineitem_bloom_semijoin(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_BUCKETS = 64
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """Conversion-funnel analysis (view → click → purchase): per user, the
+    furthest stage reached with STRICTLY increasing timestamps between
+    stages (t_click > first t_view, t_purchase > that t_click); output =
+    users per furthest stage.
+
+    Shape: one pruned streaming map keeps only funnel-stage rows as
+    (user, stage-code, ts_us) ints; ONE bucketed groupby(user-hash)
+    shuffle; the per-bucket kernel is segmented numpy (reduceat mins per
+    user, no per-event Python). The final stage histogram is 3 rows."""
+    from ray.data.aggregate import Sum
+
+    codes = {t: i for i, t in enumerate(_FUNNEL_STAGES)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        keep = np.fromiter((t in codes for t in et), dtype=bool, count=len(et))
+        b = batch.filter(pa.array(keep))
+        code = np.fromiter(
+            (codes[t] for t in b.column("event_type").to_pylist()),
+            dtype=np.int64,
+            count=b.num_rows,
+        )
+        ts_us = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "code": pa.array(code, pa.int64()),
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "ubucket": pa.array(
+                    (uid % _FUNNEL_BUCKETS).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    BIG = np.iinfo(np.int64).max
+
+    def funnel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        code = tbl.column("code").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        u, c, t = uid[order], code[order], ts[order]
+        seg = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(seg)
+        seg_id = np.cumsum(seg) - 1
+        # stage 1: first view per user
+        t1 = np.minimum.reduceat(np.where(c == 0, t, BIG), starts)
+        # stage 2: first click strictly after t1
+        m2 = (c == 1) & (t > t1[seg_id])
+        t2 = np.minimum.reduceat(np.where(m2, t, BIG), starts)
+        # stage 3: first purchase strictly after t2
+        m3 = (c == 2) & (t > t2[seg_id])
+        t3 = np.minimum.reduceat(np.where(m3, t, BIG), starts)
+        stage = np.where(
+            t1 == BIG, 0, np.where(t2 == BIG, 1, np.where(t3 == BIG, 2, 3))
+        )
+        out_stage, out_n = np.unique(stage[stage > 0], return_counts=True)
+        return pa.table(
+            {
+                "stage": pa.array(out_stage.astype(np.int64), pa.int64()),
+                "n_users": pa.array(out_n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from .corpus import collect_table
+
+    hist = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(funnel, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return collect_table(hist.sort("stage"))
