@@ -321,12 +321,24 @@ def _postings_tf(sf_dir: str) -> Tuple["ray.data.Dataset", int]:
     return tf, n_docs
 
 
+_POSTINGS_CACHE: dict = {}
+
+
 def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
     """A4/A5: df per token, idf = ln(N/df), tf_idf = (1 + ln tf)·idf
     rounded to 3 decimals (indexer/__init__.py:192-198); multi-word tokens
     with df < 10 pruned. The scoring groupby keys on token-hash % 256 —
     every posting of a token still co-locates (df correct), but the Python
-    call count is O(buckets), with one vectorized np.unique pass each."""
+    call count is O(buckets), with one vectorized np.unique pass each.
+
+    The materialized postings memoize per sf_dir within a Ray session —
+    the reference builds its index once and serves every query from it
+    (start_search_engine.py reads index.txt), so repeated query calls
+    (search_topk, the driver's per-query runs) reuse the built index
+    instead of re-tokenizing the corpus."""
+    cached = _POSTINGS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     from ..functions.urls import hash64_batch
 
     tf, n_docs = _postings_tf(sf_dir)
@@ -364,11 +376,14 @@ def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    out = (
         tf.map_batches(bucketed, batch_format="pyarrow")
         .groupby("tbucket")
         .map_groups(score, batch_format="pyarrow")
+        .materialize()
     )
+    _POSTINGS_CACHE[sf_dir] = out
+    return out
 
 
 def search_topk(sf_dir: str) -> pa.Table:

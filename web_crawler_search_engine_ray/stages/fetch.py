@@ -47,7 +47,15 @@ class DocStore:
         if table_ref is not None:
             import ray as _ray
 
-            self._mem = _ray.get(table_ref)  # zero-copy shared-memory view
+            if isinstance(table_ref, list):
+                # per-row-group refs (broadcast_docs_ref): zero-copy map
+                # each part and view them as one chunked table
+                parts = _ray.get(table_ref)
+                self._mem = pa.concat_tables([p for p in parts if p.num_rows])
+                if self._mem.num_rows == 0:
+                    self._mem = parts[0]
+            else:
+                self._mem = _ray.get(table_ref)  # zero-copy shared-memory view
             self.dataset = None
         else:
             self.dataset = pads.dataset(docs_path, format="parquet")
@@ -142,23 +150,32 @@ def broadcast_docs_ref(docs_path: str):
     import ray as _ray
 
     ds = pads.dataset(docs_path, format="parquet")
+    frags = list(ds.get_fragments())
     total_bytes = sum(
-        rg.total_byte_size
-        for frag in ds.get_fragments()
-        for rg in frag.row_groups
+        rg.total_byte_size for frag in frags for rg in frag.row_groups
     )
     if total_bytes > _BROADCAST_BYTES:
         return None
-    # read as a stream of record batches and keep the columns CHUNKED:
-    # combining a multi-GB nested column into one array overflows Arrow's
-    # 32-bit list offsets ("Nested data conversions not implemented ...")
-    batches = list(ds.to_batches())
-    tbl = (
-        pa.Table.from_batches(batches, schema=ds.schema)
-        if batches
-        else ds.schema.empty_table()
-    )
-    return _ray.put(tbl)
+
+    # parallel load: one task per row group straight into the object
+    # store (a driver-serial read of a ~GB store costs ~8 s/run). Each
+    # row-group table stays a SEPARATE ref — workers map them zero-copy
+    # and DocStore treats them as its chunk parts, so no multi-GB nested
+    # column is ever combined (32-bit offset ceiling).
+    @_ray.remote
+    def _read_rg(path: str, rg: int) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        f = _pq.ParquetFile(path)
+        return f.read_row_group(rg)
+
+    refs = []
+    for frag in frags:
+        for rg in frag.row_groups:
+            refs.append(_read_rg.remote(frag.path, rg.id))
+    if not refs:
+        return [_ray.put(ds.schema.empty_table())]
+    return refs
 
 
 def make_fetch_fn(docs_path: str, table_ref=None):
