@@ -92,7 +92,6 @@ def _bench_crawl(num_cpus: int, with_index: bool = True) -> dict:
         seed_urls=seeds,
         config=config,
         workdir=os.path.join(workdir, "crawl"),
-        fetch_concurrency=max(2, num_cpus // 4),
         sink_mode=os.environ.get("WCSE_SINK_MODE", "parquet"),
     )
     crawl_s = time.time() - t0

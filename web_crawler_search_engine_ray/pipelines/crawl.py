@@ -336,7 +336,6 @@ def run_crawl(
     config: CrawlConfig,
     workdir: str,
     resume: bool = False,
-    fetch_concurrency: int = 2,
     max_waves: int = 100_000,
     link_extractor=None,
     priority_fn=None,
