@@ -287,11 +287,17 @@ def _scaling_sweep(lo: int, hi: int, mode: str, num_docs: int = 100_000) -> dict
 
     keys = [
         k
-        for k in ("pages_per_sec", "docs_indexed_per_sec", "postings_per_sec")
+        for k in (
+            "pages_per_sec",
+            "urls_per_sec",
+            "docs_indexed_per_sec",
+            "postings_per_sec",
+        )
         if k in results[lo]["crawl"]
     ]
     return {
         "crawl_efficiency": eff("pages_per_sec"),
+        "frontier_urls_efficiency": eff("urls_per_sec"),
         "index_efficiency": eff("docs_indexed_per_sec"),
         "tokenize_efficiency": eff("postings_per_sec"),
         "lo": {"num_cpus": lo, **{k: results[lo]["crawl"][k] for k in keys}},
