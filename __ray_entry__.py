@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": R.events_user_stats,
         "events_sessions": R.events_sessions,
         "events_funnel": R.events_funnel,
+        "orders_no_returns": R.orders_no_returns,
         "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
@@ -649,6 +650,16 @@ FROM anchor GROUP BY doc_id, token
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # left ANTI-join: orders with no returned lineitem
+        # (pipelines/relational.py orders_no_returns)
+        "orders_no_returns": """
+            SELECT o_orderkey, o_custkey
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+            )
         """,
         # conversion funnel: strictly-increasing view -> click -> purchase
         # per user (pipelines/relational.py events_funnel)

@@ -193,6 +193,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("events_user_stats", R.events_user_stats),
         ("events_sessions", R.events_sessions),
         ("events_funnel", R.events_funnel),
+        ("orders_no_returns", R.orders_no_returns),
         ("events_orders_asof", R.events_orders_asof),
         ("brand_part_stats", R.brand_part_stats),
         ("bloom_semijoin", R.lineitem_bloom_semijoin),

@@ -311,3 +311,30 @@ def test_events_funnel_stages(ray_session, tmp_path):
         for r in events_funnel(str(tmp_path)).to_pylist()
     }
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_orders_no_returns_anti_join(ray_session):
+    """Anti-join equals the python set difference, and partitioning can't
+    leak a matched order through (every orderkey's rows co-locate)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import orders_no_returns
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in orders_no_returns(SF).take_all()
+    }
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+    returned = {
+        k for k, f in zip(
+            li.column("l_orderkey").to_pylist(), li.column("l_returnflag").to_pylist()
+        ) if f == "R"
+    }
+    want = {
+        k: c for k, c in zip(
+            orders.column("o_orderkey").to_pylist(), orders.column("o_custkey").to_pylist()
+        ) if k not in returned
+    }
+    assert got == want and len(got) > 0

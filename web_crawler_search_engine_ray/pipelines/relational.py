@@ -985,3 +985,73 @@ def events_funnel(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
     return collect_table(hist.sort("stage"))
+
+
+_ANTI_BUCKETS = 64
+
+
+def orders_no_returns(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed ANTI-join: orders with NO returned ('R') lineitem —
+    the left-anti member of the join family (inner = shipping_priority's
+    hash_join, semi = bloom_semijoin, as-of = events_orders_asof).
+
+    Shape: both sides are pruned scans tagged with a side flag and an
+    orderkey-hash bucket; ONE union + bucketed groupby co-locates an
+    orderkey's rows; the per-bucket kernel is a sorted-array membership
+    probe (np.isin over int64 keys) — neither side broadcasts, neither
+    side is assumed small."""
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "okey": pa.array(k, pa.int64()),
+                "o_custkey": batch.column("o_custkey"),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "jbucket": pa.array(
+                    (k % _ANTI_BUCKETS).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def rlines_prep(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), "R")
+        k = np.unique(
+            batch.filter(mask).column("l_orderkey").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "okey": pa.array(k, pa.int64()),
+                "o_custkey": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                "jbucket": pa.array(
+                    (k % _ANTI_BUCKETS).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        keys = tbl.column("okey").to_numpy(zero_copy_only=False)
+        probe = np.unique(keys[side == 1])
+        left = side == 0
+        keep = left & ~np.isin(keys, probe)
+        out = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": out.column("okey"),
+                "o_custkey": out.column("o_custkey"),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_prep, batch_format="pyarrow"
+    )
+    rlines = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        rlines_prep, batch_format="pyarrow"
+    )
+    return (
+        orders.union(rlines)
+        .groupby("jbucket")
+        .map_groups(anti, batch_format="pyarrow")
+    )
