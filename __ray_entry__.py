@@ -173,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return anchor_texts(sf_dir)
 
+    def _link_triangles(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.graph import link_triangles
+
+        return link_triangles(sf_dir)
+
     def _embedding_kmeans(sf_dir: str) -> Any:
         from web_crawler_search_engine_ray.pipelines.cluster import embedding_kmeans
 
@@ -309,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- link-graph rank (crawl frontier prioritization) ---
         "link_pagerank": _link_pagerank,
         "anchor_texts": _anchor_texts,
+        "link_triangles": _link_triangles,
         "embedding_neardup": C.embedding_neardup_pairs,
         # --- similarity search ---
         "ann_topk": C.ann_topk_bruteforce,
@@ -568,6 +574,33 @@ FROM comp ORDER BY doc_id
         # anchor-text replay: the j-th out-link of doc d (link order =
         # the three 3d+k targets that exist, then (7d+3) mod n) carries
         # T1 tokens[3j:3j+3] (1-based list slice 3j+1..3j+3 in DuckDB)
+        # per-node triangle counts over the undirected link graph
+        # (pipelines/graph.py link_triangles: 2-round MR triangle count)
+        "link_triangles": """
+            WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM ids),
+            raw AS (
+              SELECT d AS s, 3*d+1 AS t FROM ids, nn WHERE 3*d+1 < nn.n
+              UNION ALL SELECT d, 3*d+2 FROM ids, nn WHERE 3*d+2 < nn.n
+              UNION ALL SELECT d, 3*d+3 FROM ids, nn WHERE 3*d+3 < nn.n
+              UNION ALL SELECT d, (7*d+3) % nn.n FROM ids, nn
+            ),
+            und AS (
+              SELECT DISTINCT least(s,t) AS u, greatest(s,t) AS v
+              FROM raw WHERE s <> t
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT node, count(*)::BIGINT AS n_triangles FROM (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            ) GROUP BY 1
+        """,
         "anchor_texts": f"""
 WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
 toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),

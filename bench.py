@@ -214,6 +214,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("search_topk_bm25", C.search_topk_bm25),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),
+        ("link_triangles", G.link_triangles),
         ("embedding_kmeans", CL.embedding_kmeans),
         ("ann_topk_lsh", CL.ann_topk_lsh),
     ]:

@@ -123,3 +123,42 @@ def test_link_pagerank_matches_duckdb(ray_session):
     # sanity: total fixed-point mass stays within [0, SCALE]
     total = sum(got.column("rank_fp").to_pylist())
     assert 0 < total <= 10**12
+
+
+def test_link_triangles_matches_bruteforce(ray_session):
+    """Per-node triangle counts equal a brute-force enumeration of the
+    arithmetic link graph."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.graph import link_triangles
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r["node"]: r["n_triangles"] for r in link_triangles(SF).take_all()
+    }
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = set()
+    for d in range(n):
+        for t in (3 * d + 1, 3 * d + 2, 3 * d + 3):
+            if t < n:
+                edges.add((min(d, t), max(d, t)))
+        t = (7 * d + 3) % n
+        if t != d:
+            edges.add((min(d, t), max(d, t)))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = Counter()
+    for u, v in edges:
+        # canonical a<b<c: count via common higher neighbors of the edge
+        for w in adj[u] & adj[v]:
+            if w > v:  # u < v < w exactly once
+                want[u] += 1
+                want[v] += 1
+                want[w] += 1
+    assert got == dict(want) and sum(got.values()) % 3 == 0 and got

@@ -349,3 +349,152 @@ def link_pagerank(sf_dir: str) -> pa.Table:
     return pagerank(
         _doc_link_edges(sf_dir), iters=PR_ITERS, nodes=nodes, n_edges_hint=4 * n
     )
+
+
+_TRI_BUCKETS = 64
+
+
+def link_triangles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-node triangle counts over the (undirected) documents link graph
+    — the classic 2-round MapReduce triangle algorithm (Suri & Vassilvitskii
+    2011 "Counting Triangles and the Curse of the Last Reducer"):
+
+      1. canonical edges (u < v), DISTINCT via one bucketed shuffle;
+      2. wedge generation: edges grouped by their LOW endpoint; each node
+         emits its neighbor pairs (bounded by C(deg, 2) — id-orientation
+         caps wedge fan-out the way degree-orientation does at web scale);
+      3. closure probe: wedges and edges co-shuffled by the (v, w) pair
+         key; a wedge closed by an existing edge is a triangle, counted
+         once per corner.
+
+    All shuffles carry narrow int64 rows; kernels are numpy. The SQL
+    oracle replays the same 3-way self-join exactly."""
+    from .corpus import _docs
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = int(docs.count())
+
+    def edges_canon(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs, dsts = [], []
+        for mul, off in ((3, 1), (3, 2), (3, 3)):
+            t = mul * d + off
+            m = t < n
+            srcs.append(d[m])
+            dsts.append(t[m])
+        srcs.append(d)
+        dsts.append((7 * d + 3) % n)
+        s = np.concatenate(srcs)
+        t = np.concatenate(dsts)
+        keep = s != t  # drop self-loops
+        u = np.minimum(s[keep], t[keep])
+        v = np.maximum(s[keep], t[keep])
+        key = u * n + v
+        key = np.unique(key)  # in-batch dedup partial
+        return pa.table(
+            {
+                "ekey": pa.array(key, pa.int64()),
+                "bucket": pa.array(
+                    (key % _TRI_BUCKETS).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def dedup_edges(tbl: pa.Table) -> pa.Table:
+        key = np.unique(tbl.column("ekey").to_numpy(zero_copy_only=False))
+        u = key // n
+        return pa.table(
+            {
+                "ekey": pa.array(key, pa.int64()),
+                "ubucket": pa.array((u % _TRI_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    edges = (
+        docs.map_batches(edges_canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_edges, batch_format="pyarrow")
+    ).materialize()
+
+    def wedges(tbl: pa.Table) -> pa.Table:
+        key = np.sort(tbl.column("ekey").to_numpy(zero_copy_only=False))
+        u = key // n
+        v = key % n
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.append(starts[1:], len(u))
+        w_key, w_u = [], []
+        for s, e in zip(starts, ends):  # loop over NODES (deg <= ~8 here)
+            nb = v[s:e]
+            if len(nb) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nb), 1)
+            w_key.append(nb[ia] * n + nb[ib])
+            w_u.append(np.full(len(ia), u[s], np.int64))
+        if not w_key:
+            return pa.table(
+                {
+                    "pkey": pa.array([], pa.int64()),
+                    "corner": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        pk = np.concatenate(w_key)
+        return pa.table(
+            {
+                "pkey": pa.array(pk, pa.int64()),
+                "corner": pa.array(np.concatenate(w_u), pa.int64()),
+                "side": pa.array(np.ones(len(pk), np.int8), pa.int8()),
+                "bucket": pa.array((pk % _TRI_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def edges_probe_rows(batch: pa.Table) -> pa.Table:
+        key = batch.column("ekey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pkey": pa.array(key, pa.int64()),
+                "corner": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(key), np.int8), pa.int8()),
+                "bucket": pa.array((key % _TRI_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    wedge_rows = edges.groupby("ubucket").map_groups(wedges, batch_format="pyarrow")
+    edge_rows = edges.map_batches(edges_probe_rows, batch_format="pyarrow")
+
+    def close(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        pk = tbl.column("pkey").to_numpy(zero_copy_only=False)
+        corner = tbl.column("corner").to_numpy(zero_copy_only=False)
+        eset = np.sort(pk[side == 0])
+        wsel = side == 1
+        wk, wc = pk[wsel], corner[wsel]
+        pos = np.searchsorted(eset, wk)
+        closed = (pos < len(eset)) & (eset[np.minimum(pos, len(eset) - 1)] == wk)
+        # a closed wedge (corner u, pair v-w) is one triangle; emit all
+        # three corner rows so the final count is per node
+        tri_k = wk[closed]
+        tri_u = wc[closed]
+        nodes = np.concatenate((tri_u, tri_k // n, tri_k % n))
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    per_node = (
+        wedge_rows.union(edge_rows)
+        .groupby("bucket")
+        .map_groups(close, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "n_triangles": pc.cast(batch.column("count()"), pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    return per_node.map_batches(rename, batch_format="pyarrow")
