@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_funnel": R.events_funnel,
         "orders_no_returns": R.orders_no_returns,
+        "pricing_rollup": R.pricing_rollup,
         "events_orders_asof": R.events_orders_asof,
         "brand_part_stats": R.brand_part_stats,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
@@ -683,6 +684,17 @@ FROM anchor GROUP BY doc_id, token
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 1000.0 + 0.5) / 1000.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # ROLLUP / grouping sets over lineitem quantities, 'ALL' subtotal
+        # markers (pipelines/relational.py pricing_rollup)
+        "pricing_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_qty_milli,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         # left ANTI-join: orders with no returned lineitem
         # (pipelines/relational.py orders_no_returns)

@@ -194,6 +194,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("events_sessions", R.events_sessions),
         ("events_funnel", R.events_funnel),
         ("orders_no_returns", R.orders_no_returns),
+        ("pricing_rollup", R.pricing_rollup),
         ("events_orders_asof", R.events_orders_asof),
         ("brand_part_stats", R.brand_part_stats),
         ("bloom_semijoin", R.lineitem_bloom_semijoin),

@@ -338,3 +338,32 @@ def test_orders_no_returns_anti_join(ray_session):
         ) if k not in returned
     }
     assert got == want and len(got) > 0
+
+
+def test_pricing_rollup_levels(ray_session):
+    """Rollup internal consistency: subtotals sum to the grand total at
+    every level, and the finest cells match a direct pandas groupby."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import pricing_rollup
+
+    SF = "/root/testdata/sf0.001"
+    t = pricing_rollup(SF).to_pandas()
+    fine = t[(t.l_returnflag != "ALL") & (t.l_linestatus != "ALL")]
+    sub = t[(t.l_returnflag != "ALL") & (t.l_linestatus == "ALL")]
+    grand = t[(t.l_returnflag == "ALL") & (t.l_linestatus == "ALL")]
+    assert len(grand) == 1
+    assert fine.sum_qty_milli.sum() == sub.sum_qty_milli.sum() == int(grand.sum_qty_milli.iloc[0])
+    assert fine.n_rows.sum() == sub.n_rows.sum() == int(grand.n_rows.iloc[0])
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    ).to_pandas()
+    import numpy as np
+
+    li["q"] = np.floor(li.l_quantity * 1000.0 + 0.5).astype("int64")
+    want = li.groupby(["l_returnflag", "l_linestatus"])["q"].sum().to_dict()
+    got = {
+        (r.l_returnflag, r.l_linestatus): r.sum_qty_milli for r in fine.itertuples()
+    }
+    assert got == want

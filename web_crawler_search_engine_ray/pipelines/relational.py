@@ -1055,3 +1055,70 @@ def orders_no_returns(sf_dir: str) -> "ray.data.Dataset":
         .groupby("jbucket")
         .map_groups(anti, batch_format="pyarrow")
     )
+
+
+def pricing_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP / grouping-sets aggregate: quantity and row counts at three
+    levels — (returnflag, linestatus), (returnflag, ALL), (ALL, ALL) —
+    with 'ALL' as the subtotal marker (hash-stable vs SQL NULLs).
+
+    Scale shape: quantities quantize to exact milli ints in the map pass;
+    ONE shuffle computes the FINEST grouping (the only one proportional
+    to data); coarser levels roll up from those few cells driver-side —
+    the standard cube optimization (never re-scan per level)."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "q_milli": pa.array(
+                    np.floor(q * 1000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q_milli", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty_milli": pc.cast(g.column("q_milli_sum"), pa.int64()),
+                "n_rows": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    fine = collect_table(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_milli", alias_name="sum_qty_milli"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    flags = fine.column("l_returnflag").to_pylist()
+    stats = fine.column("l_linestatus").to_pylist()
+    qs = fine.column("sum_qty_milli").to_numpy(zero_copy_only=False)
+    ns = fine.column("n_rows").to_numpy(zero_copy_only=False)
+    rows = list(zip(flags, stats, qs.tolist(), ns.tolist()))
+    # roll up: per-flag subtotals, then the grand total (cells, not rows)
+    from collections import defaultdict
+
+    sub = defaultdict(lambda: [0, 0])
+    for f, _, q, c in rows:
+        sub[f][0] += q
+        sub[f][1] += c
+    rows += [(f, "ALL", v[0], v[1]) for f, v in sub.items()]
+    rows.append(("ALL", "ALL", int(qs.sum()), int(ns.sum())))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+            "sum_qty_milli": pa.array([r[2] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
