@@ -93,7 +93,15 @@ for name, fn in qs.items():
             if not (a[c].astype(str).values == b[c].astype(str).values).all():
                 ok = False
                 break
-    h = "HASH-OK" if vhash(a) == vhash(b) else ("VAL-OK" if ok else "VALUE-MISMATCH")
+    # the driver's hash is dtype-sensitive: surface any dtype divergence
+    dtm = [
+        (c, str(a[c].dtype), str(b[c].dtype))
+        for c in a.columns
+        if str(a[c].dtype) != str(b[c].dtype)
+    ]
+    h = "HASH-OK" if vhash(a) == vhash(b) and not dtm else ("VAL-OK" if ok else "VALUE-MISMATCH")
+    if dtm and h != "VALUE-MISMATCH":
+        print(f"{name}: DTYPE-DIVERGENCE {dtm}")
     if h == "VALUE-MISMATCH":
         fail += 1
         print(f"{name}: {h} col={c} rows={len(rdf)} {rt:.1f}s")

@@ -324,6 +324,21 @@ def _postings_tf(sf_dir: str) -> Tuple["ray.data.Dataset", int]:
 _POSTINGS_CACHE: dict = {}
 
 
+def _session_cache_key(sf_dir: str) -> tuple:
+    """Cache key for materialized datasets: (sf_dir, ray job id). A
+    MaterializedDataset holds object refs that die with the Ray session —
+    keying on the job id prevents a later session from reading refs owned
+    by a dead one. Caveat: regenerating sf_dir's files IN PLACE within one
+    session still serves the stale cache (testdata is immutable here)."""
+    job = ""
+    try:
+        if ray.is_initialized():
+            job = ray.get_runtime_context().get_job_id() or ""
+    except Exception:
+        pass
+    return (sf_dir, job)
+
+
 def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
     """A4/A5: df per token, idf = ln(N/df), tf_idf = (1 + ln tf)·idf
     rounded to 3 decimals (indexer/__init__.py:192-198); multi-word tokens
@@ -336,7 +351,7 @@ def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
     (start_search_engine.py reads index.txt), so repeated query calls
     (search_topk, the driver's per-query runs) reuse the built index
     instead of re-tokenizing the corpus."""
-    cached = _POSTINGS_CACHE.get(sf_dir)
+    cached = _POSTINGS_CACHE.get(_session_cache_key(sf_dir))
     if cached is not None:
         return cached
     from ..functions.urls import hash64_batch
@@ -382,7 +397,7 @@ def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(score, batch_format="pyarrow")
         .materialize()
     )
-    _POSTINGS_CACHE[sf_dir] = out
+    _POSTINGS_CACHE[_session_cache_key(sf_dir)] = out
     return out
 
 
@@ -1513,6 +1528,125 @@ def ann_topk_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> "ray.data.Dat
                 acc_v.setdefault(int(r), []).append(bids[sub])
                 acc_s.setdefault(int(r), []).append(sims[r_i])
         out_q, out_v, out_s = [], [], []
+        for r in sorted(acc_v):
+            vids = np.concatenate(acc_v[r])
+            svals = np.concatenate(acc_s[r])
+            top = (
+                np.argpartition(-svals, k)[:k]
+                if len(svals) > k
+                else np.arange(len(svals))
+            )
+            out_q.extend([int(qi[r])] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend(svals[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        g = group.take(order[:k])
+        sim_e4 = np.floor(
+            g.column("sim").to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": g.column("query_id"),
+                "vec_id": g.column("vec_id"),
+                "sim_e4": pa.array(sim_e4, pa.int64()),
+            }
+        )
+
+    return (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def _kmeans_centroids_fp(
+    ids: np.ndarray, mat: np.ndarray, nlist: int, iters: int = 1
+) -> np.ndarray:
+    """Fixed-point (e6-scaled int64) dot-product k-means so the SQL oracle
+    can replay centroid training bit-for-bit: init = vectors at
+    vec_id = j*(n//nlist), assign by max integer dot (tie → smallest cid,
+    np.argmax ≡ ROW_NUMBER ORDER BY dot DESC, cid), update = floor-mean
+    (exact in double: |sum| ≪ 2^53). Driver-side on the broadcast side —
+    at 100 TB this trains on a sampled subset exactly like
+    _kmeans_centroids."""
+    X = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    n = len(X)
+    step = max(n // nlist, 1)
+    init_pos = np.searchsorted(ids, np.arange(min(nlist, n), dtype=np.int64) * step)
+    cents = X[init_pos].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = np.floor(
+                    members.sum(axis=0, dtype=np.int64) / len(members)
+                ).astype(np.int64)
+    return cents
+
+
+def ann_topk_ivf_fp(
+    sf_dir: str, nlist: int = 16, nprobe: int = 4, iters: int = 1
+) -> "ray.data.Dataset":
+    """IVF-flat ANN with a genuinely pruned probe (nprobe < nlist) whose
+    every approximation decision — centroid training, list assignment,
+    probe selection — is integer fixed-point and replayed bit-exactly by
+    the driver's SQL oracle (__ray_entry__ 'ann_topk_ivf'). Candidate
+    similarities are exact float64 cosine (the oracle's DOUBLE[] formula),
+    computed ONLY for members of probed lists."""
+    ids, mat = _load_embedding_matrix(sf_dir)
+    cents = _kmeans_centroids_fp(ids, mat, nlist, iters)
+    qmask = ids < ANN_NUM_QUERIES
+    q_ids, q_mat = ids[qmask], mat[qmask]
+    Xq = np.floor(q_mat * 1e6 + 0.5).astype(np.int64)
+    qdots = Xq @ cents.T  # (nq, nlist) int64 — exact
+    # top-nprobe by dot DESC, cid ASC (stable argsort on -dots keeps
+    # smaller cid first on ties, matching the oracle's ROW_NUMBER)
+    probe = np.argsort(-qdots, axis=1, kind="stable")[:, :nprobe]
+    list_q = [np.nonzero((probe == l).any(axis=1))[0] for l in range(len(cents))]
+    bref = ray.put((q_ids, q_mat, cents, list_q))
+    k = ANN_TOP_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm, C, lq = ray.get(bref)
+        bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        if not len(bids):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        bmat = _list_col_matrix(batch.column("embedding"))
+        Xb = np.floor(bmat * 1e6 + 0.5).astype(np.int64)
+        assign = np.argmax(Xb @ C.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        acc_v: Dict[int, list] = {}
+        acc_s: Dict[int, list] = {}
+        for l in np.unique(assign):
+            qidx = lq[int(l)]
+            if not len(qidx):
+                continue
+            sub = np.nonzero(assign == l)[0]
+            sims = _cosine(qm[qidx], bmat[sub])
+            for r_i, r in enumerate(qidx):
+                acc_v.setdefault(int(r), []).append(bids[sub])
+                acc_s.setdefault(int(r), []).append(sims[r_i])
         for r in sorted(acc_v):
             vids = np.concatenate(acc_v[r])
             svals = np.concatenate(acc_s[r])

@@ -413,9 +413,17 @@ def run_crawl(
     user_agent = config.user_agent
     # broadcast the docs store once (shared-memory object store) — every
     # fetch worker maps it zero-copy instead of materializing its own copy
-    from ..stages.fetch import broadcast_docs_ref
+    from ..stages.fetch import broadcast_docs_ref, ensure_bucketed_store
 
     docs_ref = broadcast_docs_ref(docs_path)
+    # over-broadcast-bound store: one-time hash-bucket rewrite (resumable,
+    # _COMPLETE-gated) so per-wave fetch batches read only their buckets'
+    # hit row groups — never a whole-store predicate scan per batch
+    docs_bucket_dir = (
+        ensure_bucketed_store(docs_path, os.path.join(workdir, "docs_buckets"))
+        if docs_ref is None
+        else None
+    )
 
     import time as _time
 
@@ -592,7 +600,7 @@ def run_crawl(
             lineage_dir = _wave_dir(workdir, "lineage", wave)
             tokens_dir = _wave_dir(workdir, "tokens", wave)
             lengths_dir = _wave_dir(workdir, "page_lengths", wave)
-            fetch_fn = make_fetch_fn(docs_path, docs_ref)
+            fetch_fn = make_fetch_fn(docs_path, docs_ref, docs_bucket_dir)
             wv = wave
 
             # sink_mode="discard" is the BENCH-ONLY isolation leg: all

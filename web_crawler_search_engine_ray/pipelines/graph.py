@@ -468,6 +468,10 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
         pk = tbl.column("pkey").to_numpy(zero_copy_only=False)
         corner = tbl.column("corner").to_numpy(zero_copy_only=False)
         eset = np.sort(pk[side == 0])
+        if not len(eset):
+            # wedge rows but no edge rows in this bucket (tiny graphs):
+            # nothing can close — and eset[...] below would index empty
+            return pa.table({"node": pa.array([], pa.int64())})
         wsel = side == 1
         wk, wc = pk[wsel], corner[wsel]
         pos = np.searchsorted(eset, wk)

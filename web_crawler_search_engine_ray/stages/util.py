@@ -181,7 +181,15 @@ def _partition_block(table: pa.Table, key: str, nparts: int):
 def _reduce_concat(fn, key: str, *parts: pa.Table) -> pa.Table:
     tables = [p for p in parts if p.num_rows]
     if not tables:
-        return parts[0].drop_columns([key]) if parts else pa.table({})
+        # run fn on the empty (key-dropped) input so every reduce block
+        # carries fn's OUTPUT schema — returning the input schema here
+        # mixes schemas across blocks (Ray logs a RefBundle schema warning)
+        if not parts:
+            return pa.table({})
+        empty = parts[0]
+        if key in empty.column_names:
+            empty = empty.drop_columns([key])
+        return fn(empty)
     tbl = pa.concat_tables(tables)
     if key in tbl.column_names:
         tbl = tbl.drop_columns([key])
@@ -206,6 +214,12 @@ def bucket_exchange(
     refs, _counts = refs_and_counts(mat)
     if not refs:
         return mat
+    if n_buckets == 1:
+        # num_returns=1 makes Ray return a bare ref (not a 1-list); a
+        # width-1 exchange is just one reduce over every block anyway
+        return ray.data.from_arrow_refs(
+            [_reduce_concat.remote(fn, bucket_col, *refs)]
+        )
     part_lists = [
         _partition_block.options(num_returns=n_buckets).remote(
             r, bucket_col, n_buckets
