@@ -34,3 +34,21 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys, monkeypatch):
     assert main(["search", "--index", index, "--pages", f"{crawl}/pages"]) == 0
     repl_out = capsys.readouterr().out
     assert "Search completed in" in repl_out and "##" in repl_out
+
+    # serve mode: index loads once, stdin queries answered as JSON lines;
+    # warm queries (after the built-in warmup) must be <100 ms
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("data stream\nweb index\nquit\n")
+    )
+    assert main(["serve", "--index", index, "--pages", f"{crawl}/pages"]) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert lines[0] == {"ready": True, "index": index}
+    assert len(lines) == 3
+    for rec in lines[1:]:
+        assert rec["results"] and all("url" in r for r in rec["results"])
+        assert rec["elapsed_ms"] < 100.0, rec

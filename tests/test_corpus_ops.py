@@ -258,8 +258,13 @@ def test_multimodal_feature_stage(ray_session, micro_web):
     b = again.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     assert (a["feat_norm_e4"] == b["feat_norm_e4"]).all()
 
-    with pytest.raises(NotImplementedError):
-        MediaFeatureStage(decode="real")._decode("media://x")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # without PIL the real-decode gate raises per actor at __init__
+        with pytest.raises(NotImplementedError):
+            MediaFeatureStage(decode="real")
+    # with PIL present, the real path is covered by test_multimodal_real.py
 
 
 def test_lang_profile_pred_matches_argmax(ray_session):

@@ -11,7 +11,7 @@ import ray
 sys.path.insert(0, "/root/repo")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2:] or None
+ONLY = [n for a in sys.argv[2:] for n in a.split(",") if n] or None
 
 ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext

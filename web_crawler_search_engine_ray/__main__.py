@@ -160,6 +160,55 @@ def cmd_search(args) -> int:
         _run_query(svc, presenter, query, args.k, as_json=False)
 
 
+def cmd_serve(args) -> int:
+    """Warm query service against a prebuilt index (the reference's
+    Streamlit surface, start_search_engine.py:117-167, minus the browser):
+    the index loads ONCE, then each stdin line is a query answered as one
+    JSON line — {"query", "elapsed_ms", "results": [{doc_id, score, url,
+    title, context?}]} — so a warm query costs only the in-memory postings
+    lookup (<100 ms; test_cli.py pins it). Single-process like the
+    reference's serving path — no Ray session needed."""
+    import time
+
+    from .functions.text import query_tokens
+    from .pipelines.search import ResultPresenter, SearchService
+
+    svc = SearchService(
+        os.path.join(args.index, "postings"), os.path.join(args.index, "catalog")
+    )
+    presenter = ResultPresenter(args.pages) if args.pages else None
+    svc.search(args.warmup, k=1)  # touch the postings store once
+    print(json.dumps({"ready": True, "index": args.index}), flush=True)
+    for line in sys.stdin:
+        query = line.strip()
+        if not query or query in (":q", "exit", "quit"):
+            break
+        start = time.perf_counter()
+        rows = svc.search(query, k=args.k)
+        elapsed_ms = (time.perf_counter() - start) * 1000.0
+        ctx = {}
+        if presenter:
+            primary, _ = query_tokens(query)
+            ctx = presenter.contexts([r[2] for r in rows], primary)
+        results = []
+        for doc_id, score, url, title in rows:
+            rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
+            if presenter:
+                rec["context"] = ctx.get(url, "")
+            results.append(rec)
+        print(
+            json.dumps(
+                {
+                    "query": query,
+                    "elapsed_ms": round(elapsed_ms, 3),
+                    "results": results,
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="web_crawler_search_engine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -195,6 +244,13 @@ def main(argv=None) -> int:
     s.add_argument("--repl", action="store_true", help="human-readable output")
     s.add_argument("-k", type=int, default=5)
     s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("serve", help="warm stdin→JSON-lines query service")
+    v.add_argument("--index", required=True, help="index dir (postings/ + catalog/)")
+    v.add_argument("--pages", default=None, help="pages dir for context windows")
+    v.add_argument("--warmup", default="the", help="warm-up query run at startup")
+    v.add_argument("-k", type=int, default=5)
+    v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

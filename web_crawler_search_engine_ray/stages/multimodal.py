@@ -1,14 +1,16 @@
 """Multimodal (image/audio) span processing stages.
 
 The synthetic web's documents interleave text with media spans
-(``kind in {image, ...}`` carrying an opaque ``media_ref``). Real decoders
-(PIL/ffmpeg) are not available in this container, so the decode kernel is a
-clearly-marked stub: ``decode=deterministic`` produces a seeded fake
-feature vector / payload from the media_ref (stable across runs and
-processes), ``decode=real`` raises NotImplementedError. Everything around
-the kernel — the Arrow schema, actor-pool signature, batch sizing, and
-output layout — is real and tested, so swapping in a genuine decoder is a
-one-function change.
+(``kind in {image, ...}`` carrying an opaque ``media_ref``). The decode
+kernel has two modes: ``decode='deterministic'`` (default) produces a
+seeded fake feature vector / payload from the media_ref (stable across
+runs and processes — no decoder library needed), and ``decode='real'``
+treats ``media_ref`` as a filesystem path and decodes it with PIL,
+raising NotImplementedError per actor at ``__init__`` when PIL is not
+importable (it is absent from this container; the real path is covered by
+a ``pytest.importorskip`` smoke test that runs wherever PIL exists).
+Everything around the kernel — the Arrow schema, actor-pool signature,
+batch sizing, and output layout — is identical in both modes.
 
 The deterministic fakes are seeded from ``poly_hash(media_ref)`` (the
 reference's base-31 Horner hash) expanded through ``mix32_batch`` — both
@@ -33,6 +35,20 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import mix32_batch, poly_hash
+
+def _require_pil():
+    """Per-actor gate for ``decode='real'``: return the PIL Image module or
+    raise NotImplementedError (runs once in ``__init__``, never per batch)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "decode='real' requires PIL (pillow), which is not importable "
+            "in this environment; use decode='deterministic'"
+        ) from exc
+
 
 FEATURE_DIM = 8
 FEAT_SALT = 101  # feature dim j is mixed with salt FEAT_SALT + j
@@ -77,24 +93,30 @@ class MediaFeatureStage:
             raise ValueError(decode)
         self.media_kinds = frozenset(media_kinds)
         self.decode = decode
-        # per-actor state: a real implementation loads the codec/model here,
-        # once per actor, never per batch.
-        self._codec_ready = True
+        # per-actor state: the codec loads here, once per actor, never per
+        # batch; 'real' raises immediately when PIL is absent.
+        self._pil = _require_pil() if decode == "real" else None
 
     def _decode(self, media_ref: str) -> np.ndarray:
         if self.decode == "real":
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not "
-                "present in this environment; use decode='deterministic'"
-            )
+            return self._real_features([media_ref])[0] / 1000.0
         return (_fake_feature_ints([media_ref])[0] / 1000.0).astype(np.float32)
 
+    def _real_features(self, refs: List[str]) -> np.ndarray:
+        """media_ref = image path → (n, FEATURE_DIM) int64 feature in
+        [-1000, 1000]: mean grayscale intensity of FEATURE_DIM horizontal
+        bands, centered (128 → 0) and scaled — same value surface and
+        norm formula as the deterministic mode."""
+        out = np.empty((len(refs), FEATURE_DIM), dtype=np.int64)
+        for i, ref in enumerate(refs):
+            with self._pil.open(ref) as im:
+                g = np.asarray(im.convert("L").resize((FEATURE_DIM, FEATURE_DIM)))
+            out[i] = np.floor(
+                (g.mean(axis=1).astype(np.float64) - 128.0) / 128.0 * 1000.0 + 0.5
+            ).astype(np.int64)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode == "real":
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not "
-                "present in this environment; use decode='deterministic'"
-            )
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
         out_doc: List[str] = []
@@ -107,7 +129,11 @@ class MediaFeatureStage:
                     out_ref.append(s["media_ref"])
                     out_kind.append(s["kind"])
         if out_ref:
-            kmat = _fake_feature_ints(out_ref)
+            kmat = (
+                self._real_features(out_ref)
+                if self.decode == "real"
+                else _fake_feature_ints(out_ref)
+            )
             fmat = (kmat / 1000.0).astype(np.float32)
             # ‖f‖ = sqrt(Σ(k/1000)²) = sqrt(Σk²)/1000; *1e4 → *10 exact
             norms = np.floor(
@@ -146,12 +172,14 @@ RESIZED_SCHEMA = pa.schema(
 class MediaResizeStage:
     """Actor-pool resize stage: media spans → fixed-size image payloads.
 
-    The pixel kernel is a clearly-marked STUB (deterministic bytes seeded
-    by media_ref + target size; ``decode='real'`` raises — PIL/ffmpeg are
-    not in this container). The Ray plumbing is real: small ``batch_size``
-    for large binary payloads, per-actor codec state in ``__init__``,
-    typed ``binary`` output column with width/height metadata and an
-    integer byte-sum checksum the SQL oracle replays."""
+    The default pixel kernel is a clearly-marked STUB (deterministic bytes
+    seeded by media_ref + target size); ``decode='real'`` resizes the image
+    at path ``media_ref`` with PIL (grayscale raw bytes, same output
+    layout) and raises per actor when PIL is absent. The Ray plumbing is
+    identical either way: small ``batch_size`` for large binary payloads,
+    per-actor codec state in ``__init__``, typed ``binary`` output column
+    with width/height metadata and an integer byte-sum checksum the SQL
+    oracle replays (deterministic mode only)."""
 
     def __init__(self, width: int = 64, height: int = 64,
                  media_kinds: tuple = ("image",), decode: str = "deterministic"):
@@ -160,16 +188,27 @@ class MediaResizeStage:
         self.width, self.height = width, height
         self.media_kinds = frozenset(media_kinds)
         self.decode = decode
+        self._pil = _require_pil() if decode == "real" else None
 
     def _resize(self, media_ref: str) -> bytes:
-        if self.decode == "real":
-            raise NotImplementedError(
-                "real image resize requires PIL/ffmpeg; use decode='deterministic'"
-            )
         return self._resize_batch([media_ref])[0][0]
+
+    def _resize_batch_real(self, refs: List[str]) -> tuple:
+        payloads, crcs = [], np.empty(len(refs), dtype=np.int64)
+        for i, ref in enumerate(refs):
+            with self._pil.open(ref) as im:
+                px = np.asarray(
+                    im.convert("L").resize((self.width, self.height)),
+                    dtype=np.uint8,
+                )
+            payloads.append(px.tobytes())
+            crcs[i] = int(px.sum(dtype=np.int64))
+        return payloads, crcs
 
     def _resize_batch(self, refs: List[str]) -> tuple:
         """(payload bytes list, crc int64 array) — one mix per pixel."""
+        if self.decode == "real":
+            return self._resize_batch_real(refs)
         n = len(refs)
         npx = self.width * self.height
         keys = np.fromiter(
@@ -186,10 +225,6 @@ class MediaResizeStage:
         return [row.tobytes() for row in px], crcs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode == "real":
-            raise NotImplementedError(
-                "real image resize requires PIL/ffmpeg; use decode='deterministic'"
-            )
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
         out_doc, out_ref = [], []
@@ -230,10 +265,13 @@ FRAMES_SCHEMA = pa.schema(
 
 class FrameSampleStage:
     """Actor-pool frame-sampling stage: video-like media spans → one row
-    per sampled frame (uniform stride). STUB decoder (deterministic fake
-    frames + synthetic duration seeded by the media_ref poly-hash;
-    ``decode='real'`` raises); real Ray-side plumbing: flat_map-shaped
-    output (rows multiply), small batches, per-actor decoder state."""
+    per sampled frame (uniform stride). Default decoder is a STUB
+    (deterministic fake frames + synthetic duration seeded by the
+    media_ref poly-hash); ``decode='real'`` samples frames of the
+    multi-frame image (GIF/TIFF) at path ``media_ref`` via PIL's frame
+    seeking and raises per actor when PIL is absent. Ray-side plumbing is
+    identical: flat_map-shaped output (rows multiply), small batches,
+    per-actor decoder state."""
 
     def __init__(self, num_frames: int = 4, media_kinds: tuple = ("image",),
                  decode: str = "deterministic"):
@@ -242,33 +280,53 @@ class FrameSampleStage:
         self.num_frames = num_frames
         self.media_kinds = frozenset(media_kinds)
         self.decode = decode
+        self._pil = _require_pil() if decode == "real" else None
 
     def _duration_ms(self, media_ref: str) -> int:
         key = np.array([poly_hash(media_ref)], dtype=np.uint64)
         return 1000 + int(mix32_batch(key, DUR_SALT)[0]) % 29_000  # 1-30 s
 
     def _frame(self, media_ref: str, idx: int) -> bytes:
-        if self.decode == "real":
-            raise NotImplementedError(
-                "real frame decoding requires ffmpeg; use decode='deterministic'"
-            )
         key = np.full(FRAME_BYTES, poly_hash(media_ref), dtype=np.uint64)
         salts = FRAME_SALT + idx * FRAME_BYTES + np.arange(
             FRAME_BYTES, dtype=np.uint64
         )
         return (mix32_batch(key, salts) % np.uint64(256)).astype(np.uint8).tobytes()
 
+    def _real_frames(self, media_ref: str) -> list:
+        """(idx, ts_ms, frame bytes) per sampled frame: uniform stride over
+        the image's frame count (1 for still images), 16×16 grayscale raw
+        bytes, timestamps from per-frame duration metadata when present."""
+        out = []
+        with self._pil.open(media_ref) as im:
+            n = getattr(im, "n_frames", 1)
+            dur = int(im.info.get("duration", 0)) or 0  # ms per frame
+            for i in range(self.num_frames):
+                src = min(i * n // self.num_frames, n - 1)
+                if n > 1:
+                    im.seek(src)
+                px = np.asarray(
+                    im.convert("L").resize((16, 16)), dtype=np.uint8
+                )
+                out.append((i, src * dur, px.tobytes()))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode == "real":
-            raise NotImplementedError(
-                "real frame decoding requires ffmpeg; use decode='deterministic'"
-            )
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
         out_doc, out_ref, idxs, tss, frames, crcs = [], [], [], [], [], []
         for did, spans in zip(doc_ids, spans_col):
             for s in spans or []:
                 if s["kind"] in self.media_kinds and s["media_ref"]:
+                    if self.decode == "real":
+                        for i, ts, fb in self._real_frames(s["media_ref"]):
+                            out_doc.append(did)
+                            out_ref.append(s["media_ref"])
+                            idxs.append(i)
+                            tss.append(ts)
+                            frames.append(fb)
+                            crcs.append(int(np.frombuffer(fb, np.uint8).sum()))
+                        continue
                     dur = self._duration_ms(s["media_ref"])
                     for i in range(self.num_frames):
                         out_doc.append(did)
