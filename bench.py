@@ -395,6 +395,94 @@ def run_sinkscale(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_webscale(sizes=(30_000, 100_000, 300_000)) -> dict:
+    """Crawl-loop 8→32 efficiency as a function of web size (VERDICT r2
+    item 5): if efficiency climbs as waves fatten, the per-wave constant
+    is what the small-CPU leg measures, and the 10^10-frontier regime
+    (waves of 10^6-10^8 URLs) sits past the top of this curve. Each size
+    runs both legs back-to-back from one pre-generated web; crawl only
+    (no index), sink writes on."""
+    rows = []
+    for nd in sizes:
+        sweep = _scaling_sweep(8, 32, "--child-lite", num_docs=nd)
+        rows.append(
+            {
+                "num_docs": nd,
+                "crawl_efficiency": sweep["crawl_efficiency"],
+                "frontier_urls_efficiency": sweep["frontier_urls_efficiency"],
+                "tokenize_efficiency": sweep["tokenize_efficiency"],
+                "lo_pages_per_sec": sweep["lo"]["pages_per_sec"],
+                "hi_pages_per_sec": sweep["hi"]["pages_per_sec"],
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return {
+        "metric": "crawl scaling efficiency vs web size (8->32 cpus)",
+        "value": rows[-1]["crawl_efficiency"],
+        "unit": "efficiency",
+        "rows": rows,
+    }
+
+
+def _burn_probe(_):
+    x = 0
+    for i in range(12_000_000):
+        x += i * i
+    return x
+
+
+def _stream_probe(_):
+    import numpy as np
+
+    a = np.empty(64_000_000, dtype=np.int64)  # 512 MB
+    a[:] = 1
+    s = 0
+    for _ in range(3):
+        s += int(a.sum())
+        a += 1
+    return s
+
+
+def run_busprobe(lo: int = 8, hi: int = 32) -> dict:
+    """Isolate the single-box shared-resource ceilings behind every
+    N→4N-CPU efficiency number in this file: run N identical processes of
+    (a) a pure-CPU integer burn and (b) a 512 MB memory-streaming kernel,
+    and report how aggregate throughput actually scales lo→hi. On this
+    sandbox VM the memory bus SATURATES below `lo` workers (aggregate
+    GB/s flat-to-declining from 8→32), so any memory-bound phase —
+    shuffle concat, object-store copies, parquet decode — is capped near
+    eff ≈ (bw_hi / (4·bw_lo)); the pure-CPU ceiling is separate (clock /
+    shared-cache). On a real N→4N-node cluster each node multiplies its
+    own memory bus, object store and disk, so these terms scale with N —
+    the single-box sweep structurally under-reads them. No Ray involved:
+    plain multiprocessing, so the numbers are Ray-overhead-free."""
+    import multiprocessing as mp
+
+    out: dict = {"lo": lo, "hi": hi}
+    for name, fn, unit_work in (
+        ("cpu", _burn_probe, 1.0),
+        ("membw", _stream_probe, 0.512 * 7),  # GB touched per worker
+    ):
+        per = {}
+        for n in (lo, hi):
+            t0 = time.perf_counter()
+            with mp.Pool(n) as p:
+                p.map(fn, range(n))
+            dt = time.perf_counter() - t0
+            per[n] = {
+                "sec": round(dt, 2),
+                "agg_throughput": round(n * unit_work / dt, 2),
+            }
+        eff = per[hi]["agg_throughput"] / ((hi / lo) * per[lo]["agg_throughput"])
+        out[name] = {**per, "efficiency": round(eff, 3)}
+    return {
+        "metric": "single-box shared-resource scaling ceilings (no Ray)",
+        "value": out["membw"]["efficiency"],
+        "unit": "efficiency",
+        **out,
+    }
+
+
 def _compact(result: dict) -> dict:
     """The driver keeps only a ~2 KB tail of bench stdout and parses the
     last JSON line (BENCH_r02.json: parsed=null because the full line was
@@ -442,6 +530,8 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--wavescale", action="store_true")
     ap.add_argument("--sinkscale", action="store_true")
+    ap.add_argument("--busprobe", action="store_true")
+    ap.add_argument("--webscale", action="store_true")
     ap.add_argument("--child", action="store_true", help="internal: one full leg")
     ap.add_argument(
         "--child-lite", action="store_true", help="internal: crawl+tokenize leg"
@@ -460,6 +550,10 @@ def main():
         print(json.dumps(run_wavescale()))
     elif args.sinkscale:
         print(json.dumps(run_sinkscale(8, 32)))
+    elif args.busprobe:
+        print(json.dumps(run_busprobe(8, 32)))
+    elif args.webscale:
+        print(json.dumps(run_webscale()))
     else:
         result = run_once(NUM_CPUS)
         # scaling evidence rides the default bench output (BENCH_r{N}.json):

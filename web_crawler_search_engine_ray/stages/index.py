@@ -87,6 +87,94 @@ def dedup_decisions(hashed):
     )
 
 
+def write_dup_store(proj, dup_dir: str, seq_hint: int) -> tuple:
+    """D2 dedup decisions + seq-range-partitioned duplicates store in TWO
+    cheap manual exchanges (stages/util.py bucket_exchange) instead of the
+    former groupby + global sort + write chain — three Ray AllToAll ops
+    whose fixed executor overhead (~7 s at 32 CPUs) dwarfed the kilobytes
+    of (page_hash, seq) actually moved on a 30k-page corpus and capped the
+    8→32 scaling ratio of the whole index build.
+
+    Exchange 1 keys on page_hash buckets (first-wins run kernel per
+    bucket, as dedup_decisions); exchange 2 keys on seq-RANGE buckets and
+    its reduce task writes one seq-sorted parquet file per range — so
+    every file covers a narrow seq span and dup_seqs_in_range's per-batch
+    range filter prunes to O(dups in range) via file/row-group stats,
+    exactly what the global sort previously bought. Both widths are
+    data-proportional. Returns (n_dups, n_valid).
+    """
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .util import bucket_exchange
+
+    os.makedirs(dup_dir, exist_ok=True)
+    hint = max(int(seq_hint), 1)
+    n_hash_buckets = int(min(_DEDUP_BUCKETS, max(4, hint // 100_000)))
+    n_seq_buckets = int(max(1, hint // 250_000))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("page_hash"), dtype=np.int64)
+        return b.append_column(
+            "bucket",
+            pa.array((h % n_hash_buckets).astype(np.int32), pa.int32()),
+        )
+
+    def dups(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("page_hash").to_numpy(zero_copy_only=False)
+        s = tbl.column("seq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, h))
+        hs, ss = h[order], s[order]
+        new_run = (
+            np.concatenate(([True], hs[1:] != hs[:-1]))
+            if len(hs)
+            else np.empty(0, bool)
+        )
+        run_idx = np.cumsum(new_run) - 1
+        kept = ss[np.flatnonzero(new_run)][run_idx] if len(hs) else ss
+        dup_mask = ~new_run
+        dup_idx = pa.array(order[dup_mask], pa.int64())
+        dup_seqs = ss[dup_mask]
+        return pa.table(
+            {
+                "seq": pa.array(dup_seqs, pa.int64()),
+                "url": tbl.column("url").combine_chunks().take(dup_idx),
+                "dup_of": pa.array(kept[dup_mask], pa.int64()),
+                "sbucket": pa.array(
+                    np.minimum(
+                        dup_seqs * n_seq_buckets // hint, n_seq_buckets - 1
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def write_range(tbl: pa.Table) -> pa.Table:
+        rows = tbl.num_rows
+        if rows:
+            import pyarrow.compute as _pc
+
+            tbl = tbl.take(_pc.sort_indices(tbl.column("seq")))
+            lo = tbl.column("seq")[0].as_py()
+            b = min(lo * n_seq_buckets // hint, n_seq_buckets - 1)
+            _pq.write_table(
+                tbl,
+                os.path.join(dup_dir, f"dups-{b:06d}.parquet"),
+                row_group_size=2048,
+            )
+        return pa.table({"rows": pa.array([rows], pa.int64())})
+
+    mat = proj.map_batches(bucket, batch_format="pyarrow").materialize()
+    n_valid = mat.count()
+    dup_mat = bucket_exchange(mat, "bucket", n_hash_buckets, dups).materialize()
+    counts = bucket_exchange(
+        dup_mat, "sbucket", n_seq_buckets, write_range
+    ).materialize()
+    n_dups = sum(r["rows"] for r in counts.take_all())
+    return n_dups, n_valid
+
+
 _DUP_DS_CACHE: dict = {}
 
 
@@ -197,7 +285,7 @@ class TokenizeStage:
 _TOKEN_BUCKETS = 256
 
 
-def add_token_bucket(batch: pa.Table) -> pa.Table:
+def add_token_bucket(batch: pa.Table, n_buckets: int = _TOKEN_BUCKETS) -> pa.Table:
     """Coarse shuffle key for the scoring groupby: token-hash % buckets.
     The bucket groupby co-locates every posting of a token (all that df
     needs) with O(buckets) Python calls instead of O(unique tokens).
@@ -213,7 +301,7 @@ def add_token_bucket(batch: pa.Table) -> pa.Table:
         h = hash64_batch(col.to_pylist())
     return batch.append_column(
         "tbucket",
-        pa.array((h % np.uint64(_TOKEN_BUCKETS)).astype(np.int32), pa.int32()),
+        pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
     )
 
 
@@ -241,28 +329,40 @@ def make_score_fn(n_docs: int, min_ngram_df: int = 10):
             zero_copy_only=False
         )
         keep = ~(has_space[codes] & (dfreq < min_ngram_df))
-        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        idf = np.log(n_docs / dfreq[keep].astype(np.float64))
-        tf_idf = np.floor((1.0 + np.log(tf[keep])) * idf * 1000.0 + 0.5) / 1000.0
-        keep_idx = pa.array(np.flatnonzero(keep), pa.int64())
-        token_out = enc.take(keep_idx)
+        kept = np.flatnonzero(keep)
+        # local (token, doc_id) sort — with bucket-partitioned output this
+        # yields sorted runs whose row-group stats drive predicate
+        # pushdown; the global string sort the reference's single-file
+        # index needed (O2) is unnecessary in a columnar store. The sort
+        # runs as an integer lexsort over dictionary RANKS (tokens are
+        # ASCII, so numpy's string order ≡ Arrow's), folded with the keep
+        # filter into ONE permutation — the bucket's string column is
+        # gathered once, not sorted and not gathered twice (this kernel is
+        # memory-bandwidth-bound; string traffic dominated its profile).
+        n_uniq = len(enc.dictionary)
+        rank = np.empty(n_uniq, np.int64)
+        # Arrow C++ sort of the (unique) dictionary — a numpy object-array
+        # argsort here costs ~0.6 s per 400k uniques in Python comparisons
+        rank[pc.sort_indices(enc.dictionary).to_numpy(zero_copy_only=False)] = (
+            np.arange(n_uniq)
+        )
+        docs = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+        perm = kept[np.lexsort((docs[kept], rank[codes[kept]]))]
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)[
+            perm
+        ]
+        idf = np.log(n_docs / dfreq[perm].astype(np.float64))
+        tf_idf = np.floor((1.0 + np.log(tf)) * idf * 1000.0 + 0.5) / 1000.0
+        perm_arr = pa.array(perm, pa.int64())
         # decode post-shuffle: the store and query path use plain strings
-        token_out = pc.cast(token_out, pa.string())
-        out = pa.table(
+        token_out = pc.cast(enc.take(perm_arr), pa.string())
+        return pa.table(
             {
                 "token": token_out,
-                "doc_id": tbl.column("doc_id").combine_chunks().take(keep_idx),
+                "doc_id": pa.array(docs[perm], pa.int64()),
                 "tf_idf": pa.array(tf_idf, pa.float64()),
             }
         )
-        # local (token, doc_id) sort — with bucket-partitioned output this
-        # yields sorted runs whose row-group stats drive predicate pushdown;
-        # the global string sort the reference's single-file index needed
-        # (O2) is unnecessary in a columnar store and costs a full shuffle
-        order = pc.sort_indices(
-            out, sort_keys=[("token", "ascending"), ("doc_id", "ascending")]
-        )
-        return out.take(order)
 
     return score
 
