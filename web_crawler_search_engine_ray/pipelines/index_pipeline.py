@@ -5,18 +5,21 @@ Dataflow (all Ray Data; see stages/index.py for reference citations):
     pages (wave-partitioned parquet; page_hash stored at crawl time)
       ├─ PASS 1 (pruned columns: page_hash, seq, url + gates):
       │    filter status==200 ∧ is_html ∧ ≤10MB         (M11 + size gate)
-      │    → coarse-bucket groupby(page_hash % 256)      (D2, global)
+      │    → manual exchange on page_hash bucket         (D2, global)
       │    → vectorized first-wins run kernel → dup rows
-      │         └─ duplicates sink: seq-sorted distributed parquet
-      └─ PASS 2 (full rows, spans scanned exactly once):
-           filter gates → drop dup seqs (range-pushdown anti-join against
-             the sorted duplicates store; dup volume never aggregates in
-             one process)
-           → tokenize tasks (per-process Porter memo)    (T3 + A3 weights)
+      │    → manual exchange on seq RANGE → duplicates sink: one
+      │      seq-sorted parquet file per range (write_dup_store — no
+      │      Ray AllToAll, no global sort; file/row-group stats give
+      │      the same range pushdown)
+      └─ PASS 2 (full rows, spans scanned exactly once), FUSED map
+         tasks (_tokenize_partition_task, one generation):
+           read pages slice → filter gates → drop dup seqs
+             (range-pushdown anti-join against the duplicates store)
+           → tokenize (per-process Porter memo)          (T3 + A3 weights)
                 ├─ catalog sink rides the task (S8, side-effect write)
-                └─ (token, doc_id, tf) rows
-                     → groupby(token_hash % 256)         (A4/A5 shuffle)
-                     → vectorized df/idf scorer, local (token, doc_id) sort
+                └─ (token, doc_id, tf) rows hash-partitioned in-task
+                     → reduce: vectorized df/idf scorer, dictionary-rank
+                       (token, doc_id) sort               (A4/A5)
                      → bucket-partitioned postings runs  (O2 — no global
                        string sort; columnar pushdown replaces it)
 
