@@ -452,12 +452,12 @@ def search_topk_bm25(sf_dir: str) -> pa.Table:
     ranking is block-layout-independent and the SQL oracle replays the
     identical floating-point expression shape.
 
-    Scale shape: one streaming map emits only (doc, query-term, tf, dl)
-    rows — postings for the 4 query terms, never the full vocabulary —
-    then a tiny per-term df aggregate (driver-side: 4 rows) and ONE
-    narrow groupby(doc).sum. The doc-length/N/avgdl corpus stats are two
-    scalar aggregates."""
-    from ray.data.aggregate import Sum
+    Scale shape: ONE streaming tokenize pass over the corpus emits the
+    (doc, query-term, tf, dl) rows — postings for the 4 query terms,
+    never the full vocabulary — plus one sentinel row per BATCH
+    (doc_id=-1, token='') carrying that batch's (n_docs, Σdl) partials,
+    so N/avgdl cost no extra scan; then a tiny per-term df aggregate
+    (driver-side: 4 rows) and ONE narrow groupby(doc).sum."""
 
     import pyarrow.compute as pc
 
@@ -467,15 +467,22 @@ def search_topk_bm25(sf_dir: str) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         d_out, t_out, tf_out, dl_out = [], [], [], []
+        dl_sum = 0
         for did, text in zip(ids, texts):
             toks = _TOK_RE.findall(text.lower())
             dl = len(toks)
+            dl_sum += dl
             c = Counter(t for t in toks if t in query)
             for t, tf in c.items():
                 d_out.append(did)
                 t_out.append(t)
                 tf_out.append(tf)
                 dl_out.append(dl)
+        # per-batch corpus-stats sentinel: tf = docs in batch, dl = Σdl
+        d_out.append(-1)
+        t_out.append("")
+        tf_out.append(len(ids))
+        dl_out.append(dl_sum)
         return pa.table(
             {
                 "doc_id": pa.array(d_out, pa.int64()),
@@ -485,30 +492,59 @@ def search_topk_bm25(sf_dir: str) -> pa.Table:
             }
         )
 
-    def dl_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        dls = [len(_TOK_RE.findall(t.lower())) for t in texts]
-        return pa.table({"dl": pa.array(dls, pa.int64())})
-
     docs = _docs(sf_dir, ["doc_id", "text"])
-    # corpus stats: N and avgdl (two scalar aggregates over a pruned scan)
-    lens = docs.map_batches(dl_rows, batch_format="pyarrow")
-    n_docs = lens.count()
-    total_dl = lens.sum("dl")
-    avgdl = float(total_dl) / float(n_docs)
+    matches_all = docs.map_batches(term_rows, batch_format="pyarrow").materialize()
 
-    matches = docs.map_batches(term_rows, batch_format="pyarrow").materialize()
-    # per-term df: 4 rows — collect and broadcast in the closure
-    df_tbl = collect_table(
-        matches.groupby("token").count()
+    # per-block (df, N, Σdl) partials in ONE pass: each (doc, term) pair
+    # is one row, so a block's rows-per-token IS its df contribution; the
+    # sentinel row carries the block's doc-count/length partials. Collect
+    # is O(blocks × terms) — tiny at any corpus size.
+    def _summaries(b: pa.Table) -> pa.Table:
+        sent = pc.equal(b.column("token"), "")
+        real = b.filter(pc.invert(sent))
+        s = b.filter(sent)
+        toks, cnts = np.unique(
+            np.asarray(real.column("token")), return_counts=True
+        )
+        return pa.table(
+            {
+                "token": pa.array(list(toks) + [""], pa.string()),
+                "n": pa.array(
+                    list(cnts.astype(np.int64))
+                    + [int(pc.sum(s.column("tf")).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "dl": pa.array(
+                    [0] * len(toks)
+                    + [int(pc.sum(s.column("dl")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    summ = collect_table(
+        matches_all.map_batches(
+            _summaries, batch_format="pyarrow", batch_size=None
+        )
     )
-    df = {
-        r["token"]: float(r["count()"])
-        for r in df_tbl.to_pylist()
-    }
+    sent_mask = pc.equal(summ.column("token"), "")
+    stats = summ.filter(sent_mask)
+    n_docs = int(pc.sum(stats.column("n")).as_py() or 0)
+    avgdl = float(pc.sum(stats.column("dl")).as_py() or 0) / float(n_docs)
+    df: dict = {}
+    for r in summ.filter(pc.invert(sent_mask)).to_pylist():
+        df[r["token"]] = df.get(r["token"], 0.0) + float(r["n"])
     n_f = float(n_docs)
 
-    def score(batch: pa.Table) -> pa.Table:
+    # score + per-doc sum + local top-5 per BLOCK: term_rows emits each
+    # doc's rows into one output block and batch_size=None maps 1:1 over
+    # those materialized blocks, so a per-doc integer sum is exact
+    # in-block (partitioning assumption: doc rows never straddle blocks —
+    # holds by construction, NOT for arbitrary re-batched input). The
+    # former groupby(doc).sum + global sort AllToAlls become a driver
+    # merge over blocks × 5 candidate rows.
+    def score_top(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch.column("token"), ""))
         tfs = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         dls = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
         dfs = np.asarray(
@@ -519,18 +555,31 @@ def search_topk_bm25(sf_dir: str) -> pa.Table:
             tfs + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dls / avgdl)
         )
         milli = np.floor(raw * 1000.0 + 0.5).astype(np.int64)
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        sums = np.bincount(inv, weights=milli.astype(np.float64)).astype(np.int64)
+        top = np.lexsort((uniq, -sums))[:5]
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "milli": pa.array(milli, pa.int64())}
+            {
+                "doc_id": pa.array(uniq[top], pa.int64()),
+                "score_milli": pa.array(sums[top], pa.int64()),
+            }
         )
 
-    top = (
-        matches.map_batches(score, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("milli", alias_name="score_milli"))
-        .sort(["score_milli", "doc_id"], descending=[True, False])
-        .limit(5)
+    cands = collect_table(
+        matches_all.map_batches(
+            score_top, batch_format="pyarrow", batch_size=None
+        )
     )
-    return collect_table(top).select(["doc_id", "score_milli"])
+    doc = np.asarray(cands.column("doc_id"), dtype=np.int64)
+    sm = np.asarray(cands.column("score_milli"), dtype=np.int64)
+    top = np.lexsort((doc, -sm))[:5]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[top], pa.int64()),
+            "score_milli": pa.array(sm[top], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

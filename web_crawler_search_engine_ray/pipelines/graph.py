@@ -6,13 +6,14 @@ crawler must PRIORITIZE — the standard signal is link-graph PageRank over
 the pages crawled so far.  This module implements PageRank as a
 Ray-Data-native power iteration:
 
-- the graph lives as a distributed ``(src, dst, outdeg)`` edge Dataset —
-  never on the driver;
-- one iteration = ONE bucket-hash shuffle (rank rows and edge rows both
-  route to ``hash(key) % B``; each bucket group attaches rank[src] to its
-  edges with a sorted searchsorted lookup — the same join kernel as
-  `corpus.connected_components`) followed by a C-side
-  ``groupby(node).sum``;
+- the graph lives as distributed ``(src, dst, outdeg)`` edge buckets,
+  partitioned by ``src % B`` exactly once — never on the driver, never
+  re-shuffled;
+- one iteration = B send tasks (rank[src] attached to the bucket's edges
+  by a sorted searchsorted — ranks share the same ``% B`` partition)
+  emitting per-dst-bucket contribution slices point-to-point, then B sum
+  tasks (bincount per node) — the minimum traffic a power iteration
+  admits, with raw-task latency instead of Dataset AllToAll latency;
 - arithmetic is FIXED-POINT int64 (ranks scaled by 10^12, per-edge
   contribution ``(85 * rank) // (100 * outdeg)``, floor division), so the
   result is bit-identical on any cluster size / block layout AND exactly
@@ -45,11 +46,145 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 PR_ITERS = 3  # fixed unrolled depth — keeps the SQL oracle finite
 
 
-def _bucketed(batch: pa.Table, key: str, nbuck: int) -> pa.Table:
-    h = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-    return batch.append_column(
-        "bucket",
-        pa.array((h % np.uint64(nbuck)).astype(np.int32), pa.int32()),
+@ray.remote
+def _pr_part_edges(tbl: pa.Table, nbuck: int):
+    """Map side of the one-time edge partition: route rows to
+    ``src % nbuck`` slices (modulo, not hash — srcs are dense doc ids and
+    the rank tables are partitioned by the same rule)."""
+    if nbuck == 1:
+        return tbl  # num_returns=1: Ray expects the bare value
+    s = tbl.column("src").to_numpy(zero_copy_only=False)
+    b = (s % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    t = tbl.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    return tuple(
+        t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(nbuck)
+    )
+
+
+@ray.remote
+def _pr_part_nodes(tbl: pa.Table, nbuck: int):
+    if nbuck == 1:
+        return tbl  # num_returns=1: Ray expects the bare value
+    n = tbl.column("node").to_numpy(zero_copy_only=False)
+    b = (n % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    ns = n[order]
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    return tuple(
+        pa.table(
+            {
+                "node": pa.array(
+                    ns[int(bounds[i]) : int(bounds[i + 1])], pa.int64()
+                )
+            }
+        )
+        for i in range(nbuck)
+    )
+
+
+@ray.remote
+def _pr_build_bucket(*parts: pa.Table) -> pa.Table:
+    """Reduce side of the edge partition: dedup (src, dst) and attach
+    outdeg — global per src because every row of a src lands here."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "outdeg": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables)
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    m = np.concatenate(([True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])))
+    s, d = s[m], d[m]
+    uniq, counts = np.unique(s, return_counts=True)
+    deg = np.repeat(counts, counts)
+    return pa.table(
+        {
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "outdeg": pa.array(deg.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _pr_node_union(*parts: pa.Table) -> pa.Table:
+    arrs = [
+        p.column("node").to_numpy(zero_copy_only=False)
+        for p in parts
+        if p.num_rows
+    ]
+    u = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+    return pa.table({"node": pa.array(u, pa.int64())})
+
+
+@ray.remote
+def _pr_send(edges: pa.Table, ranks: pa.Table, nbuck: int):
+    """One iteration, one src-bucket: join rank[src] onto the bucket's
+    edges (sorted searchsorted — ranks and edges share the src % nbuck
+    partition), emit per-dst-bucket contribution slices."""
+    s = edges.column("src").to_numpy(zero_copy_only=False)
+    if not len(s):
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+        )
+        return tuple(empty for _ in range(nbuck)) if nbuck > 1 else empty
+    d = edges.column("dst").to_numpy(zero_copy_only=False)
+    deg = edges.column("outdeg").to_numpy(zero_copy_only=False)
+    rk = ranks.column("node").to_numpy(zero_copy_only=False)
+    rv = ranks.column("rank_fp").to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(rk, s)  # every src has a rank row in its bucket
+    contrib = (PR_DAMP_NUM * rv[pos]) // (PR_DAMP_DEN * deg)
+    b = (d % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    d2, c2 = d[order], contrib[order]
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    out = tuple(
+        pa.table(
+            {
+                "node": pa.array(
+                    d2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()
+                ),
+                "val": pa.array(
+                    c2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()
+                ),
+            }
+        )
+        for i in range(nbuck)
+    )
+    return out if nbuck > 1 else out[0]
+
+
+@ray.remote
+def _pr_sum(node_tbl: pa.Table, base: int, *contribs: pa.Table) -> pa.Table:
+    """One iteration, one node-bucket: rank = base + Σ contributions."""
+    nodes = node_tbl.column("node").to_numpy(zero_copy_only=False)  # sorted
+    acc = np.zeros(len(nodes), np.float64)  # exact: |Σ| ≤ PR_SCALE < 2^53
+    for c in contribs:
+        if not c.num_rows:
+            continue
+        idx = np.searchsorted(
+            nodes, c.column("node").to_numpy(zero_copy_only=False)
+        )
+        acc += np.bincount(
+            idx,
+            weights=c.column("val").to_numpy(zero_copy_only=False),
+            minlength=len(nodes),
+        )
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank_fp": pa.array(acc.astype(np.int64) + base, pa.int64()),
+        }
     )
 
 
@@ -59,63 +194,84 @@ def pagerank(
     nodes: Optional["ray.data.Dataset"] = None,
     n_edges_hint: Optional[int] = None,
 ) -> pa.Table:
-    """Fixed-point PageRank over an ``(src, dst)`` int64 edge Dataset.
+    """Fixed-point PageRank over an ``(src, dst)`` int64 edge Dataset,
+    Pregel-style over raw exchange tasks:
+
+    - the edge set is partitioned by ``src % B`` ONCE (dedup + outdeg in
+      the same reduce); it never moves again — per iteration only the
+      contribution messages travel, point-to-point (B send tasks × B
+      return slices → B sum tasks), the minimum traffic a power
+      iteration admits. The former Dataset-op loop re-shipped every edge
+      through two AllToAlls per iteration and paid ~1 s of executor
+      latency per op — dominating wall time on query-scale graphs.
+    - ranks stay co-partitioned with edges (same ``% B`` rule), so the
+      rank[src] join is a sorted searchsorted inside the bucket.
 
     ``nodes`` (a single ``node`` int64 column) may be passed when the
-    caller already knows the vertex set — skips a distinct-union shuffle;
-    default derives it as the union of srcs and dsts.  ``n_edges_hint``
-    (pre-dedup upper bound) sizes the shuffles without an extra count
-    execution.  Returns the final rank table ``(doc_id, rank_fp)`` sorted
-    by doc_id (the query result itself — small per node; at 10^10 nodes
-    the caller would `write_parquet` the pre-collect Dataset instead,
-    nothing else changes).
+    caller already knows the vertex set — skips a distinct-union
+    exchange; default derives it from the partitioned edge buckets.
+    ``n_edges_hint`` (pre-dedup upper bound) sizes B without an extra
+    count. Returns the final rank table ``(doc_id, rank_fp)`` sorted by
+    doc_id (the query result itself — small per node; at 10^10 nodes the
+    caller would write the per-bucket rank refs instead of collecting).
     """
-    from ray.data.aggregate import Count, Sum
-
-    # ---- static prep: distinct edges + per-src out-degree, one shuffle.
-    # Shuffle width and bucket count are DATA-proportional (the
-    # connected_components sizing rule): a kilobyte-scale graph must not
-    # pay a cluster-width AllToAll + hundreds of tiny serial groups per
-    # iteration, while a 10^10-edge graph still fans out to every core.
-    distinct = (
-        edges.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
-    )
+    edges_mat = edges.materialize()
     if n_edges_hint is None:
-        distinct = distinct.materialize()
-        n_edges = int(distinct.count())
+        n_edges = int(edges_mat.count())
     else:
         n_edges = n_edges_hint
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    width = max(1, min(2 * n_cpus, n_edges // 65536 + 1))
-    nbuck = max(width, min(_PAIR_BUCKETS, n_edges // 16384 + 1))
-    with_deg = (
-        distinct.repartition(width)
-        .map_batches(
-            lambda b: _bucketed(b, "src", nbuck), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(_attach_outdeg, batch_format="pyarrow")
-        .materialize()
-    )
+    nbuck = int(max(1, min(_PAIR_BUCKETS, n_edges // 16384 + 1)))
 
-    def node_rows(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False)
-        d = batch.column("dst").to_numpy(zero_copy_only=False)
-        u = np.unique(np.concatenate([s, d]))
-        return pa.table({"node": pa.array(u, pa.int64())})
+    from ..stages.util import refs_and_counts
 
-    if nodes is None:
-        nodes = (
-            with_deg.map_batches(node_rows, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["node"])
-            .repartition(width)
+    erefs, _ = refs_and_counts(edges_mat)
+    if not erefs:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rank_fp": pa.array([], pa.int64())}
         )
-    nodes = nodes.materialize()
-    n = int(nodes.count())
+    eparts = [
+        _pr_part_edges.options(num_returns=nbuck).remote(r, nbuck)
+        for r in erefs
+    ]
+    if nbuck == 1:
+        eparts = [[p] for p in eparts]
+    E = [
+        _pr_build_bucket.remote(*[pl[b] for pl in eparts])
+        for b in range(nbuck)
+    ]
+
+    if nodes is not None:
+        nodes_mat = nodes.materialize()
+        nrefs, _ = refs_and_counts(nodes_mat)
+        nparts = [
+            _pr_part_nodes.options(num_returns=nbuck).remote(r, nbuck)
+            for r in nrefs
+        ]
+        if nbuck == 1:
+            nparts = [[p] for p in nparts]
+        N = [
+            _pr_node_union.remote(*[pl[b] for pl in nparts])
+            for b in range(nbuck)
+        ]
+        n = int(nodes_mat.count())
+    else:
+        # derive the vertex set from the edge buckets: srcs live in their
+        # own bucket; dsts are re-routed by the same % rule
+        dparts = [
+            _pr_part_nodes.options(num_returns=nbuck).remote(
+                _pr_dst_nodes.remote(e), nbuck
+            )
+            for e in E
+        ]
+        if nbuck == 1:
+            dparts = [[p] for p in dparts]
+        N = [
+            _pr_node_union.remote(
+                _pr_src_nodes.remote(E[b]), *[pl[b] for pl in dparts]
+            )
+            for b in range(nbuck)
+        ]
+        n = int(sum(ray.get([_pr_count.remote(t) for t in N])))
     if n == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "rank_fp": pa.array([], pa.int64())}
@@ -123,102 +279,20 @@ def pagerank(
     base = (PR_SCALE // n) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     init = PR_SCALE // n
 
-    def init_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "rank_fp": pa.array(
-                    np.full(batch.num_rows, init, np.int64), pa.int64()
-                ),
-            }
-        )
-
-    ranks = nodes.map_batches(init_rows, batch_format="pyarrow").materialize()
-
-    def zero_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "val": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
-            }
-        )
-
-    def rank_rows(batch: pa.Table) -> pa.Table:
-        nrows = batch.num_rows
-        return pa.table(
-            {
-                "k": batch.column("node"),
-                "dst": pa.array(np.full(nrows, -1, np.int64), pa.int64()),
-                "deg": pa.array(np.zeros(nrows, np.int64), pa.int64()),
-                "rank_fp": batch.column("rank_fp"),
-                "is_rank": pa.array(np.ones(nrows, bool), pa.bool_()),
-            }
-        )
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        nrows = batch.num_rows
-        return pa.table(
-            {
-                "k": batch.column("src"),
-                "dst": batch.column("dst"),
-                "deg": batch.column("outdeg"),
-                "rank_fp": pa.array(np.zeros(nrows, np.int64), pa.int64()),
-                "is_rank": pa.array(np.zeros(nrows, bool), pa.bool_()),
-            }
-        )
-
-    def send(group: pa.Table) -> pa.Table:
-        is_rank = group.column("is_rank").to_numpy(zero_copy_only=False).astype(bool)
-        ks = group.column("k").to_numpy(zero_copy_only=False)
-        ri = np.flatnonzero(is_rank)
-        order = np.argsort(ks[ri], kind="stable")
-        rk = ks[ri][order]
-        rv = group.column("rank_fp").to_numpy(zero_copy_only=False)[ri][order]
-        ei = np.flatnonzero(~is_rank)
-        if ei.size == 0:
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
-            )
-        # every edge src has a rank row in its own bucket by construction
-        pos = np.searchsorted(rk, ks[ei])
-        deg = group.column("deg").to_numpy(zero_copy_only=False)[ei]
-        contrib = (PR_DAMP_NUM * rv[pos]) // (PR_DAMP_DEN * deg)
-        return pa.table(
-            {
-                "node": group.column("dst").to_numpy(zero_copy_only=False)[ei],
-                "val": pa.array(contrib, pa.int64()),
-            }
-        )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        s = batch.column("val").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "rank_fp": pa.array(s + base, pa.int64()),
-            }
-        )
-
+    R = [_pr_init.remote(N[b], init) for b in range(nbuck)]
     for _ in range(iters):
-        msgs = (
-            ranks.map_batches(rank_rows, batch_format="pyarrow")
-            .union(with_deg.map_batches(edge_rows, batch_format="pyarrow"))
-            .map_batches(
-                lambda b: _bucketed(b, "k", nbuck), batch_format="pyarrow"
-            )
-            .groupby("bucket")
-            .map_groups(send, batch_format="pyarrow")
-        )
-        ranks = (
-            msgs.union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
-            .groupby("node")
-            .aggregate(Sum("val", alias_name="val"))
-            .map_batches(finish, batch_format="pyarrow")
-            .repartition(width)
-            .materialize()
-        )
+        sends = [
+            _pr_send.options(num_returns=nbuck).remote(E[b], R[b], nbuck)
+            for b in range(nbuck)
+        ]
+        if nbuck == 1:
+            sends = [[s] for s in sends]
+        R = [
+            _pr_sum.remote(N[b], base, *[sl[b] for sl in sends])
+            for b in range(nbuck)
+        ]
 
-    tbl = collect_table(ranks)
+    tbl = pa.concat_tables(ray.get(R))
     node = tbl.column("node").to_numpy(zero_copy_only=False)
     rank = tbl.column("rank_fp").to_numpy(zero_copy_only=False)
     order = np.argsort(node, kind="stable")
@@ -230,19 +304,31 @@ def pagerank(
     )
 
 
-def _attach_outdeg(group: pa.Table) -> pa.Table:
-    """Within one src-hash bucket: outdeg[src] via sorted run lengths."""
-    src = group.column("src").to_numpy(zero_copy_only=False)
-    dst = group.column("dst").to_numpy(zero_copy_only=False)
-    order = np.argsort(src, kind="stable")
-    s, d = src[order], dst[order]
-    uniq, counts = np.unique(s, return_counts=True)
-    deg = np.repeat(counts, counts)
+@ray.remote
+def _pr_src_nodes(edges: pa.Table) -> pa.Table:
+    u = np.unique(edges.column("src").to_numpy(zero_copy_only=False))
+    return pa.table({"node": pa.array(u, pa.int64())})
+
+
+@ray.remote
+def _pr_dst_nodes(edges: pa.Table) -> pa.Table:
+    u = np.unique(edges.column("dst").to_numpy(zero_copy_only=False))
+    return pa.table({"node": pa.array(u, pa.int64())})
+
+
+@ray.remote
+def _pr_count(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _pr_init(node_tbl: pa.Table, init: int) -> pa.Table:
     return pa.table(
         {
-            "src": pa.array(s, pa.int64()),
-            "dst": pa.array(d, pa.int64()),
-            "outdeg": pa.array(deg.astype(np.int64), pa.int64()),
+            "node": node_tbl.column("node"),
+            "rank_fp": pa.array(
+                np.full(node_tbl.num_rows, init, np.int64), pa.int64()
+            ),
         }
     )
 
