@@ -322,6 +322,7 @@ def _postings_tf(sf_dir: str) -> Tuple["ray.data.Dataset", int]:
 
 
 _POSTINGS_CACHE: dict = {}
+_MINHASH_PAIRS_CACHE: dict = {}
 
 
 def _session_cache_key(sf_dir: str) -> tuple:
@@ -910,7 +911,15 @@ def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
     calls, not O(unique band keys), and the bucket count follows the data
     (_proportional_buckets). The candidate verify joins shingles by doc_id
     partition (_verify_pairs_distributed) — no driver materialization.
+
+    Memoized per (sf_dir, Ray session): dedup_minhash_lsh AND
+    dedup_components consume the same pair graph — without the memo the
+    whole LSH+verify pipeline runs once per caller.
     """
+    key = _session_cache_key(sf_dir)
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     n_docs = int(_docs(sf_dir, ["doc_id"]).count())
     nb_sig = _proportional_buckets(n_docs * MINHASH_BANDS)
 
@@ -964,7 +973,9 @@ def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
     # materialize the (near-dup-sized, distributed) candidate pairs so the
     # two verify hops don't re-execute the signature chain
     candidates = _dedup_pairs(candidates).materialize()
-    return _verify_pairs_distributed(docs, candidates)
+    out = _verify_pairs_distributed(docs, candidates).materialize()
+    _MINHASH_PAIRS_CACHE[key] = out
+    return out
 
 
 def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
@@ -975,6 +986,138 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     return tbl.select(["doc_a", "doc_b", "jaccard_milli"])
 
 
+@ray.remote
+def _cc_part_edges(tbl: pa.Table, nbuck: int):
+    """Route (src, dst) rows to ``src % nbuck`` slices (modulo — node ids
+    are dense doc ids, matching the label-table partition rule)."""
+    if nbuck == 1:
+        return tbl
+    srcs = tbl.column("src").to_numpy(zero_copy_only=False)
+    b = (srcs % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    t = tbl.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    return tuple(
+        t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(nbuck)
+    )
+
+
+@ray.remote
+def _cc_build_bucket(*parts: pa.Table):
+    """One src-bucket: dedup (src, dst), sort by src; also returns the
+    bucket's initial label table (node = unique srcs, label = node)."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        e = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        l = pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+        return e, l
+    t = pa.concat_tables(tables)
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    m = np.concatenate(([True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])))
+    s, d = s[m], d[m]
+    uniq = np.unique(s)
+    edges = pa.table(
+        {"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}
+    )
+    labels = pa.table(
+        {"node": pa.array(uniq, pa.int64()), "label": pa.array(uniq, pa.int64())}
+    )
+    return edges, labels
+
+
+@ray.remote
+def _cc_ptr(L: pa.Table, nbuck: int):
+    """Pointer-doubling half of hash-to-min: emit (label -> node) rows for
+    node != label, routed to the LABEL's bucket (where label[label] is
+    known). The (node -> label) direction carries label[node] = label — a
+    no-op message — so only this direction travels."""
+    node = L.column("node").to_numpy(zero_copy_only=False)
+    lab = L.column("label").to_numpy(zero_copy_only=False)
+    nz = node != lab
+    srcs, dsts = lab[nz], node[nz]
+    if nbuck == 1:
+        return pa.table(
+            {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())}
+        )
+    b = (srcs % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    s2, d2 = srcs[order], dsts[order]
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    return tuple(
+        pa.table(
+            {
+                "src": pa.array(s2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()),
+                "dst": pa.array(d2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()),
+            }
+        )
+        for i in range(nbuck)
+    )
+
+
+@ray.remote
+def _cc_send(E: pa.Table, L: pa.Table, nbuck: int, *inptr: pa.Table):
+    """One round, one src-bucket: attach label[src] to the bucket's static
+    edges and incoming pointer rows (sorted searchsorted — labels share
+    the % nbuck partition), emit (node, label) messages routed by node."""
+    lk = L.column("node").to_numpy(zero_copy_only=False)  # sorted
+    lv = L.column("label").to_numpy(zero_copy_only=False)
+    srcs = [E.column("src").to_numpy(zero_copy_only=False)]
+    dsts = [E.column("dst").to_numpy(zero_copy_only=False)]
+    for p in inptr:
+        if p.num_rows:
+            srcs.append(p.column("src").to_numpy(zero_copy_only=False))
+            dsts.append(p.column("dst").to_numpy(zero_copy_only=False))
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    if not len(s):
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+        return tuple(empty for _ in range(nbuck)) if nbuck > 1 else empty
+    pos = np.searchsorted(lk, s)  # every src has a label row in its bucket
+    msg_lab = lv[pos]
+    b = (d % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    d2, m2 = d[order], msg_lab[order]
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    out = tuple(
+        pa.table(
+            {
+                "node": pa.array(d2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()),
+                "label": pa.array(m2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()),
+            }
+        )
+        for i in range(nbuck)
+    )
+    return out if nbuck > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _cc_min(L: pa.Table, *msgs: pa.Table):
+    """One round, one node-bucket: label = min(old label, incoming
+    messages); second return is the bucket's label sum (the convergence
+    witness — labels only decrease)."""
+    nodes = L.column("node").to_numpy(zero_copy_only=False)
+    lab = L.column("label").to_numpy(zero_copy_only=False).copy()
+    for m in msgs:
+        if not m.num_rows:
+            continue
+        idx = np.searchsorted(nodes, m.column("node").to_numpy(zero_copy_only=False))
+        np.minimum.at(lab, idx, m.column("label").to_numpy(zero_copy_only=False))
+    out = pa.table(
+        {"node": pa.array(nodes, pa.int64()), "label": pa.array(lab, pa.int64())}
+    )
+    return out, int(lab.sum())
+
+
 def connected_components(
     edges: "ray.data.Dataset", max_rounds: int = 64
 ) -> pa.Table:
@@ -982,20 +1125,20 @@ def connected_components(
     by distributed min-label propagation; returns the component map as a
     small Arrow table (component-member-sized — the query result itself).
 
-    Each round every node's current label travels through ONE bucket-hash
-    shuffle along BOTH the graph edges and the current label pointers
-    (node↔label), i.e. the hash-to-min rule of Rastogi et al. 2012
-    ("Finding connected components in MapReduce"): label rows and edge
-    rows route to ``bucket(src)``, each bucket group attaches src's label
-    to its edges with a sorted searchsorted lookup (the
-    `_verify_pairs_distributed` join kernel), and a C-side
-    ``groupby(node).min(label)`` folds the messages. The pointer edges
+    Hash-to-min (Rastogi et al. 2012, "Finding connected components in
+    MapReduce") over raw exchange tasks, the Pregel structure shared with
+    `graph.pagerank`: the static (bidirected) edge set is partitioned by
+    ``src % B`` ONCE and never moves again; each round is B pointer tasks
+    (the label->node doubling rows, routed point-to-point), B send tasks
+    (label[src] attached in-bucket by sorted searchsorted, messages routed
+    by dst), and B min tasks (np.minimum.at per node). Pointer edges
     double the propagation distance per round, so rounds are
-    O(log diameter), not O(diameter). Labels only ever decrease, so the
-    int64 sum of all labels is a strictly-decreasing convergence witness
-    — the driver sees one scalar per round, never the labels.
+    O(log diameter). Labels only ever decrease, so the int64 sum of all
+    labels is a strictly-decreasing convergence witness — the driver sees
+    B scalars per round, never the labels. (The former Dataset-op loop
+    paid two AllToAll shuffles + a sum execution per round — executor
+    latency dominated on query-scale graphs.)
     """
-    from ray.data.aggregate import Min
 
     def both(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -1007,28 +1150,11 @@ def connected_components(
             }
         )
 
+    from ..stages.util import refs_and_counts
+
     edges_dir = edges.map_batches(both, batch_format="pyarrow").materialize()
-    # data-proportional round width: unions + groupbys otherwise COMPOUND
-    # block counts across rounds (24 -> 96 -> 312 ... on a toy graph) and
-    # the fixpoint loop slows down instead of staying O(E+V) per round
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    width = max(1, min(2 * n_cpus, int(edges_dir.count()) // 65536 + 1))
-    edges_dir = edges_dir.repartition(width).materialize()
-
-    def node_rows(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch.column("src").to_numpy(zero_copy_only=False))
-        return pa.table(
-            {"node": pa.array(u, pa.int64()), "label": pa.array(u, pa.int64())}
-        )
-
-    labels = (
-        edges_dir.map_batches(node_rows, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .repartition(width)
-        .materialize()
-    )
-    if edges_dir.count() == 0:
+    n_edges = int(edges_dir.count())
+    if n_edges == 0:
         return pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -1037,103 +1163,48 @@ def connected_components(
                 "csize": pa.array([], pa.int64()),
             }
         )
+    nbuck = int(max(1, min(_PAIR_BUCKETS, n_edges // 16384 + 1)))
+    erefs, _ = refs_and_counts(edges_dir)
+    eparts = [
+        _cc_part_edges.options(num_returns=nbuck).remote(r, nbuck) for r in erefs
+    ]
+    if nbuck == 1:
+        eparts = [[p] for p in eparts]
+    built = [
+        _cc_build_bucket.options(num_returns=2).remote(*[pl[b] for pl in eparts])
+        for b in range(nbuck)
+    ]
+    E = [b_[0] for b_ in built]
+    L = [b_[1] for b_ in built]
 
-    def label_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "k": batch.column("node"),
-                "other": pa.array(np.full(n, -1), pa.int64()),
-                "label": batch.column("label"),
-                "is_label": pa.array(np.ones(n, bool), pa.bool_()),
-            }
-        )
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "k": batch.column("src"),
-                "other": batch.column("dst"),
-                "label": pa.array(np.full(n, -1), pa.int64()),
-                "is_label": pa.array(np.zeros(n, bool), pa.bool_()),
-            }
-        )
-
-    def bucketed(batch: pa.Table) -> pa.Table:
-        h = batch.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column(
-            "bucket",
-            pa.array((h % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()),
-        )
-
-    def send(group: pa.Table) -> pa.Table:
-        is_lab = group.column("is_label").to_numpy(zero_copy_only=False).astype(bool)
-        ks = group.column("k").to_numpy(zero_copy_only=False)
-        others = group.column("other").to_numpy(zero_copy_only=False)
-        labs = group.column("label").to_numpy(zero_copy_only=False)
-        li = np.flatnonzero(is_lab)
-        order = np.argsort(ks[li], kind="stable")
-        lk, lv = ks[li][order], labs[li][order]
-        ei = np.flatnonzero(~is_lab)
-        # every edge src has a label row in its own bucket by construction
-        pos = np.searchsorted(lk, ks[ei])
-        return pa.table(
-            {
-                "node": pa.array(others[ei], pa.int64()),
-                "label": pa.array(lv[pos], pa.int64()),
-            }
-        )
-
-    def ptr_edges(batch: pa.Table) -> pa.Table:
-        """Current label pointers as extra (src, dst) edges, both ways —
-        the pointer-doubling half of hash-to-min."""
-        node = batch.column("node").to_numpy(zero_copy_only=False)
-        lab = batch.column("label").to_numpy(zero_copy_only=False)
-        nz = node != lab
-        n, l = node[nz], lab[nz]
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([n, l]), pa.int64()),
-                "dst": pa.array(np.concatenate([l, n]), pa.int64()),
-            }
-        )
-
-    _dbg = bool(os.environ.get("WCSE_CC_DEBUG"))
-    prev_sum = int(labels.sum("label"))
+    prev_sum = None
     for _round in range(max_rounds):
-        _t0 = _time.time() if _dbg else 0.0
-        round_edges = edges_dir.union(
-            labels.map_batches(ptr_edges, batch_format="pyarrow")
-        )
-        msgs = (
-            labels.map_batches(label_rows, batch_format="pyarrow")
-            .union(round_edges.map_batches(edge_rows, batch_format="pyarrow"))
-            .map_batches(bucketed, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(send, batch_format="pyarrow")
-        )
-        labels = (
-            msgs.union(labels.select_columns(["node", "label"]))
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(width)
-            .materialize()
-        )
-        cur_sum = int(labels.sum("label"))
-        if _dbg:
-            print(
-                f"cc round {_round}: {_time.time() - _t0:.1f}s "
-                f"blocks={labels.num_blocks()} sum={cur_sum}",
-                flush=True,
+        ptrs = [
+            _cc_ptr.options(num_returns=nbuck).remote(L[b], nbuck)
+            for b in range(nbuck)
+        ]
+        if nbuck == 1:
+            ptrs = [[p] for p in ptrs]
+        sends = [
+            _cc_send.options(num_returns=nbuck).remote(
+                E[b], L[b], nbuck, *[pl[b] for pl in ptrs]
             )
+            for b in range(nbuck)
+        ]
+        if nbuck == 1:
+            sends = [[s] for s in sends]
+        outs = [
+            _cc_min.remote(L[b], *[sl[b] for sl in sends]) for b in range(nbuck)
+        ]
+        L = [o[0] for o in outs]
+        cur_sum = int(sum(ray.get([o[1] for o in outs])))
         if cur_sum == prev_sum:  # labels are non-increasing: fixpoint
             break
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
-    tbl = collect_table(labels)  # component map == the final result (small)
+    tbl = pa.concat_tables(ray.get(L))  # component map == final result (small)
     node = tbl.column("node").to_numpy(zero_copy_only=False)
     comp = tbl.column("label").to_numpy(zero_copy_only=False)
     order = np.argsort(node, kind="stable")

@@ -68,6 +68,15 @@ def _read(sf_dir: str, table: str, columns: List[str]) -> "ray.data.Dataset":
     )
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — free, known before any read."""
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ).metadata.num_rows
+
+
 # --- deterministic Bernoulli sample -----------------------------------------
 
 
@@ -290,17 +299,24 @@ def heavy_hitters_cms(sf_dir: str) -> pa.Table:
     """Count-Min-sketch heavy hitters over ``lineitem.l_suppkey``.
 
     Map side: per-batch exact (key, count) groupby, then each distinct key
-    folds its batch count into d=3 hashed buckets, so the shuffle carries
-    at most d*w = 768 (d, bucket) partial rows per batch — constant in BOTH
+    folds its batch count into d=3 hashed buckets, so the sketch partial
+    is at most d*w = 768 (d, bucket) rows per batch — constant in BOTH
     row count and key cardinality. That constant-size property is what
     makes CMS the 100 TB heavy-hitter tool: an exact groupby shuffles one
     row per distinct key, a CMS always moves 768 counters. Estimate for a
     key = min over d of its bucket counts (Cormode & Muthukrishnan 2005);
     it only ever over-counts, so ``est >= threshold`` cannot miss a true
     heavy hitter. Exact counts ride alongside to expose the overestimate;
-    the DuckDB oracle replays the identical bucket arithmetic via _mix_sql.
+    the DuckDB oracle replays the identical bucket arithmetic via
+    _mix_sql.
+
+    ONE pass + ONE manual exchange: sketch partials (kind 0, routed by
+    d*w+b) and exact per-key partials (kind 1, routed by key hash — at
+    100 TB you would instead probe the sketch with a candidate set, e.g.
+    batch-local top keys) share the shuffle; the reduce sums each group
+    exactly because its rows are bucket-local.
     """
-    from ray.data.aggregate import Sum
+    from ..stages.util import bucket_exchange
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["l_suppkey"]).aggregate([([], "count_all")])
@@ -308,62 +324,112 @@ def heavy_hitters_cms(sf_dir: str) -> pa.Table:
         cnt = pc.cast(g.column("count_all"), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        ds, bs, cs = [], [], []
+        ks, bs, cs, rk = [], [], [], []
         for d in range(CMS_D):
             b = (mix32_batch(keys, CMS_SALT + d) % np.uint64(CMS_W)).astype(
                 np.int64
             )
             order = np.argsort(b, kind="stable")
             bb, start = np.unique(b[order], return_index=True)
-            ds.append(np.full(len(bb), d, np.int64))
+            ks.append(np.full(len(bb), d, np.int64))
             bs.append(bb)
             cs.append(np.add.reduceat(cnt[order], start))
+            rk.append(d * CMS_W + bb)
+        n0 = sum(len(x) for x in ks)
         return pa.table(
             {
-                "d": pa.array(np.concatenate(ds), pa.int64()),
-                "b": pa.array(np.concatenate(bs), pa.int64()),
-                "c": pa.array(np.concatenate(cs), pa.int64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(n0, np.int8), np.ones(len(keys), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "k1": pa.array(
+                    np.concatenate(ks + [keys.astype(np.int64)]), pa.int64()
+                ),
+                "k2": pa.array(
+                    np.concatenate(bs + [np.zeros(len(keys), np.int64)]),
+                    pa.int64(),
+                ),
+                "c": pa.array(np.concatenate(cs + [cnt]), pa.int64()),
+                "bucket": pa.array(
+                    np.concatenate(
+                        rk + [mix32_batch(keys, CMS_SALT + 7).astype(np.int64)]
+                    )
+                    % nbuck,
+                    pa.int64(),
+                ),
             }
         )
 
-    src = _read(sf_dir, "lineitem", ["l_suppkey"])
-    sketch = collect_table(
-        src.map_batches(partial, batch_format="pyarrow")
-        .groupby(["d", "b"])
-        .aggregate(Sum("c", alias_name="c"))
+    # exchange width from the parquet footer row count — no extra pass
+    nbuck = int(
+        max(1, min(64, _table_rows(sf_dir, "lineitem") // 250_000 + 1))
+    )
+    mat = (
+        _read(sf_dir, "lineitem", ["l_suppkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
     )
 
-    # exact per-key counts (the driver-gate comparison column; also the
-    # distinct-key enumeration — at 100 TB you would instead probe the
-    # sketch with a candidate set, e.g. the batch-local top keys)
-    def exact_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_suppkey"]).aggregate([([], "count_all")])
+    def reduce(tbl: pa.Table) -> pa.Table:
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        k1 = tbl.column("k1").to_numpy(zero_copy_only=False)
+        k2 = tbl.column("k2").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        okind, ok1, ok2, oc = [], [], [], []
+        for kk in (0, 1):
+            m = kind == kk
+            if not m.any():
+                continue
+            a, b, v = k1[m], k2[m], c[m]
+            order = np.lexsort((b, a))
+            a, b, v = a[order], b[order], v[order]
+            first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            start = np.flatnonzero(first)
+            okind.append(np.full(len(start), kk, np.int8))
+            ok1.append(a[first])
+            ok2.append(b[first])
+            oc.append(np.add.reduceat(v, start))
+        if not okind:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "k1": pa.array([], pa.int64()),
+                    "k2": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "l_suppkey": g.column("l_suppkey"),
-                "n_exact": pc.cast(g.column("count_all"), pa.int64()),
+                "kind": pa.array(np.concatenate(okind), pa.int8()),
+                "k1": pa.array(np.concatenate(ok1), pa.int64()),
+                "k2": pa.array(np.concatenate(ok2), pa.int64()),
+                "c": pa.array(np.concatenate(oc), pa.int64()),
             }
         )
 
-    exact = collect_table(
-        src.map_batches(exact_partial, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("n_exact", alias_name="n_exact"))
-    )
+    merged = collect_table(bucket_exchange(mat, "bucket", nbuck, reduce))
 
+    kind = merged.column("kind").to_numpy(zero_copy_only=False)
+    k1 = merged.column("k1").to_numpy(zero_copy_only=False)
+    k2 = merged.column("k2").to_numpy(zero_copy_only=False)
+    c = merged.column("c").to_numpy(zero_copy_only=False)
+    sk = kind == 0
     counts = np.zeros((CMS_D, CMS_W), np.int64)
-    counts[
-        sketch.column("d").to_numpy(zero_copy_only=False),
-        sketch.column("b").to_numpy(zero_copy_only=False),
-    ] = sketch.column("c").to_numpy(zero_copy_only=False)
+    counts[k1[sk], k2[sk]] = c[sk]
 
-    keys = exact.column("l_suppkey").to_numpy(zero_copy_only=False)
-    n_exact = exact.column("n_exact").to_numpy(zero_copy_only=False)
+    ex = kind == 1
+    keys = k1[ex]
+    n_exact = c[ex]
     est = np.min(
         np.stack(
             [
                 counts[
-                    d, (mix32_batch(keys, CMS_SALT + d) % np.uint64(CMS_W)).astype(np.int64)
+                    d,
+                    (mix32_batch(keys, CMS_SALT + d) % np.uint64(CMS_W)).astype(
+                        np.int64
+                    ),
                 ]
                 for d in range(CMS_D)
             ]
@@ -379,7 +445,6 @@ def heavy_hitters_cms(sf_dir: str) -> pa.Table:
             "n_cms": pa.array(est[keep][order], pa.int64()),
         }
     )
-
 
 # --- HyperLogLog approximate distinct ---------------------------------------
 
@@ -408,85 +473,145 @@ def hll_estimate(s_scaled: int, n_zero_regs: int) -> int:
 def distinct_users_hll(sf_dir: str) -> pa.Table:
     """Exact vs HyperLogLog distinct user_id per event_type.
 
-    Registers build as map-side (event_type, reg) max-rho partials — the
-    merge is an associative max, so the shuffle carries only tiny partial
-    rows and the same code runs on any partitioning. Exact count ships
-    batch-distinct pairs through a (event_type, user_id) shuffle."""
-    from ray.data.aggregate import Max, Sum
+    ONE pass + ONE manual exchange: each batch emits both its register
+    partials ((event_type, reg) max-rho rows — associative merge, so the
+    exchange carries tiny partials regardless of partitioning) and its
+    distinct (event_type, user) rows, tagged by kind. Routing key: reg
+    for register rows, user hash for distinct rows — each guarantees its
+    group is bucket-local, so the reduce task finishes its merge exactly
+    (max per register / distinct-count per event_type) and the driver
+    collects only final registers + per-bucket count partials. (The
+    former two-branch groupby chain paid four Dataset executions and two
+    sort AllToAlls on data this narrow.)"""
+    from ..stages.util import bucket_exchange
 
-    def reg_partial(batch: pa.Table) -> pa.Table:
-        h = mix32_batch(
-            batch.column("user_id").to_numpy(zero_copy_only=False), HLL_SALT
-        )
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type"))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix32_batch(uid, HLL_SALT)
         reg, rho = _hll_rho(h)
-        t = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "reg": pa.array(reg, pa.int64()),
-                "rho": pa.array(rho, pa.int64()),
-            }
+        # register partials: block-local (et, reg) max rho
+        order = np.lexsort((-rho, reg, et))
+        e2, r2, o2 = et[order], reg[order], rho[order]
+        first = (
+            np.concatenate(([True], (e2[1:] != e2[:-1]) | (r2[1:] != r2[:-1])))
+            if len(e2)
+            else np.empty(0, bool)
         )
-        g = t.group_by(["event_type", "reg"]).aggregate([("rho", "max")])
+        # distinct (et, user) partial rows
+        order_u = np.lexsort((uid, et))
+        eu, uu = et[order_u], uid[order_u]
+        uf = (
+            np.concatenate(([True], (eu[1:] != eu[:-1]) | (uu[1:] != uu[:-1])))
+            if len(eu)
+            else np.empty(0, bool)
+        )
+        n0, n1 = int(first.sum()), int(uf.sum())
+        ub = mix32_batch(uu[uf], HLL_SALT + 1).astype(np.int64)
+        rkey = np.concatenate([r2[first].astype(np.int64), ub]) % nbuck
         return pa.table(
             {
-                "event_type": g.column("event_type"),
-                "reg": g.column("reg"),
-                "rho": g.column("rho_max"),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(n0, np.int8), np.ones(n1, np.int8)]),
+                    pa.int8(),
+                ),
+                "et": pa.array(
+                    np.concatenate([e2[first], eu[uf]]).astype(object), pa.string()
+                ),
+                "k": pa.array(
+                    np.concatenate([r2[first], uu[uf]]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "v": pa.array(
+                    np.concatenate([o2[first], np.ones(n1, np.int64)]), pa.int64()
+                ),
+                "bucket": pa.array(rkey, pa.int64()),
             }
         )
 
-    regs = collect_table(
+    # exchange width from the parquet footer row count — no extra pass
+    nbuck = int(max(1, min(64, _table_rows(sf_dir, "events") // 250_000 + 1)))
+    mat = (
         _read(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(reg_partial, batch_format="pyarrow")
-        .groupby(["event_type", "reg"])
-        .aggregate(Max("rho", alias_name="rho"))
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
     )
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
-        return g.select(["event_type", "user_id"]).append_column(
-            "one", pa.array(np.ones(g.num_rows, np.int64), pa.int64())
-        )
-
-    pairs = (
-        _read(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("one", alias_name="one"))
-    )
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["event_type"]).aggregate([([], "count_all")])
+    def reduce(tbl: pa.Table) -> pa.Table:
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl.column("et"))
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        out_kind, out_et, out_k, out_v = [], [], [], []
+        r = kind == 0
+        if r.any():
+            e2, k2, v2 = et[r], k[r], v[r]
+            order = np.lexsort((-v2, k2, e2))
+            e2, k2, v2 = e2[order], k2[order], v2[order]
+            first = np.concatenate(
+                ([True], (e2[1:] != e2[:-1]) | (k2[1:] != k2[:-1]))
+            )
+            out_kind.append(np.zeros(int(first.sum()), np.int8))
+            out_et.append(e2[first])
+            out_k.append(k2[first])
+            out_v.append(v2[first])
+        u = kind == 1
+        if u.any():
+            e2, k2 = et[u], k[u]
+            order = np.lexsort((k2, e2))
+            e2, k2 = e2[order], k2[order]
+            first = np.concatenate(
+                ([True], (e2[1:] != e2[:-1]) | (k2[1:] != k2[:-1]))
+            )
+            ue, cnt = np.unique(e2[first], return_counts=True)
+            out_kind.append(np.ones(len(ue), np.int8))
+            out_et.append(ue)
+            out_k.append(np.zeros(len(ue), np.int64))
+            out_v.append(cnt.astype(np.int64))
+        if not out_kind:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "et": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "event_type": g.column("event_type"),
-                "n_exact": pc.cast(g.column("count_all"), pa.int64()),
+                "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+                "et": pa.array(
+                    np.concatenate(out_et).astype(object), pa.string()
+                ),
+                "k": pa.array(np.concatenate(out_k), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.int64()),
             }
         )
 
-    exact = collect_table(
-        pairs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("n_exact", alias_name="n_exact"))
-    )
+    merged = collect_table(bucket_exchange(mat, "bucket", nbuck, reduce))
 
-    r_types = regs.column("event_type").to_numpy(zero_copy_only=False)
-    r_rho = regs.column("rho").to_numpy(zero_copy_only=False)
+    kind = merged.column("kind").to_numpy(zero_copy_only=False)
+    m_et = np.asarray(merged.column("et"))
+    m_k = merged.column("k").to_numpy(zero_copy_only=False)
+    m_v = merged.column("v").to_numpy(zero_copy_only=False)
+    # registers: global max per (et, reg) is exact — each (et, reg) lives
+    # in exactly one bucket, so the reduce rows are final
+    r = kind == 0
     est: dict[str, int] = {}
-    for et in sorted(set(r_types.tolist())):
-        rho = r_rho[r_types == et]
+    for e in sorted(set(m_et[r].tolist())):
+        rho = m_v[r][m_et[r] == e]
         s_scaled = int((np.int64(1) << (27 - rho)).sum()) + (HLL_M - len(rho)) * (
             1 << 27
         )
-        est[et] = hll_estimate(s_scaled, HLL_M - len(rho))
-
-    e_types = exact.column("event_type").to_pylist()
-    e_n = exact.column("n_exact").to_pylist()
-    order = np.argsort(np.asarray(e_types, dtype=object))
+        est[e] = hll_estimate(s_scaled, HLL_M - len(rho))
+    # exact: per-bucket partial counts sum per event_type
+    u = kind == 1
+    ue, inv = np.unique(m_et[u], return_inverse=True)
+    n_ex = np.bincount(inv, weights=m_v[u].astype(np.float64)).astype(np.int64)
     return pa.table(
         {
-            "event_type": pa.array([e_types[i] for i in order], pa.string()),
-            "n_exact": pa.array([int(e_n[i]) for i in order], pa.int64()),
-            "n_hll": pa.array([est[e_types[i]] for i in order], pa.int64()),
+            "event_type": pa.array(list(ue), pa.string()),
+            "n_exact": pa.array(n_ex, pa.int64()),
+            "n_hll": pa.array([est[e] for e in ue], pa.int64()),
         }
     )
