@@ -1369,18 +1369,18 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
+    from ..stages.util import bucket_exchange, exchange_sum_by_key
+
     docs = _docs(sf_dir, ["doc_id", "text"])
-    runs_out = (
-        docs.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(runs_kernel, batch_format="pyarrow")
-        .materialize()
-    )
+    runs_out = bucket_exchange(
+        docs.map_batches(explode, batch_format="pyarrow").materialize(),
+        "bucket",
+        _PAIR_BUCKETS,
+        runs_kernel,
+    ).materialize()
 
     # df-pruned per-doc sizes: small aggregate, broadcast as SORTED id +
     # size arrays (searchsorted lookup — memory O(docs), not O(max id))
-    from ray.data.aggregate import Sum
-
     import pyarrow.compute as pc
 
     def size_only(batch: pa.Table) -> pa.Table:
@@ -1388,12 +1388,14 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
         return batch.filter(mask).select(["doc_id", "cnt"])
 
     size_tbl = collect_table(
-        runs_out.map_batches(size_only, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("cnt", alias_name="n_sh"))
+        exchange_sum_by_key(
+            runs_out.map_batches(size_only, batch_format="pyarrow"),
+            "doc_id",
+            nbuck=4,
+        )
     )
     doc_arr = np.asarray(size_tbl.column("doc_id"), dtype=np.int64)
-    sz_arr = np.asarray(size_tbl.column("n_sh"), dtype=np.int64)
+    sz_arr = np.asarray(size_tbl.column("cnt"), dtype=np.int64)
     order = np.argsort(doc_arr)
     size_ref = ray.put((doc_arr[order], sz_arr[order]))
 
@@ -1422,10 +1424,11 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
         mask = pc.greater_equal(batch.column("pbucket"), 0)
         return batch.filter(mask).select(["pk", "pbucket"])
 
-    result = (
-        runs_out.map_batches(pair_only, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(count_jaccard, batch_format="pyarrow")
+    result = bucket_exchange(
+        runs_out.map_batches(pair_only, batch_format="pyarrow").materialize(),
+        "pbucket",
+        _PAIR_BUCKETS,
+        count_jaccard,
     )
     tbl = collect_table(result)
     if tbl.num_rows == 0:

@@ -132,30 +132,40 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def top_customers(sf_dir: str) -> pa.Table:
-    """Top-10 customers by total order value: batch-local combine +
-    shuffle-aggregate the big side (orders) by custkey, then
-    broadcast-join the small customer catalog (ray.put once) — no
-    all-to-all join."""
-    from ray.data.aggregate import Sum
+    """Top-10 customers by total order value: batch-local combine routed
+    through ONE manual bucket exchange on custkey (each customer's
+    partials are bucket-local, so the per-bucket sum and local top-10 are
+    exact), then a driver merge over buckets × 10 candidates with the
+    small customer catalog broadcast via ray.put — no all-to-all join, no
+    global sort. (The former groupby + sort chain paid two AllToAlls on
+    a partial table this narrow.)"""
+    from ..stages.util import bucket_exchange
+
+    import pyarrow.parquet as pq
+
+    nbuck = int(
+        max(
+            1,
+            min(
+                64,
+                pq.ParquetFile(
+                    os.path.join(sf_dir, "orders.parquet")
+                ).metadata.num_rows
+                // 500_000
+                + 1,
+            ),
+        )
+    )
 
     def prep(batch: pa.Table) -> pa.Table:
-        return _partial(
+        p = _partial(
             batch.select(["o_custkey", "o_totalprice"]),
             ["o_custkey"],
             [("o_totalprice", "revenue")],
             "n_orders",
         )
-
-    revenue = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
-    )
-    import pyarrow.parquet as pq
+        b = np.asarray(p.column("o_custkey"), dtype=np.int64) % nbuck
+        return p.append_column("bucket", pa.array(b, pa.int64()))
 
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
@@ -168,24 +178,45 @@ def top_customers(sf_dir: str) -> pa.Table:
     )
     names_ref = ray.put(names)
 
-    def join_names(batch: pa.Table) -> pa.Table:
+    def reduce_top(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(tbl.column("o_custkey"), dtype=np.int64)
+        rev = tbl.column("revenue").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("n_orders").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        rsum = np.bincount(inv, weights=rev)
+        nsum = np.bincount(inv, weights=cnt.astype(np.float64)).astype(np.int64)
+        top = np.lexsort((uniq, -rsum))[:10]
         lookup = ray.get(names_ref)
-        keys = np.asarray(batch.column("o_custkey"), dtype=np.int64)
         return pa.table(
             {
-                "c_custkey": pa.array(keys, pa.int64()),
-                "c_name": pa.array([lookup.get(int(k), "") for k in keys], pa.string()),
-                "revenue": batch.column("revenue"),
-                "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+                "c_custkey": pa.array(uniq[top], pa.int64()),
+                "c_name": pa.array(
+                    [lookup.get(int(x), "") for x in uniq[top]], pa.string()
+                ),
+                "revenue": pa.array(rsum[top], pa.float64()),
+                "n_orders": pa.array(nsum[top], pa.int64()),
             }
         )
 
-    top = (
-        revenue.map_batches(join_names, batch_format="pyarrow")
-        .sort(["revenue", "c_custkey"], descending=[True, False])
-        .limit(10)
+    mat = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
     )
-    tbl = collect_table(top)
+    cands = collect_table(bucket_exchange(mat, "bucket", nbuck, reduce_top))
+    rev = cands.column("revenue").to_numpy(zero_copy_only=False)
+    key = np.asarray(cands.column("c_custkey"), dtype=np.int64)
+    top = np.lexsort((key, -rev))[:10]
+    tbl = cands.take(pa.array(top, pa.int64()))
     return pa.table(
         {
             "c_custkey": tbl.column("c_custkey"),
@@ -244,8 +275,10 @@ def events_hourly(sf_dir: str) -> pa.Table:
 
 def events_user_stats(sf_dir: str) -> pa.Table:
     """Per-user event profile: conditional aggregation as vectorized masks,
-    batch-local combine, per-user shuffle of partials only."""
-    from ray.data.aggregate import Sum
+    batch-local combine, then ONE manual exchange of partials keyed by
+    user (stages/util.py exchange_sum_by_key) instead of a sort
+    AllToAll."""
+    from ..stages.util import exchange_sum_by_key
 
     def prep(batch: pa.Table) -> pa.Table:
         is_purchase = pc.cast(
@@ -273,18 +306,20 @@ def events_user_stats(sf_dir: str) -> pa.Table:
             "n_events",
         )
 
-    agg = (
-        _read(sf_dir, "events", ["user_id", "event_type", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("n_purchases", alias_name="n_purchases"),
-            Sum("n_errors", alias_name="n_errors"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+    agg = exchange_sum_by_key(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        "user_id",
+        nbuck=4,
     )
     tbl = collect_table(agg)
+    tbl = tbl.take(
+        pa.array(
+            np.argsort(np.asarray(tbl.column("user_id"), dtype=np.int64)),
+            pa.int64(),
+        )
+    )
     return pa.table(
         {
             "user_id": tbl.column("user_id"),

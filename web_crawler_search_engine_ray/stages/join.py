@@ -183,7 +183,12 @@ def hash_join(
         out_tbl = pa.table(out)
         return bucket_post(out_tbl) if bucket_post is not None else out_tbl
 
-    return (
-        tagged.groupby(_BUCKET)
-        .map_groups(join_bucket, batch_format="pyarrow")
+    # manual exchange instead of groupby(_BUCKET): Ray's sort AllToAll
+    # costs ~2 s of executor latency regardless of size; the exchange is
+    # one integer argsort + zero-copy slices per block and a concat per
+    # bucket (stages/util.py bucket_exchange) — identical co-partitioning
+    from .util import bucket_exchange
+
+    return bucket_exchange(
+        tagged.materialize(), _BUCKET, num_buckets, join_bucket
     )

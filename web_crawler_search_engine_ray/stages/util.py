@@ -233,6 +233,47 @@ def bucket_exchange(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def exchange_sum_by_key(
+    ds: "ray.data.Dataset", key: str, nbuck: int
+) -> "ray.data.Dataset":
+    """Sum every non-key column per integer ``key`` via one manual
+    exchange: rows route to ``key % nbuck`` and each bucket reduces with
+    an argsort + ``np.add.reduceat`` — exact because a key's rows are
+    bucket-local. The drop-in replacement for the
+    ``map_batches(partial).groupby(key).aggregate(Sum, ...)`` chain on
+    narrow partial tables, where Ray's sort AllToAll costs ~2 s of
+    executor latency regardless of data size. Column dtypes are
+    preserved (int64 sums stay int64)."""
+    import numpy as np
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column(key), dtype=np.int64)
+        return b.append_column(
+            "__xbucket", pa.array(k % nbuck, pa.int64())
+        )
+
+    def reduce(tbl: pa.Table) -> pa.Table:
+        names = [n for n in tbl.column_names if n != key]
+        if tbl.num_rows == 0:
+            return tbl
+        k = np.asarray(tbl.column(key), dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        first = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(first)
+        cols = {key: pa.array(ks[first], pa.int64())}
+        for name in names:
+            v = tbl.column(name).to_numpy(zero_copy_only=False)[order]
+            cols[name] = pa.array(
+                np.add.reduceat(v, starts),
+                tbl.schema.field(name).type,
+            )
+        return pa.table(cols)
+
+    mat = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    return bucket_exchange(mat, "__xbucket", nbuck, reduce)
+
+
 def resplit_ref(ref: "ray.ObjectRef", total_rows: int, target_splits: int):
     """Slice one block ref into even task rounds (see even_chunk); returns
     (refs, counts) without blocking."""
