@@ -162,3 +162,27 @@ def test_link_triangles_matches_bruteforce(ray_session):
                 want[v] += 1
                 want[w] += 1
     assert got == dict(want) and sum(got.values()) % 3 == 0 and got
+
+
+def test_link_triangles_multibucket_equals_single(ray_session):
+    """Regression: the multi-bucket exchange path must equal width 1 — a
+    width-1 exchange funnels everything into one reduce and never
+    exercises the per-row routing keys (a shadowed bucket variable in the
+    wedge kernel once zeroed the nb>=2 path while nb=1 stayed green)."""
+    from web_crawler_search_engine_ray.pipelines.graph import link_triangles
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        link_triangles(sf, n_buckets=1)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        link_triangles(sf, n_buckets=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)

@@ -440,7 +440,7 @@ def link_pagerank(sf_dir: str) -> pa.Table:
 _TRI_BUCKETS = 64
 
 
-def link_triangles(sf_dir: str) -> "ray.data.Dataset":
+def link_triangles(sf_dir: str, n_buckets: int = 0) -> "ray.data.Dataset":
     """Per-node triangle counts over the (undirected) documents link graph
     — the classic 2-round MapReduce triangle algorithm (Suri & Vassilvitskii
     2011 "Counting Triangles and the Curse of the Last Reducer"):
@@ -459,6 +459,13 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
 
     docs = _docs(sf_dir, ["doc_id"])
     n = int(docs.count())
+    # data-proportional width: ~4n pre-dedup edges; kilobyte graphs must
+    # not pay a 64-wide grid of near-empty buckets. n_buckets > 0
+    # overrides (tests pin the multi-bucket path on small graphs —
+    # a width-1 exchange never exercises the routing keys).
+    nb = int(n_buckets) if n_buckets else int(
+        max(1, min(_TRI_BUCKETS, (4 * n) // 16384 + 1))
+    )
 
     def edges_canon(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -481,7 +488,7 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
             {
                 "ekey": pa.array(key, pa.int64()),
                 "bucket": pa.array(
-                    (key % _TRI_BUCKETS).astype(np.int32), pa.int32()
+                    (key % nb).astype(np.int32), pa.int32()
                 ),
             }
         )
@@ -492,14 +499,17 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(
             {
                 "ekey": pa.array(key, pa.int64()),
-                "ubucket": pa.array((u % _TRI_BUCKETS).astype(np.int32), pa.int32()),
+                "ubucket": pa.array((u % nb).astype(np.int32), pa.int32()),
             }
         )
 
-    edges = (
-        docs.map_batches(edges_canon, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(dedup_edges, batch_format="pyarrow")
+    from ..stages.util import bucket_exchange, exchange_sum_by_key
+
+    edges = bucket_exchange(
+        docs.map_batches(edges_canon, batch_format="pyarrow").materialize(),
+        "bucket",
+        nb,
+        dedup_edges,
     ).materialize()
 
     def wedges(tbl: pa.Table) -> pa.Table:
@@ -510,11 +520,11 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
         ends = np.append(starts[1:], len(u))
         w_key, w_u = [], []
         for s, e in zip(starts, ends):  # loop over NODES (deg <= ~8 here)
-            nb = v[s:e]
-            if len(nb) < 2:
+            nbrs = v[s:e]  # NOT 'nb' — that's the closure bucket width
+            if len(nbrs) < 2:
                 continue
-            ia, ib = np.triu_indices(len(nb), 1)
-            w_key.append(nb[ia] * n + nb[ib])
+            ia, ib = np.triu_indices(len(nbrs), 1)
+            w_key.append(nbrs[ia] * n + nbrs[ib])
             w_u.append(np.full(len(ia), u[s], np.int64))
         if not w_key:
             return pa.table(
@@ -531,7 +541,7 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
                 "pkey": pa.array(pk, pa.int64()),
                 "corner": pa.array(np.concatenate(w_u), pa.int64()),
                 "side": pa.array(np.ones(len(pk), np.int8), pa.int8()),
-                "bucket": pa.array((pk % _TRI_BUCKETS).astype(np.int32), pa.int32()),
+                "bucket": pa.array((pk % nb).astype(np.int32), pa.int32()),
             }
         )
 
@@ -542,12 +552,16 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
                 "pkey": pa.array(key, pa.int64()),
                 "corner": pa.array(np.full(len(key), -1, np.int64), pa.int64()),
                 "side": pa.array(np.zeros(len(key), np.int8), pa.int8()),
-                "bucket": pa.array((key % _TRI_BUCKETS).astype(np.int32), pa.int32()),
+                "bucket": pa.array((key % nb).astype(np.int32), pa.int32()),
             }
         )
 
-    wedge_rows = edges.groupby("ubucket").map_groups(wedges, batch_format="pyarrow")
-    edge_rows = edges.map_batches(edges_probe_rows, batch_format="pyarrow")
+    wedge_rows = bucket_exchange(
+        edges, "ubucket", nb, wedges
+    ).materialize()
+    edge_rows = edges.map_batches(
+        edges_probe_rows, batch_format="pyarrow"
+    ).materialize()
 
     def close(tbl: pa.Table) -> pa.Table:
         side = tbl.column("side").to_numpy(zero_copy_only=False)
@@ -567,24 +581,16 @@ def link_triangles(sf_dir: str) -> "ray.data.Dataset":
         tri_k = wk[closed]
         tri_u = wc[closed]
         nodes = np.concatenate((tri_u, tri_k // n, tri_k % n))
-        return pa.table({"node": pa.array(nodes, pa.int64())})
-
-    per_node = (
-        wedge_rows.union(edge_rows)
-        .groupby("bucket")
-        .map_groups(close, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-    )
-
-    def rename(batch: pa.Table) -> pa.Table:
+        # per-bucket PARTIAL counts — far fewer rows than per-corner,
+        # and the final per-node sum is one tiny keyed exchange
+        un, cnt = np.unique(nodes, return_counts=True)
         return pa.table(
             {
-                "node": batch.column("node"),
-                "n_triangles": pc.cast(batch.column("count()"), pa.int64()),
+                "node": pa.array(un, pa.int64()),
+                "n_triangles": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
-    import pyarrow.compute as pc
-
-    return per_node.map_batches(rename, batch_format="pyarrow")
+    both = wedge_rows.union(edge_rows).materialize()
+    partials = bucket_exchange(both, "bucket", nb, close)
+    return exchange_sum_by_key(partials, "node", nbuck=4)

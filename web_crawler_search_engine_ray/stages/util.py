@@ -214,6 +214,15 @@ def bucket_exchange(
     refs, _counts = refs_and_counts(mat)
     if not refs:
         return mat
+    # coalesce fragmented inputs first: a read/map stage over a small
+    # table can leave dozens of sub-16k-row blocks, and the exchange grid
+    # (blocks × buckets tiny objects) then dominates — merge toward
+    # ~64k-row blocks with non-blocking concat tasks before partitioning
+    total = sum(_counts)
+    if len(refs) > 4 and total // len(refs) < 16384:
+        target = max(1, min(len(refs), total // 65536 + 1))
+        ds2 = coalesce_ref_list(refs, _counts, arrow_schema_of(mat), target)
+        refs, _counts = refs_and_counts(ds2)
     if n_buckets == 1:
         # num_returns=1 makes Ray return a bare ref (not a 1-list); a
         # width-1 exchange is just one reduce over every block anyway
