@@ -109,14 +109,51 @@ def collect_table(ds: "ray.data.Dataset") -> pa.Table:
 
 def _dedup_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distinct (doc_a, doc_b) rows — pairs repeat across LSH bands.
-    Count-aggregate (C-side sort shuffle) instead of per-group Python."""
-    from ray.data.aggregate import Count
+    One manual exchange on the packed pair key (doc ids < 2^32, the
+    jaccard packing convention) with an in-bucket np.unique — exact
+    because a pair's rows are bucket-local."""
+    from ..stages.util import bucket_exchange
 
-    return (
-        ds.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    def pack(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("doc_a"), dtype=np.int64)
+        d = np.asarray(b.column("doc_b"), dtype=np.int64)
+        pk = np.unique((a.astype(np.uint64) << np.uint64(32)) | d.astype(np.uint64))
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.uint64()),
+                "dbucket": pa.array(
+                    (pk % np.uint64(_PAIR_BUCKETS)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def uniq(tbl: pa.Table) -> pa.Table:
+        pk = np.unique(tbl.column("pk").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "doc_b": pa.array(
+                    (pk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    mat = ds.map_batches(pack, batch_format="pyarrow").materialize()
+    nb = _proportional_buckets(mat.count())
+    if nb < _PAIR_BUCKETS:
+        # fold the precomputed bucket ids down to the proportional width
+        # (pk % nb keeps every pair bucket-local); only runs on small
+        # inputs where the pass is cheap
+        def refold(b: pa.Table) -> pa.Table:
+            pk = b.column("pk").to_numpy(zero_copy_only=False)
+            return b.set_column(
+                1,
+                "dbucket",
+                pa.array((pk % np.uint64(nb)).astype(np.int32), pa.int32()),
+            )
+
+        mat = mat.map_batches(refold, batch_format="pyarrow").materialize()
+    return bucket_exchange(mat, "dbucket", nb, uniq)
 
 
 _PAIR_BUCKETS = 256  # coarse shuffle buckets for pair emission
@@ -885,17 +922,23 @@ def _verify_pairs_distributed(
             }
         )
 
-    hop_a = (
+    from ..stages.util import bucket_exchange
+
+    hop_a = bucket_exchange(
         sets_ds.union(candidates.map_batches(pair_rows, batch_format="pyarrow"))
         .map_batches(_vbucket, batch_format="pyarrow")
-        .groupby("vbucket")
-        .map_groups(gather_a, batch_format="pyarrow")
-    )
-    return (
+        .materialize(),
+        "vbucket",
+        nb,
+        gather_a,
+    ).materialize()
+    return bucket_exchange(
         sets_ds.union(hop_a)
         .map_batches(_vbucket, batch_format="pyarrow")
-        .groupby("vbucket")
-        .map_groups(verify_b, batch_format="pyarrow")
+        .materialize(),
+        "vbucket",
+        nb,
+        verify_b,
     )
 
 
@@ -964,11 +1007,14 @@ def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
         )
         return _pair_table(a, b)
 
+    from ..stages.util import bucket_exchange
+
     docs = _docs(sf_dir, ["doc_id", "text"])
-    candidates = (
-        docs.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    candidates = bucket_exchange(
+        docs.map_batches(sig_batch, batch_format="pyarrow").materialize(),
+        "bucket",
+        nb_sig,
+        bucket_pairs,
     )
     # materialize the (near-dup-sized, distributed) candidate pairs so the
     # two verify hops don't re-execute the signature chain
