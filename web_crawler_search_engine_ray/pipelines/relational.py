@@ -425,8 +425,6 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
     bucket. (At this table size a ray.put broadcast of orders would also
     work; the shuffle form is the 100 TB path.)"""
 
-    from ..functions.urls import hash64_batch
-
     def tag_events(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.table(
@@ -454,7 +452,10 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
         )
 
     def bucket(b: pa.Table) -> pa.Table:
-        h = hash64_batch([str(x) for x in b.column("k").to_pylist()])
+        # Fibonacci-mix of the int key — vectorized, no Python loop; same
+        # routing role as a string hash (results are bucket-invariant)
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return b.append_column(
             "bucket",
             pa.array((h % np.uint64(_ASOF_BUCKETS)).astype(np.int32), pa.int32()),
@@ -467,29 +468,7 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
         eid = group.column("event_id").to_numpy(zero_copy_only=False)
         okey = group.column("okey").to_numpy(zero_copy_only=False)
         price = group.column("price").to_numpy(zero_copy_only=False)
-
-        # order side sorted by (k, date, okey): within equal dates the
-        # LAST row is the max orderkey — exactly the SQL tie-break
-        oi = np.flatnonzero(is_o)
-        oo = oi[np.lexsort((okey[oi], t[oi], k[oi]))]
-        ok_k, ok_t, ok_key, ok_price = k[oo], t[oo], okey[oo], price[oo]
-
-        ei = np.flatnonzero(~is_o)
-        out_eid, out_uid, out_okey, out_price = [], [], [], []
-        for u in np.unique(k[ei]):
-            lo, hi = np.searchsorted(ok_k, u, "left"), np.searchsorted(ok_k, u, "right")
-            evs = ei[k[ei] == u]
-            pos = np.searchsorted(ok_t[lo:hi], t[evs], side="right") - 1
-            found = pos >= 0
-            res_key = np.full(len(evs), -1, np.int64)
-            res_price = np.zeros(len(evs))
-            res_key[found] = ok_key[lo:hi][pos[found]]
-            res_price[found] = ok_price[lo:hi][pos[found]]
-            out_eid.append(eid[evs])
-            out_uid.append(k[evs])
-            out_okey.append(res_key)
-            out_price.append(res_price)
-        if not out_eid:
+        if not len(k):
             return pa.table(
                 {
                     "event_id": pa.array([], pa.int64()),
@@ -498,12 +477,34 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
                     "asof_totalprice": pa.array([], pa.float64()),
                 }
             )
+
+        # One sort-merge pass, no per-user loop: rows sorted by
+        # (k, t, orders-before-events, okey) — at an equal (k, t) the
+        # order row precedes the event (o_orderdate <= ts matches) and
+        # equal-date orders sort ascending by okey so the LAST preceding
+        # order row is the max-orderkey tie-break. A cummax forward-fill
+        # then hands every event the position of its last preceding order;
+        # a key-equality check voids fills that leaked across users.
+        srt = np.lexsort((okey, ~is_o, t, k))
+        ks, is_os, ts = k[srt], is_o[srt], t[srt]
+        pos = np.arange(len(srt), dtype=np.int64)
+        marker = np.where(is_os, pos, np.int64(-1))
+        last_order = np.maximum.accumulate(marker)
+        ev = np.flatnonzero(~is_os)
+        lo = last_order[ev]
+        found = (lo >= 0) & (ks[np.maximum(lo, 0)] == ks[ev])
+        res_key = np.full(len(ev), -1, np.int64)
+        res_price = np.zeros(len(ev))
+        src = np.maximum(lo, 0)
+        okey_s, price_s, eid_s = okey[srt], price[srt], eid[srt]
+        res_key[found] = okey_s[src[found]]
+        res_price[found] = price_s[src[found]]
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(out_eid), pa.int64()),
-                "user_id": pa.array(np.concatenate(out_uid), pa.int64()),
-                "asof_orderkey": pa.array(np.concatenate(out_okey), pa.int64()),
-                "asof_totalprice": pa.array(np.concatenate(out_price), pa.float64()),
+                "event_id": pa.array(eid_s[ev], pa.int64()),
+                "user_id": pa.array(ks[ev], pa.int64()),
+                "asof_orderkey": pa.array(res_key, pa.int64()),
+                "asof_totalprice": pa.array(res_price, pa.float64()),
             }
         )
 
@@ -513,11 +514,13 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
     od = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     ).map_batches(tag_orders, batch_format="pyarrow")
-    return (
-        ev.union(od)
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(asof, batch_format="pyarrow")
+    from ..stages.util import bucket_exchange
+
+    return bucket_exchange(
+        ev.union(od).map_batches(bucket, batch_format="pyarrow").materialize(),
+        "bucket",
+        _ASOF_BUCKETS,
+        asof,
     )
 
 
@@ -812,15 +815,34 @@ def order_shipments_window(sf_dir: str) -> "ray.data.Dataset":
     items = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]).map_batches(
         items_side, batch_format="pyarrow"
     )
-    return (
+
+    # Manual exchange instead of two sort AllToAlls: bands hash into a
+    # fixed bucket grid (band_probe is already bucket-safe — each order's
+    # probe window clamps to its own band, so items of OTHER bands that
+    # share a bucket fall outside every searchsorted window), then the
+    # per-band partials sum per order key via a second narrow exchange.
+    from ..stages.util import bucket_exchange, exchange_sum_by_key
+
+    nbk = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        band = b.column("band").to_numpy(zero_copy_only=False)
+        return b.append_column("bband", pa.array(band % nbk, pa.int64()))
+
+    partials = bucket_exchange(
         orders.union(items)
-        .groupby("band")
-        .map_groups(band_probe, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(
-            Sum("n_shipped", alias_name="n_shipped_3d"),
-            Sum("qty_milli", alias_name="sum_qty_milli_3d"),
-        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize(),
+        "bband",
+        nbk,
+        band_probe,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "n_shipped_3d", "sum_qty_milli_3d"])
+
+    return exchange_sum_by_key(
+        partials.map_batches(rename, batch_format="pyarrow"), "o_orderkey", nbk
     )
 
 
