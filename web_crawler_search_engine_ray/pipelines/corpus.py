@@ -1381,9 +1381,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
             else np.empty(0, np.int64)
         )
         ends = np.concatenate((starts[1:], [len(ks)])) if len(ks) else starts
-        runlen = np.zeros(len(ks), dtype=np.int64)
-        for s, e in zip(starts, ends):
-            runlen[s:e] = e - s
+        lens = ends - starts
+        runlen = np.repeat(lens, lens)
         keep = runlen <= SHINGLE_DF_CAP
         sdocs, scnt = (
             np.unique(docs_col[order][keep], return_counts=True)

@@ -870,8 +870,6 @@ def lineitem_bloom_semijoin(sf_dir: str) -> pa.Table:
     sum — the candidate column makes the filter's false-positive behavior
     part of the driver-checked contract (the oracle replays bit
     construction and probes in SQL)."""
-    from ray.data.aggregate import Sum
-
     from .sketch import mix32_batch
 
     def hi_keys(batch: pa.Table) -> pa.Table:
@@ -922,15 +920,23 @@ def lineitem_bloom_semijoin(sf_dir: str) -> pa.Table:
             }
         )
 
-    agg = collect_table(
+    # each probe batch emits ≤|returnflags| partial rows (3 here), so the
+    # final combine is a driver-side group_by over a few hundred rows —
+    # no AllToAll for a 3-key aggregate
+    partials = collect_table(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
         .map_batches(probe, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("n_candidates", alias_name="n_candidates"),
-            Sum("n_matched", alias_name="n_matched"),
-            Sum("q", alias_name="q"),
-        )
+    )
+    g = partials.group_by(["l_returnflag"]).aggregate(
+        [("n_candidates", "sum"), ("n_matched", "sum"), ("q", "sum")]
+    )
+    agg = pa.table(
+        {
+            "l_returnflag": g.column("l_returnflag"),
+            "n_candidates": pc.cast(g.column("n_candidates_sum"), pa.int64()),
+            "n_matched": pc.cast(g.column("n_matched_sum"), pa.int64()),
+            "q": g.column("q_sum"),
+        }
     )
     order = np.argsort(
         np.asarray(agg.column("l_returnflag").to_pylist(), dtype=object)
@@ -967,21 +973,20 @@ def events_funnel(sf_dir: str) -> pa.Table:
     users per furthest stage.
 
     Shape: one pruned streaming map keeps only funnel-stage rows as
-    (user, stage-code, ts_us) ints; ONE bucketed groupby(user-hash)
-    shuffle; the per-bucket kernel is segmented numpy (reduceat mins per
-    user, no per-event Python). The final stage histogram is 3 rows."""
-    from ray.data.aggregate import Sum
-
-    codes = {t: i for i, t in enumerate(_FUNNEL_STAGES)}
+    (user, stage-code, ts_us) ints; ONE manual hash exchange on
+    user-hash; the per-bucket kernel is segmented numpy (reduceat mins
+    per user, no per-event Python). Each bucket emits ≤3 histogram rows,
+    so the final stage rollup is a driver-side sum over ≤3·buckets
+    rows — no second shuffle."""
 
     def prep(batch: pa.Table) -> pa.Table:
-        et = batch.column("event_type").to_pylist()
-        keep = np.fromiter((t in codes for t in et), dtype=bool, count=len(et))
-        b = batch.filter(pa.array(keep))
-        code = np.fromiter(
-            (codes[t] for t in b.column("event_type").to_pylist()),
-            dtype=np.int64,
-            count=b.num_rows,
+        # dictionary-encode event_type against the 3 funnel stages in one
+        # Arrow kernel — rows outside the funnel get null and drop
+        code_all = pc.index_in(
+            batch.column("event_type"), value_set=pa.array(_FUNNEL_STAGES)
+        )
+        b = batch.append_column("code", code_all).filter(
+            pc.is_valid(code_all)
         )
         ts_us = (
             b.column("ts")
@@ -993,7 +998,7 @@ def events_funnel(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "user_id": pa.array(uid, pa.int64()),
-                "code": pa.array(code, pa.int64()),
+                "code": pc.cast(b.column("code"), pa.int64()),
                 "ts_us": pa.array(ts_us, pa.int64()),
                 "ubucket": pa.array(
                     (uid % _FUNNEL_BUCKETS).astype(np.int32), pa.int32()
@@ -1004,6 +1009,13 @@ def events_funnel(sf_dir: str) -> pa.Table:
     BIG = np.iinfo(np.int64).max
 
     def funnel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "stage": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
         uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
         code = tbl.column("code").to_numpy(zero_copy_only=False)
         ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
@@ -1031,17 +1043,31 @@ def events_funnel(sf_dir: str) -> pa.Table:
             }
         )
 
+    from ..stages.util import bucket_exchange
     from .corpus import collect_table
 
-    hist = (
-        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("ubucket")
-        .map_groups(funnel, batch_format="pyarrow")
-        .groupby("stage")
-        .aggregate(Sum("n_users", alias_name="n_users"))
+    per_bucket = collect_table(
+        bucket_exchange(
+            _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .materialize(),
+            "ubucket",
+            _FUNNEL_BUCKETS,
+            funnel,
+        )
     )
-    return collect_table(hist.sort("stage"))
+    # ≤3 rows per bucket: roll the histogram up driver-side
+    st = per_bucket.column("stage").to_numpy(zero_copy_only=False)
+    nu = per_bucket.column("n_users").to_numpy(zero_copy_only=False)
+    stages = np.unique(st)
+    return pa.table(
+        {
+            "stage": pa.array(stages, pa.int64()),
+            "n_users": pa.array(
+                [int(nu[st == s].sum()) for s in stages], pa.int64()
+            ),
+        }
+    )
 
 
 _ANTI_BUCKETS = 64
@@ -1053,7 +1079,7 @@ def orders_no_returns(sf_dir: str) -> "ray.data.Dataset":
     hash_join, semi = bloom_semijoin, as-of = events_orders_asof).
 
     Shape: both sides are pruned scans tagged with a side flag and an
-    orderkey-hash bucket; ONE union + bucketed groupby co-locates an
+    orderkey-hash bucket; ONE union + manual hash exchange co-locates an
     orderkey's rows; the per-bucket kernel is a sorted-array membership
     probe (np.isin over int64 keys) — neither side broadcasts, neither
     side is assumed small."""
@@ -1107,10 +1133,10 @@ def orders_no_returns(sf_dir: str) -> "ray.data.Dataset":
     rlines = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
         rlines_prep, batch_format="pyarrow"
     )
-    return (
-        orders.union(rlines)
-        .groupby("jbucket")
-        .map_groups(anti, batch_format="pyarrow")
+    from ..stages.util import bucket_exchange
+
+    return bucket_exchange(
+        orders.union(rlines).materialize(), "jbucket", _ANTI_BUCKETS, anti
     )
 
 
