@@ -221,9 +221,9 @@ def tokens_of(text: str) -> List[str]:
 
 def word_frequencies(sf_dir: str) -> "ray.data.Dataset":
     """A1 global word-frequency sum (worker.py:93-97): per-batch Counter
-    partials, then one small groupby — the token shuffle carries unique
-    tokens per batch only."""
-    from ray.data.aggregate import Sum
+    partials, then ONE manual token-hash exchange — the shuffle carries
+    unique tokens per batch only."""
+    from ..stages.util import exchange_group_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -236,11 +236,11 @@ def word_frequencies(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        _docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("count", alias_name="count"))
+    return exchange_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("count", "sum")],
+        nbuck=8,
     )
 
 

@@ -56,9 +56,9 @@ def _partial(
 
 def pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped pricing summary: filter on ship date, vectorized
-    derived columns, batch-local combine, then a 6-group shuffle."""
-    from ray.data.aggregate import Sum
-
+    derived columns, batch-local combine to 6 partial rows per block,
+    then ONE reduce task merges the tiny partials (no AllToAll — the
+    post-combine data is 6 rows × blocks regardless of input size)."""
     cutoff = np.datetime64(PRICING_CUTOFF, "us")
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -108,14 +108,20 @@ def pricing_summary(sf_dir: str) -> pa.Table:
             ],
         )
         .map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_charge", alias_name="sum_charge"),
-            Sum("count_order", alias_name="count_order"),
-        )
+    )
+    from ..stages.util import exchange_group_agg
+
+    agg = exchange_group_agg(
+        agg,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "sum"),
+            ("sum_base_price", "sum"),
+            ("sum_disc_price", "sum"),
+            ("sum_charge", "sum"),
+            ("count_order", "sum"),
+        ],
+        nbuck=1,
     )
     tbl = collect_table(agg)
     out = {
@@ -232,8 +238,9 @@ def top_customers(sf_dir: str) -> pa.Table:
 
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling-window (hourly) aggregate of the events stream table:
-    temporal floor + batch-local combine, then a (type, hour) groupby."""
-    from ray.data.aggregate import Sum
+    temporal floor + batch-local combine, then ONE manual hash exchange
+    on the composite (type, hour) key."""
+    from ..stages.util import exchange_group_agg
 
     def bucket(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -248,14 +255,13 @@ def events_hourly(sf_dir: str) -> pa.Table:
             t, ["event_type", "hour"], [("value", "sum_value")], "n_events"
         )
 
-    agg = (
-        _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+    agg = exchange_group_agg(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            bucket, batch_format="pyarrow"
+        ),
+        ["event_type", "hour"],
+        [("n_events", "sum"), ("sum_value", "sum")],
+        nbuck=8,
     )
     tbl = collect_table(agg)
     return pa.table(
@@ -335,10 +341,11 @@ def events_user_stats(sf_dir: str) -> pa.Table:
 
 
 def brand_part_stats(sf_dir: str) -> pa.Table:
-    """Part-catalog profile per brand: batch-local combine then a 25-group
-    shuffle; rounded average retail price computed as round(sum/count) so
-    Ray and SQL divide the same two numbers."""
-    from ray.data.aggregate import Sum
+    """Part-catalog profile per brand: batch-local combine to 25 partial
+    rows per block, then ONE reduce merges the partials (no AllToAll);
+    rounded average retail price computed as round(sum/count) so Ray and
+    SQL divide the same two numbers."""
+    from ..stages.util import exchange_group_agg
 
     def prep(batch: pa.Table) -> pa.Table:
         return _partial(
@@ -348,15 +355,13 @@ def brand_part_stats(sf_dir: str) -> pa.Table:
             "n_parts",
         )
 
-    agg = (
-        _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(
-            Sum("n_parts", alias_name="n_parts"),
-            Sum("sum_size", alias_name="sum_size"),
-            Sum("sum_price", alias_name="sum_price"),
-        )
+    agg = exchange_group_agg(
+        _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["p_brand"],
+        [("n_parts", "sum"), ("sum_size", "sum"), ("sum_price", "sum")],
+        nbuck=1,
     )
     tbl = collect_table(agg)
     n = tbl.column("n_parts").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -378,29 +383,39 @@ _ASOF_BUCKETS = 64
 def events_sessions(sf_dir: str) -> "ray.data.Dataset":
     """Session-window aggregate (streaming-window custom operator): per
     user, events sorted by (ts, event_id) split into sessions at >30-min
-    gaps; one output row per session. groupby(user_id) is the hash shuffle
-    that co-locates a key's events; the window assignment itself is a
-    vectorized diff/cumsum — no per-event Python. Deterministic tie order
+    gaps; one output row per session. ONE manual hash exchange on
+    user-hash co-locates a key's events; the per-bucket kernel is fully
+    segmented — one lexsort per bucket, session breaks at user change OR
+    gap, reduceat sums — no per-user Python. Deterministic tie order
     (ts, event_id) matches the SQL window ORDER BY."""
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        val = group.column("value").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, val = ts[order], val[order]
+    def sessions(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, ts, val = uid[order], ts[order], val[order]
         t_us = ts.astype("datetime64[us]").astype(np.int64)
-        brk = np.ones(len(t_us), dtype=np.int64)
-        brk[1:] = (np.diff(t_us) > SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(brk) - 1
+        brk = np.ones(len(t_us), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (np.diff(t_us) > SESSION_GAP_US)
         starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], len(t_us))
         n_ev = ends - starts
-        sum_v = np.add.reduceat(val, starts) if len(val) else np.empty(0)
-        uid = group.column("user_id")[0].as_py()
+        sum_v = np.add.reduceat(val, starts)
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid, np.int64), pa.int64()),
+                "user_id": pa.array(u[starts], pa.int64()),
                 "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
                 "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
                 "n_events": pa.array(n_ev, pa.int64()),
@@ -408,10 +423,23 @@ def events_sessions(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column(
+            "sbucket",
+            pa.array((h % np.uint64(_ASOF_BUCKETS)).astype(np.int32), pa.int32()),
+        )
+
+    from ..stages.util import bucket_exchange
+
+    return bucket_exchange(
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize(),
+        "sbucket",
+        _ASOF_BUCKETS,
+        sessions,
     )
 
 
@@ -1146,10 +1174,10 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
     with 'ALL' as the subtotal marker (hash-stable vs SQL NULLs).
 
     Scale shape: quantities quantize to exact milli ints in the map pass;
-    ONE shuffle computes the FINEST grouping (the only one proportional
-    to data); coarser levels roll up from those few cells driver-side —
+    ONE reduce merges the FINEST-grouping partials (6 rows per block — no
+    AllToAll); coarser levels roll up from those few cells driver-side —
     the standard cube optimization (never re-scan per level)."""
-    from ray.data.aggregate import Sum
+    from ..stages.util import exchange_group_agg
 
     def prep(batch: pa.Table) -> pa.Table:
         q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
@@ -1175,12 +1203,12 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
         )
 
     fine = collect_table(
-        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_milli", alias_name="sum_qty_milli"),
-            Sum("n_rows", alias_name="n_rows"),
+        exchange_group_agg(
+            _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+            .map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            [("sum_qty_milli", "sum"), ("n_rows", "sum")],
+            nbuck=1,
         )
     )
     flags = fine.column("l_returnflag").to_pylist()
