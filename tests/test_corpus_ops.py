@@ -528,3 +528,68 @@ def test_phash_pairs_structure(ray_session):
             if shares_band:
                 want.add((a, b))
     assert {(r["media_a"], r["media_b"]) for _, r in got.iterrows()} == want
+
+
+def test_keyword_topk_ranks_and_membership(ray_session):
+    """Every doc's keywords are its top-3 postings by (milli tf-idf DESC,
+    token ASC), ranks are 1..k, and tf_idf values come from the postings."""
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        keyword_topk,
+        postings_tfidf,
+    )
+
+    post = postings_tfidf(SF).to_pandas()
+    kw = keyword_topk(SF).to_pandas()
+    assert set(kw["rank"]) <= {1, 2, 3}
+    # per-doc reference ranking in pandas
+    post["milli"] = (post["tf_idf"] * 1000.0 + 0.5).astype("int64")
+    ref = (
+        post.sort_values(["doc_id", "milli", "token"], ascending=[True, False, True])
+        .groupby("doc_id")
+        .head(3)
+    )
+    got = kw.sort_values(["doc_id", "rank"])[["doc_id", "token"]].to_numpy()
+    want = ref[["doc_id", "token"]].to_numpy()
+    assert (got == want).all()
+
+
+def test_dedup_keep_list_consistent_with_components(ray_session, docs_table):
+    """keep-list = all docs minus non-canonical clustered docs."""
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        dedup_components,
+        dedup_keep_list,
+    )
+
+    comp = dedup_components(SF)
+    removed = {
+        d
+        for d, r in zip(
+            comp.column("doc_id").to_pylist(),
+            comp.column("component_id").to_pylist(),
+        )
+        if d != r
+    }
+    kept = set(
+        dedup_keep_list(SF).to_pandas()["doc_id"].tolist()
+    )
+    all_ids = set(docs_table.column("doc_id").to_pylist())
+    assert kept == all_ids - removed
+    assert removed and kept  # fixture has dups AND survivors
+
+
+def test_source_stats_matches_pandas(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import source_stats
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "lang", "n_chars"]
+    ).to_pandas()
+    want = (
+        docs.groupby(["source", "lang"])["n_chars"]
+        .agg(n_docs="count", sum_chars="sum", max_chars="max")
+        .reset_index()
+    )
+    got = source_stats(SF).to_pandas()
+    m = got.merge(want, on=["source", "lang"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    for c in ("n_docs", "sum_chars", "max_chars"):
+        assert (m[c] == m[f"{c}_w"]).all()

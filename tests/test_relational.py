@@ -367,3 +367,34 @@ def test_pricing_rollup_levels(ray_session):
         (r.l_returnflag, r.l_linestatus): r.sum_qty_milli for r in fine.itertuples()
     }
     assert got == want
+
+
+def test_event_transitions_matches_pandas(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        event_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"prev_type": prev, "next_type": ev["event_type"]})
+    want = (
+        pairs.dropna()
+        .groupby(["prev_type", "next_type"])
+        .size()
+        .reset_index(name="n_transitions")
+    )
+    got = event_transitions(sf).to_pandas()
+    m = got.merge(want, on=["prev_type", "next_type"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m["n_transitions"] == m["n_transitions_w"]).all()
+    # transitions conserve: total = sum over users of (n_events - 1)
+    per_user = ev.groupby("user_id").size()
+    assert got["n_transitions"].sum() == int((per_user - 1).clip(lower=0).sum())

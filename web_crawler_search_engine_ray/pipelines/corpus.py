@@ -1916,3 +1916,139 @@ def url_normalize_validate(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: per-doc keyword extraction, dedup keep-list, corpus
+# profile by (source, lang) — each with a DuckDB oracle in __ray_entry__.
+
+
+def keyword_topk(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document top-k keywords by tf-idf (the per-doc view of A4's
+    scores — what a training-data pipeline tags documents with before
+    topic bucketing). Rank order: tf_idf milli-units DESC, token ASC —
+    integer comparison on both sides, so Ray and SQL rank identically.
+
+    Scale shape: reuses the memoized postings (built once per corpus,
+    like the reference's one-time index build); ONE manual hash exchange
+    on doc_id co-locates a doc's postings; the per-bucket kernel is a
+    single multi-key Arrow sort + vectorized run-rank, no per-doc Python."""
+    from ..stages.util import bucket_exchange
+
+    postings = postings_tfidf(sf_dir)
+    nbuck = 16
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        milli = np.floor(
+            b.column("tf_idf").to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "token": b.column("token"),
+                "milli": pa.array(milli, pa.int64()),
+                "kbucket": pa.array(
+                    (h % np.uint64(nbuck)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("token", pa.string()),
+                ("tf_idf", pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        )
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        s = tbl.sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("milli", "descending"),
+                ("token", "ascending"),
+            ]
+        )
+        d = s.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(d), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(d)))
+        )
+        keep = rank < k
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table(
+            {
+                "doc_id": s.column("doc_id").take(idx),
+                "token": s.column("token").take(idx),
+                "tf_idf": pa.array(
+                    s.column("milli").to_numpy(zero_copy_only=False)[keep]
+                    / 1000.0,
+                    pa.float64(),
+                ),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    mat = postings.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    return bucket_exchange(mat, "kbucket", nbuck, topk)
+
+
+def dedup_keep_list(sf_dir: str) -> "ray.data.Dataset":
+    """Documents SURVIVING near-dup removal: one doc per MinHash cluster
+    (the component min) plus every unclustered doc — the actual output a
+    dedup stage hands to training (D2 applied corpus-wide, the keep side
+    of dedup_components). The removed set (clustered docs minus their
+    canonical) is proportional to dup clusters, not corpus size, so it is
+    broadcast once via ray.put and each batch anti-filters with a sorted
+    searchsorted — beyond broadcast scale this side becomes a bucketed
+    anti-join on doc_id (stages/join.py pattern), same semantics."""
+    comp = dedup_components(sf_dir)
+    node = comp.column("doc_id").to_numpy(zero_copy_only=False)
+    root = comp.column("component_id").to_numpy(zero_copy_only=False)
+    removed_ref = ray.put(np.sort(node[node != root]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        removed = ray.get(removed_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(removed, d)
+        hit = (pos < len(removed)) & (removed[np.minimum(pos, max(len(removed) - 1, 0))] == d) if len(removed) else np.zeros(len(d), bool)
+        return pa.table({"doc_id": pa.array(d[~hit], pa.int64())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(keep, batch_format="pyarrow")
+
+
+def source_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus profile per (source, lang): doc count, total/max chars —
+    the partition-level accounting report a 100 TB ingest runs first.
+    Batch-local combine (one Arrow group_by per block) then ONE manual
+    exchange on the composite string key; the shuffle carries at most
+    |sources|×|langs| rows per block."""
+    from ..stages.util import exchange_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "max"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n_docs": g.column("doc_id_count").cast(pa.int64()),
+                "sum_chars": g.column("n_chars_sum"),
+                "max_chars": g.column("n_chars_max"),
+            }
+        )
+
+    return exchange_group_agg(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["source", "lang"],
+        [("n_docs", "sum"), ("sum_chars", "sum"), ("max_chars", "max")],
+        nbuck=4,
+    )

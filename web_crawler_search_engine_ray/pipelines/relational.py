@@ -1233,3 +1233,80 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """Markov transition counts over the event stream: for each user, the
+    (previous event_type → next event_type) bigram along (ts, event_id)
+    order, counted corpus-wide — the session-behavior profile a funnel
+    analysis starts from (the windowed custom operator family, SQL
+    ``lag() OVER (PARTITION BY user ORDER BY ts)``).
+
+    Scale shape: ONE manual hash exchange on user-hash co-locates each
+    user's events (same route as events_sessions); the per-bucket kernel
+    is one Arrow multi-key sort + vectorized same-user shift, emitting
+    per-bucket PARTIAL (prev, next, n) counts — at most |types|² rows per
+    bucket — merged by a width-1 exchange. No per-event Python, no
+    driver-side state proportional to users."""
+    import pyarrow.compute as pc
+
+    from ..stages.util import bucket_exchange, exchange_group_agg
+
+    nbuck = _ASOF_BUCKETS
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column(
+            "tbucket",
+            pa.array((h % np.uint64(nbuck)).astype(np.int64), pa.int64()),
+        )
+
+    def partial_counts(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("next_type", pa.string()),
+                ("n_transitions", pa.int64()),
+            ]
+        )
+        if tbl.num_rows < 2:
+            return out_schema.empty_table()
+        s = tbl.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        u = s.column("user_id").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(s.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ntypes = len(enc.dictionary)
+        same = u[1:] == u[:-1]
+        pair = codes[:-1][same] * ntypes + codes[1:][same]
+        if not len(pair):
+            return out_schema.empty_table()
+        cnt = np.bincount(pair, minlength=ntypes * ntypes)
+        nz = np.flatnonzero(cnt)
+        dic = enc.dictionary
+        return pa.table(
+            {
+                "prev_type": dic.take(pa.array(nz // ntypes, pa.int64())),
+                "next_type": dic.take(pa.array(nz % ntypes, pa.int64())),
+                "n_transitions": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    per_bucket = bucket_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize(),
+        "tbucket",
+        nbuck,
+        partial_counts,
+    )
+    merged = exchange_group_agg(
+        per_bucket, ["prev_type", "next_type"], [("n_transitions", "sum")], nbuck=1
+    )
+    return collect_table(merged)
