@@ -183,6 +183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return embedding_kmeans(sf_dir)
 
+    def _semantic_dedup(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.cluster import semantic_dedup
+
+        return semantic_dedup(sf_dir)
+
     def _ann_topk_lsh(sf_dir: str) -> Any:
         from web_crawler_search_engine_ray.pipelines.cluster import ann_topk_lsh
 
@@ -316,7 +321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_tfidf": C.postings_tfidf,
         "keyword_topk": C.keyword_topk,
         "search_topk": C.search_topk,
-        "search_topk_bm25": C.search_topk_bm25,
         # --- text analysis ---
         "lang_profile": C.lang_profile,
         "source_stats": C.source_stats,
@@ -342,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _ann_topk_lsh,
         # --- embedding clustering (fixed-point distributed k-means) ---
         "embedding_kmeans": _embedding_kmeans,
+        "semantic_dedup": _semantic_dedup,
         # --- relational dataflow ---
         "pricing_summary": R.pricing_summary,
         "top_customers": R.top_customers,
@@ -370,7 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      counts; quality_scores ⊂ quality_gopher; ann_topk shares
         #      the cosine kernel with embedding_neardup/ann_topk_lsh;
         #      events_rolling shares the window exchange with
-        #      order_shipments_window) ----
+        #      order_shipments_window; search_topk_bm25 shares the
+        #      postings + per-doc score-sum path with search_topk) ----
+        "search_topk_bm25": C.search_topk_bm25,
         "doc_token_counts": C.doc_token_counts,
         "quality_scores": C.quality_scores,
         "ann_topk": C.ann_topk_bruteforce,
@@ -1455,5 +1462,61 @@ SELECT vec_id, cid AS cluster_id, CAST(dist2 AS BIGINT) AS dist2 FROM (
   SELECT vec_id, cid, dist2,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
   FROM d2) WHERE rn = 1
+""",
+        # SemDeDup replay: the identical kmeans CTE chain gives the final
+        # assignment a2; a vector survives iff no lower-vec_id member of
+        # its cluster is cosine-≥-0.45 close (same double-precision
+        # expression the embedding_neardup oracle hash-checks)
+        "semantic_dedup": """
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS dim),
+pts AS (SELECT e.vec_id, d.dim,
+               CAST(floor(e.embedding[d.dim]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS x
+        FROM embeddings e CROSS JOIN dims d),
+cent0 AS (
+  SELECT j.j AS cid, p.dim, p.x
+  FROM (SELECT unnest(range(0, 8)) AS j) j
+  JOIN pts p ON p.vec_id = j.j * (SELECT n // 8 FROM nn)
+),
+d1 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.x) * (p.x - c.x)) AS dist2
+  FROM pts p JOIN cent0 c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+upd AS (
+  SELECT a1.cid, p.dim,
+         CAST(floor(SUM(p.x)::DOUBLE / COUNT(*)) AS BIGINT) AS x
+  FROM a1 JOIN pts p ON p.vec_id = a1.vec_id
+  GROUP BY a1.cid, p.dim
+),
+cent1 AS (
+  SELECT c0.cid, c0.dim, COALESCE(u.x, c0.x) AS x
+  FROM cent0 c0 LEFT JOIN upd u ON u.cid = c0.cid AND u.dim = c0.dim
+),
+d2 AS (
+  SELECT p.vec_id, c.cid, SUM((p.x - c.x) * (p.x - c.x)) AS dist2
+  FROM pts p JOIN cent1 c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT e.vec_id
+FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id
+WHERE NOT EXISTS (
+  SELECT 1
+  FROM embeddings o JOIN a2 oa ON oa.vec_id = o.vec_id
+  WHERE oa.cid = a2.cid AND o.vec_id < e.vec_id
+    AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.45
+)
 """,
     }

@@ -218,6 +218,11 @@ def _bench_queries(sf_dir: str) -> dict:
         ("link_triangles", G.link_triangles),
         ("embedding_kmeans", CL.embedding_kmeans),
         ("ann_topk_lsh", CL.ann_topk_lsh),
+        ("semantic_dedup", CL.semantic_dedup),
+        ("keyword_topk", C.keyword_topk),
+        ("dedup_keep_list", C.dedup_keep_list),
+        ("source_stats", C.source_stats),
+        ("event_transitions", R.event_transitions),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
@@ -395,6 +400,35 @@ def run_sinkscale(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_indexscale(sizes=(10_000, 30_000, 100_000)) -> dict:
+    """Index-build 8→32 efficiency as a function of corpus size (VERDICT
+    r2 item 4): full crawl+index legs per size. If the ratio climbs as
+    the postings volume grows, the 8-CPU leg was bound by per-stage
+    constants; if it plateaus near the measured memory-bus ceiling
+    (`--busprobe` ≈0.52), the limiter is the shared bus a real N→4N-node
+    cluster multiplies — either way the number is evidence, not guess."""
+    rows = []
+    for nd in sizes:
+        sweep = _scaling_sweep(8, 32, "--child", num_docs=nd)
+        rows.append(
+            {
+                "num_docs": nd,
+                "index_efficiency": sweep["index_efficiency"],
+                "tokenize_efficiency": sweep["tokenize_efficiency"],
+                "lo_docs_per_sec": sweep["lo"].get("docs_indexed_per_sec"),
+                "hi_docs_per_sec": sweep["hi"].get("docs_indexed_per_sec"),
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return {
+        "metric": "index-build scaling efficiency vs corpus size (8->32 cpus)",
+        "value": rows[-1]["index_efficiency"],
+        "unit": "efficiency",
+        "curve": rows,
+        "num_cpus": 32,
+    }
+
+
 def run_webscale(sizes=(30_000, 100_000, 300_000)) -> dict:
     """Crawl-loop 8→32 efficiency as a function of web size (VERDICT r2
     item 5): if efficiency climbs as waves fatten, the per-wave constant
@@ -532,6 +566,7 @@ def main():
     ap.add_argument("--sinkscale", action="store_true")
     ap.add_argument("--busprobe", action="store_true")
     ap.add_argument("--webscale", action="store_true")
+    ap.add_argument("--indexscale", action="store_true")
     ap.add_argument("--child", action="store_true", help="internal: one full leg")
     ap.add_argument(
         "--child-lite", action="store_true", help="internal: crawl+tokenize leg"
@@ -554,6 +589,8 @@ def main():
         print(json.dumps(run_busprobe(8, 32)))
     elif args.webscale:
         print(json.dumps(run_webscale()))
+    elif args.indexscale:
+        print(json.dumps(run_indexscale()))
     else:
         result = run_once(NUM_CPUS)
         # scaling evidence rides the default bench output (BENCH_r{N}.json):

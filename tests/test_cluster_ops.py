@@ -121,3 +121,44 @@ def test_lsh_results_subset_of_bruteforce(ray_session):
         if (q, v) in bmap:
             assert bmap[(q, v)] == s
     assert qs == set(range(8))
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session):
+    """Survivor set == python brute force: within each kmeans cluster a
+    vector is removed iff some lower-vec_id member has cosine >= tau."""
+    from web_crawler_search_engine_ray.pipelines.cluster import (
+        SEMDEDUP_TAU,
+        embedding_kmeans,
+        semantic_dedup,
+    )
+
+    assign = _collect(embedding_kmeans(SF))
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    mat = np.array(
+        t.column("embedding").combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+        dtype=np.float64,
+    )
+    cl = dict(
+        zip(
+            assign.column("vec_id").to_pylist(),
+            assign.column("cluster_id").to_pylist(),
+        )
+    )
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    u = mat / norm[:, None]
+    order = np.argsort(ids)
+    removed = set()
+    for pos_i in order:
+        for pos_j in order:
+            a, b = int(ids[pos_i]), int(ids[pos_j])
+            if a >= b or cl[a] != cl[b]:
+                continue
+            if float(u[pos_i] @ u[pos_j]) >= SEMDEDUP_TAU:
+                removed.add(b)
+    want = set(int(i) for i in ids) - removed
+    got = set(_collect(semantic_dedup(SF)).column("vec_id").to_pylist())
+    assert got == want
+    assert removed  # fixture has semantic near-dups
+    assert len(got) < len(ids)

@@ -45,6 +45,7 @@ from .corpus import (
 
 __all__ = [
     "embedding_kmeans",
+    "semantic_dedup",
     "ann_topk_lsh",
     "lsh_planned_sim_fraction",
 ]
@@ -91,16 +92,14 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return _fp_matrix(t.column("embedding"))[order]
 
 
-def embedding_kmeans(
-    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> "ray.data.Dataset":
-    """Distributed fixed-point k-means: ``iters`` assignment rounds with a
-    centroid update between consecutive rounds. Per update round the only
+def _train_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """``iters - 1`` distributed centroid-update rounds from the
+    deterministic init — the shared training front-half of
+    ``embedding_kmeans`` and ``semantic_dedup``. Per round the only
     shuffle is (cluster, dim, partial-sum) rows -> ``groupby.sum`` to
     k x d cells; new centroid = floor(sum / count) (exact: sums < 2^53 so
     the double division floors correctly), empty clusters keep their
-    previous centroid. Returns the final (vec_id, cluster_id, dist2)
-    assignment as a streaming Dataset."""
+    previous centroid."""
     from ray.data.aggregate import Sum
 
     cents = _init_centroids(sf_dir, k)
@@ -159,7 +158,17 @@ def embedding_kmeans(
             sums[nonempty].astype(np.float64) / counts[nonempty, None]
         ).astype(np.int64)
         cents = new
+    return cents
 
+
+def embedding_kmeans(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> "ray.data.Dataset":
+    """Distributed fixed-point k-means: ``iters`` assignment rounds with a
+    centroid update between consecutive rounds (see ``_train_centroids``
+    for the update shuffle shape). Returns the final (vec_id, cluster_id,
+    dist2) assignment as a streaming Dataset."""
+    cents = _train_centroids(sf_dir, k, iters)
     fref = ray.put(cents)
 
     def assign_rows(batch: pa.Table) -> pa.Table:
@@ -312,3 +321,74 @@ def ann_topk_lsh(sf_dir: str) -> "ray.data.Dataset":
         .groupby("query_id")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+SEMDEDUP_TAU = 0.45  # shared with the embedding_neardup oracle threshold
+
+
+def semantic_dedup(sf_dir: str, tau: float = SEMDEDUP_TAU) -> "ray.data.Dataset":
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): k-means
+    the embedding space, then remove near-duplicates WITHIN each cluster
+    only — the clustering bounds the pairwise work that a global
+    embedding dedup would make O(n²). A vector is removed iff a
+    lower-vec_id member of ITS cluster has cosine ≥ tau; survivors
+    (one canonical per ε-ball, plus everything unclustered-by-similarity)
+    stream out as the keep-list.
+
+    Scale shape: centroids train distributed (``_train_centroids``, k×d
+    cells per round) and broadcast once via ``ray.put``; ONE map assigns
+    rows and ONE manual exchange on cluster_id co-locates each cluster;
+    the per-cluster kernel is a vectorized normalized-matmul (O(|c|²) by
+    design — at 100 TB k grows with n so |c| = n/k stays bounded, the
+    SemDeDup trade). The cosine threshold compare is the same
+    double-precision expression the embedding_neardup oracle hash-checks.
+    """
+    from ..stages.util import bucket_exchange
+
+    cents = _train_centroids(sf_dir, KMEANS_K, KMEANS_ITERS)
+    fref = ray.put(cents)
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        C = ray.get(fref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding"),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        x = _fp_matrix(batch.column("embedding"))
+        assign = np.argmin(_dist2(x, C), axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+                "cluster_id": pa.array(assign, pa.int64()),
+            }
+        )
+
+    def dedup_cluster(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        s = tbl.sort_by([("vec_id", "ascending")])
+        ids = np.asarray(s.column("vec_id"), dtype=np.int64)
+        m = np.array(
+            s.column("embedding").combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64,
+        )
+        norm = np.linalg.norm(m, axis=1)
+        norm[norm == 0] = 1.0
+        u = m / norm[:, None]
+        sims = u @ u.T
+        # removed iff ANY strictly-lower-id cluster member has cos >= tau
+        dup = np.triu(sims >= tau, k=1).any(axis=0)
+        return pa.table({"vec_id": pa.array(ids[~dup], pa.int64())})
+
+    mat = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(assign_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    return bucket_exchange(mat, "cluster_id", KMEANS_K, dedup_cluster)
