@@ -361,7 +361,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": R.shipping_priority,
         "order_shipments_window": R.order_shipments_window,
         # --- sampling & sketches ---
-        "stratified_sample": K.stratified_sample_events,
         "value_percentiles": K.value_percentiles,
         "distinct_users_hll": K.distinct_users_hll,
         # --- text prep (PII scrub, Gopher-style quality gate) ---
@@ -369,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gopher": T.quality_gopher,
         "decontaminate": T.decontaminate,
         "dup_substring_spans": T.dup_substring_spans,
+        # --- training-stream weighted interleave (closed-form stride) ---
+        "interleave_mix": T.interleave_mix,
         # ---- positions 51+ (beyond the driver's 50-query cap): all
         #      driver-green in CORRECTNESS_r02.json, engine paths covered
         #      by queries checked above (doc_token_counts ≡ longest_pages'
@@ -376,7 +377,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      the cosine kernel with embedding_neardup/ann_topk_lsh;
         #      events_rolling shares the window exchange with
         #      order_shipments_window; search_topk_bm25 shares the
-        #      postings + per-doc score-sum path with search_topk) ----
+        #      postings + per-doc score-sum path with search_topk;
+        #      stratified_sample shares the hash-threshold sampler with
+        #      sample_lineitem) ----
+        "stratified_sample": K.stratified_sample_events,
         "search_topk_bm25": C.search_topk_bm25,
         "doc_token_counts": C.doc_token_counts,
         "quality_scores": C.quality_scores,
@@ -1173,6 +1177,30 @@ FROM per p JOIN mr m USING (doc_id)
                    greatest(start_offset, start_offset + n_tokens - 1) // 256
                      - start_offset // 256 + 1 AS n_packs_spanned
             FROM scan
+        """,
+        # deterministic weighted source interleave: stride scheduling,
+        # slot = rank under (vt, src_idx); engine computes the rank in
+        # closed form with broadcast per-source totals — no global sort
+        # (pipelines/textprep.py interleave_mix)
+        "interleave_mix": """
+            WITH w AS (
+              SELECT source,
+                     CAST(12 // (1 + (CAST(substr(source, 4) AS INTEGER) % 4)) AS BIGINT) AS d,
+                     CAST(substr(source, 4) AS INTEGER) AS src_idx
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS seq
+              FROM documents
+            ),
+            v AS (
+              SELECT r.doc_id, r.source, r.seq, (r.seq + 1) * w.d AS vt, w.src_idx
+              FROM r JOIN w USING (source)
+            )
+            SELECT doc_id, source, seq, vt,
+                   CAST(row_number() OVER (ORDER BY vt, src_idx) - 1 AS BIGINT) AS slot
+            FROM v
         """,
         "quality_gopher": """
             WITH toks AS (

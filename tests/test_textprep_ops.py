@@ -215,3 +215,50 @@ def test_sequence_pack_scan_invariants(ray_session):
     assert (df["end_pack"] == last // PACK_CAPACITY).all()
     assert (df["n_packs_spanned"] >= 1).all()
     assert (df["n_packs_spanned"].to_numpy() >= 2).any()  # capacity spans happen
+
+
+def test_interleave_mix_matches_simulated_schedule(ray_session):
+    """The closed-form slot must equal an explicitly SIMULATED stride
+    schedule: sort all (vt, src_idx) pairs and rank them."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        MIX_STRIDE_LCM,
+        interleave_mix,
+    )
+
+    out = interleave_mix(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    rows = sorted(
+        zip(docs.column("doc_id").to_pylist(), docs.column("source").to_pylist())
+    )
+    per_src_seq: dict = {}
+    sim = []
+    for did, src in rows:  # doc_id asc => per-source seq asc
+        k = per_src_seq.get(src, 0)
+        per_src_seq[src] = k + 1
+        idx = int(src[3:])
+        d = MIX_STRIDE_LCM // (1 + idx % 4)
+        sim.append(((k + 1) * d, idx, did, src, k))
+    sim.sort(key=lambda r: (r[0], r[1]))
+    want = {r[2]: (slot, r[4], r[0]) for slot, r in enumerate(sim)}
+    got = dict(zip(out["doc_id"], zip(out["slot"], out["seq"], out["vt"])))
+    assert got == {k: tuple(map(int, v)) for k, v in want.items()}
+    # slots are a permutation and weight-2x sources appear ~2x as often
+    sl = np.sort(out["slot"].to_numpy())
+    assert (sl == np.arange(len(sl))).all()
+
+
+def test_interleave_mix_weight_proportionality(ray_session):
+    """In any prefix of the interleaved stream, each source's share tracks
+    its weight (the property trainers rely on)."""
+    from web_crawler_search_engine_ray.pipelines.textprep import interleave_mix
+
+    out = interleave_mix(SF).to_pandas().sort_values("slot")
+    head = out.head(200)
+    by_w: dict = {}
+    for src, cnt in head["source"].value_counts().items():
+        w = 1 + int(src[3:]) % 4
+        by_w.setdefault(w, []).append(cnt)
+    means = {w: sum(v) / len(v) for w, v in by_w.items()}
+    assert means[4] > means[1] * 2.5  # 4x-weight sources dominate 1x ones

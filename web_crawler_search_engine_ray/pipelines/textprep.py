@@ -41,6 +41,7 @@ __all__ = [
     "decontaminate",
     "dup_substring_spans",
     "sequence_pack",
+    "interleave_mix",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -493,6 +494,137 @@ def sequence_pack(sf_dir: str) -> "ray.data.Dataset":
             ("pack_id", pa.int64()),
             ("end_pack", pa.int64()),
             ("n_packs_spanned", pa.int64()),
+        ]
+    )
+    return dataset_from_known_refs(out_refs, nrows, schema)
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted source interleaving (the training-stream mix) —
+# closed-form stride scheduling, NO global sort
+# ---------------------------------------------------------------------------
+
+MIX_STRIDE_LCM = 12  # lcm(1..4): strides 12//w stay exact integers
+
+
+def _mix_weight(src_idx: "np.ndarray") -> "np.ndarray":
+    """Deterministic per-source mix weight 1..4 (stands in for the config
+    a trainer would supply; same expression in the SQL oracle)."""
+    import numpy as np
+
+    return 1 + (src_idx % 4)
+
+
+def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic weighted interleave of the per-source document
+    streams into ONE training-stream order (the HF
+    ``interleave_datasets`` / tf.data ``sample_from_datasets`` op, made
+    reproducible): source ``srcI`` has weight ``w = 1 + I % 4``; its k-th
+    document (doc_id ascending) carries virtual time
+    ``vt = (k+1) * (12 // w)`` (stride scheduling, exact integers), and
+    the global consume position is the rank under ``(vt, src_idx)``.
+
+    Scale shape — the rank needs NO global sort: with the tiny
+    per-source totals ``n_s`` broadcast (one dict, |sources| entries),
+    every row's slot is CLOSED FORM:
+
+        slot = seq                                  # same-source preds
+             + sum_{s'!=s} min(n_s', (vt-1) // d_s')   # earlier vt
+             + #{s' < s : d_s' divides vt, vt//d_s' <= n_s'}  # vt ties
+
+    so the only distributed work is the per-source ordered rank ``seq``
+    — the same sort + per-block prefix-scan primitive ``sequence_pack``
+    uses (driver sees one boundary tuple per block, never rows), here
+    keyed by (source, doc_id). Columns carried: 2. At 100 TB the stage
+    is a narrow sort plus an embarrassingly parallel stamped map.
+
+    No counterpart in the reference (SURVEY.md §2.8 beyond-reference
+    family); semantics follow the published interleaving samplers.
+    """
+    import numpy as np
+
+    from ..stages.util import dataset_from_known_refs, refs_and_counts
+
+    sorted_ds = (
+        _docs(sf_dir, ["doc_id", "source"]).sort(["source", "doc_id"]).materialize()
+    )
+    refs, nrows = refs_and_counts(sorted_ds)
+
+    @ray.remote(num_returns=2)
+    def block_stats(tbl: pa.Table):
+        src = tbl.column("source").to_pylist()
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-source counts within the block, in first-appearance order
+        counts: dict = {}
+        for s in src:
+            counts[s] = counts.get(s, 0) + 1
+        return ((src[0], int(did[0])), (src[-1], int(did[-1])), counts), tbl
+
+    pairs = [block_stats.remote(r) for r in refs]
+    stats = ray.get([p[0] for p in pairs])
+    order = sorted(range(len(stats)), key=lambda i: stats[i][0])
+    for a, b in zip(order[:-1], order[1:]):
+        assert stats[a][1] < stats[b][0], "sorted blocks interleave"
+    running: dict = {}
+    bases: dict = {}
+    for i in order:
+        blk_counts = stats[i][2]
+        bases[i] = {s: running.get(s, 0) for s in blk_counts}
+        for s, c in blk_counts.items():
+            running[s] = running.get(s, 0) + c
+    totals = running  # per-source n_s — |sources| entries, broadcast once
+    tref = ray.put(totals)
+
+    @ray.remote
+    def stamp(tbl: pa.Table, base: dict) -> pa.Table:
+        totals_d = ray.get(tref)
+        names = sorted(totals_d, key=lambda s: int(s[3:]))
+        idx_of = {s: j for j, s in enumerate(names)}
+        s_idx_all = np.array([int(s[3:]) for s in names], dtype=np.int64)
+        d_all = MIX_STRIDE_LCM // _mix_weight(s_idx_all)
+        n_all = np.array([totals_d[s] for s in names], dtype=np.int64)
+
+        src = tbl.column("source").to_pylist()
+        pos = np.array([idx_of[s] for s in src], dtype=np.int64)
+        # local per-source rank: runs are contiguous (block is sorted)
+        change = np.empty(len(pos), dtype=bool)
+        if len(pos):
+            change[0] = True
+            change[1:] = pos[1:] != pos[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(len(pos)), 0)
+        )
+        local = np.arange(len(pos)) - run_start
+        base_arr = np.array([base.get(s, 0) for s in src], dtype=np.int64)
+        seq = base_arr + local
+        vt = (seq + 1) * d_all[pos]
+        s_idx = s_idx_all[pos]
+
+        slot = seq.copy()
+        for j in range(len(names)):
+            other = pos != j
+            dj, nj, ij = int(d_all[j]), int(n_all[j]), int(s_idx_all[j])
+            earlier = np.minimum(nj, (vt - 1) // dj)
+            tie = (ij < s_idx) & (vt % dj == 0) & (vt // dj <= nj)
+            slot += np.where(other, earlier + tie.astype(np.int64), 0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "source": tbl.column("source"),
+                "seq": pa.array(seq, pa.int64()),
+                "vt": pa.array(vt, pa.int64()),
+                "slot": pa.array(slot, pa.int64()),
+            }
+        )
+
+    out_refs = [stamp.remote(pairs[i][1], bases[i]) for i in range(len(pairs))]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("seq", pa.int64()),
+            ("vt", pa.int64()),
+            ("slot", pa.int64()),
         ]
     )
     return dataset_from_known_refs(out_refs, nrows, schema)
