@@ -379,7 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      order_shipments_window; search_topk_bm25 shares the
         #      postings + per-doc score-sum path with search_topk;
         #      stratified_sample shares the hash-threshold sampler with
-        #      sample_lineitem) ----
+        #      sample_lineitem; shuffle_order shares the sort +
+        #      prefix-scan rank primitive with sequence_pack /
+        #      interleave_mix) ----
+        "shuffle_order": T.shuffle_order,
         "stratified_sample": K.stratified_sample_events,
         "search_topk_bm25": C.search_topk_bm25,
         "doc_token_counts": C.doc_token_counts,
@@ -1177,6 +1180,15 @@ FROM per p JOIN mr m USING (doc_id)
                    greatest(start_offset, start_offset + n_tokens - 1) // 256
                      - start_offset // 256 + 1 AS n_packs_spanned
             FROM scan
+        """,
+        # deterministic seeded global shuffle: rank under mix32(doc_id)
+        # (pipelines/textprep.py shuffle_order; engine = narrow sort +
+        # per-block prefix scan, bit-stable across any partitioning)
+        "shuffle_order": f"""
+            WITH src AS (SELECT doc_id FROM documents),{_mix_sql("src", "doc_id", "20177")}
+            SELECT doc_id, CAST(mixh AS BIGINT) AS shuffle_key,
+                   CAST(row_number() OVER (ORDER BY mixh, doc_id) - 1 AS BIGINT) AS pos
+            FROM s5
         """,
         # deterministic weighted source interleave: stride scheduling,
         # slot = rank under (vt, src_idx); engine computes the rank in

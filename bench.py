@@ -213,6 +213,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("dup_substring_spans", T.dup_substring_spans),
         ("sequence_pack", T.sequence_pack),
         ("interleave_mix", T.interleave_mix),
+        ("shuffle_order", T.shuffle_order),
         ("search_topk_bm25", C.search_topk_bm25),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),

@@ -262,3 +262,25 @@ def test_interleave_mix_weight_proportionality(ray_session):
         by_w.setdefault(w, []).append(cnt)
     means = {w: sum(v) / len(v) for w, v in by_w.items()}
     assert means[4] > means[1] * 2.5  # 4x-weight sources dominate 1x ones
+
+
+def test_shuffle_order_is_seeded_permutation(ray_session):
+    """pos is a permutation of 0..n-1, ordered exactly by
+    (mix32(doc_id, seed), doc_id), and stable across partitioning."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.functions.hashing import mix32_batch
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        SHUFFLE_SEED,
+        shuffle_order,
+    )
+
+    out = shuffle_order(SF).to_pandas().sort_values("pos").reset_index(drop=True)
+    assert (out["pos"].to_numpy() == np.arange(len(out))).all()
+    ids = out["doc_id"].to_numpy()
+    keys = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
+    assert (out["shuffle_key"].to_numpy() == keys).all()
+    want = sorted(zip(keys, ids))
+    assert [d for _, d in want] == list(ids)
+    # the shuffle actually permutes (not identity / not sorted by doc_id)
+    assert not (ids == np.sort(ids)).all()

@@ -42,6 +42,7 @@ __all__ = [
     "dup_substring_spans",
     "sequence_pack",
     "interleave_mix",
+    "shuffle_order",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -625,6 +626,92 @@ def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
             ("seq", pa.int64()),
             ("vt", pa.int64()),
             ("slot", pa.int64()),
+        ]
+    )
+    return dataset_from_known_refs(out_refs, nrows, schema)
+
+
+# ---------------------------------------------------------------------------
+# deterministic seeded global shuffle (the training-order shuffle) —
+# distributed rank under a mix32 key, driver sees one scalar per block
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 20177  # the trainer's shuffle seed; replayed by the oracle
+
+
+def shuffle_order(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic seeded GLOBAL SHUFFLE of the document stream — the
+    reproducible training-order permutation a trainer applies before
+    ``sequence_pack``. Each doc's shuffle key is
+    ``mix32(doc_id, SHUFFLE_SEED)`` (functions/hashing.py — LCG+xorshift,
+    SQL-replayable); its position is the global rank under
+    ``(shuffle_key, doc_id)``.
+
+    Scale shape: ONE narrow distributed sort of (doc_id, shuffle_key) —
+    16 bytes/row — then per-block positions are block_base + arange,
+    where block bases come from the sorted blocks' row counts (the
+    ordered prefix-scan primitive shared with ``sequence_pack`` /
+    ``interleave_mix``: the driver sees one boundary tuple + count per
+    block, never rows). Contrast with ``Dataset.random_shuffle()``,
+    whose permutation depends on block layout — this one is bit-stable
+    across any partitioning, which is what resumable training needs.
+    """
+    import numpy as np
+
+    from ..functions.hashing import mix32_batch
+    from ..stages.util import dataset_from_known_refs, refs_and_counts
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        k = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": pa.array(k, pa.int64()),
+            }
+        )
+
+    sorted_ds = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .materialize()
+    )
+    refs, nrows = refs_and_counts(sorted_ds)
+
+    @ray.remote(num_returns=2)
+    def block_stats(tbl: pa.Table):
+        k = tbl.column("shuffle_key").to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return (
+            (int(k[0]), int(d[0])),
+            (int(k[-1]), int(d[-1])),
+            tbl.num_rows,
+        ), tbl
+
+    pairs = [block_stats.remote(r) for r in refs]
+    stats = ray.get([p[0] for p in pairs])
+    order = sorted(range(len(stats)), key=lambda i: stats[i][0])
+    for a, b in zip(order[:-1], order[1:]):
+        assert stats[a][1] < stats[b][0], "sorted blocks interleave"
+    base = 0
+    bases = {}
+    for i in order:
+        bases[i] = base
+        base += stats[i][2]
+
+    @ray.remote
+    def stamp(tbl: pa.Table, b: int) -> pa.Table:
+        return tbl.append_column(
+            "pos", pa.array(b + np.arange(tbl.num_rows, dtype=np.int64), pa.int64())
+        )
+
+    out_refs = [stamp.remote(pairs[i][1], bases[i]) for i in range(len(pairs))]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("shuffle_key", pa.int64()),
+            ("pos", pa.int64()),
         ]
     )
     return dataset_from_known_refs(out_refs, nrows, schema)
