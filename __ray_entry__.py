@@ -364,12 +364,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": K.value_percentiles,
         "distinct_users_hll": K.distinct_users_hll,
         # --- text prep (PII scrub, Gopher-style quality gate) ---
-        "pii_redact": T.pii_redact,
         "quality_gopher": T.quality_gopher,
         "decontaminate": T.decontaminate,
         "dup_substring_spans": T.dup_substring_spans,
         # --- training-stream weighted interleave (closed-form stride) ---
         "interleave_mix": T.interleave_mix,
+        # --- DSIR importance selection (hashed-bigram target weights) ---
+        "dsir_select": T.dsir_select,
         # ---- positions 51+ (beyond the driver's 50-query cap): all
         #      driver-green in CORRECTNESS_r02.json, engine paths covered
         #      by queries checked above (doc_token_counts ≡ longest_pages'
@@ -381,7 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      stratified_sample shares the hash-threshold sampler with
         #      sample_lineitem; shuffle_order shares the sort +
         #      prefix-scan rank primitive with sequence_pack /
-        #      interleave_mix) ----
+        #      interleave_mix; pii_redact shares the streaming-regex-map
+        #      shape with quality_gopher) ----
+        "pii_redact": T.pii_redact,
         "shuffle_order": T.shuffle_order,
         "stratified_sample": K.stratified_sample_events,
         "search_topk_bm25": C.search_topk_bm25,
@@ -1181,6 +1184,33 @@ FROM per p JOIN mr m USING (doc_id)
                      - start_offset // 256 + 1 AS n_packs_spanned
             FROM scan
         """,
+        # DSIR importance selection: hashed-bigram bucket counts (target =
+        # lang='en' slice vs all), Laplace-smoothed integer milli-weights,
+        # per-doc score sum + mean-weight gate — replays the engine's
+        # poly32 bigram hash exactly (pipelines/textprep.py dsir_select)
+        "dsir_select": f"""
+            WITH toks AS (SELECT doc_id, lang, {{_TOK}} AS ts FROM documents),
+            bg AS (
+              SELECT doc_id, lang, unnest(list_transform(
+                       list_filter(list_zip(ts, ts[2:]), p -> p[2] IS NOT NULL),
+                       p -> p[1] || ' ' || p[2])) AS g
+              FROM toks WHERE len(ts) >= 2
+            ),
+            hb AS (SELECT doc_id, lang, ({{_PH_G}}) % 4096 AS b FROM bg),
+            cnt AS (SELECT b, count(*)::BIGINT AS cr,
+                           count(*) FILTER (WHERE lang = 'en')::BIGINT AS ct
+                    FROM hb GROUP BY b),
+            w AS (SELECT b, (1000 * (ct + 1)) // (cr + 1) AS wm FROM cnt),
+            per AS (SELECT hb.doc_id, count(*)::BIGINT AS n_bigrams,
+                           sum(w.wm)::BIGINT AS score_milli
+                    FROM hb JOIN w USING (b) GROUP BY hb.doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(per.score_milli, 0)::BIGINT AS score_milli,
+                   (coalesce(per.n_bigrams, 0) > 0
+                    AND coalesce(per.score_milli, 0) >= 392 * coalesce(per.n_bigrams, 0)) AS selected
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """.replace("{_TOK}", _TOK).replace("{_PH_G}", _POLY_HASH.format(col="g")),
         # deterministic seeded global shuffle: rank under mix32(doc_id)
         # (pipelines/textprep.py shuffle_order; engine = narrow sort +
         # per-block prefix scan, bit-stable across any partitioning)

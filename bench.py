@@ -214,6 +214,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("sequence_pack", T.sequence_pack),
         ("interleave_mix", T.interleave_mix),
         ("shuffle_order", T.shuffle_order),
+        ("dsir_select", T.dsir_select),
         ("search_topk_bm25", C.search_topk_bm25),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),

@@ -284,3 +284,53 @@ def test_shuffle_order_is_seeded_permutation(ray_session):
     assert [d for _, d in want] == list(ids)
     # the shuffle actually permutes (not identity / not sorted by doc_id)
     assert not (ids == np.sort(ids)).all()
+
+
+def test_dsir_select_discriminates_target_lang(ray_session):
+    """DSIR selection must strongly enrich the target-lang slice, and the
+    score must equal a single-process replay of the hashed-bigram math."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.functions.hashing import poly_hash
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        DSIR_BUCKETS,
+        DSIR_SEL_MILLI,
+        DSIR_TARGET_LANG,
+        dsir_select,
+    )
+    from web_crawler_search_engine_ray.pipelines.corpus import _TOK_RE
+
+    out = dsir_select(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+
+    def buckets(t):
+        toks = _TOK_RE.findall(t.lower())
+        return [
+            poly_hash(a + " " + b) % DSIR_BUCKETS for a, b in zip(toks, toks[1:])
+        ]
+
+    ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for t, lg in zip(texts, langs):
+        for b in buckets(t):
+            cr[b] += 1
+            if lg == DSIR_TARGET_LANG:
+                ct[b] += 1
+    w = (1000 * (ct + 1)) // (cr + 1)
+    for d, t in list(zip(ids, texts))[:40]:
+        bk = buckets(t)
+        row = out.loc[d]
+        assert row["n_bigrams"] == len(bk)
+        assert row["score_milli"] == int(w[bk].sum())
+        assert row["selected"] == (
+            len(bk) > 0 and int(w[bk].sum()) >= DSIR_SEL_MILLI * len(bk)
+        )
+    # enrichment: selected set is mostly target-lang, recall is high
+    sel_langs = [lg for d, lg in zip(ids, langs) if out.loc[d, "selected"]]
+    n_en = sum(1 for lg in sel_langs if lg == DSIR_TARGET_LANG)
+    assert n_en / len(sel_langs) >= 0.75
+    total_en = sum(1 for lg in langs if lg == DSIR_TARGET_LANG)
+    assert n_en / total_en >= 0.75

@@ -43,6 +43,7 @@ __all__ = [
     "sequence_pack",
     "interleave_mix",
     "shuffle_order",
+    "dsir_select",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -715,3 +716,123 @@ def shuffle_order(sf_dir: str) -> "ray.data.Dataset":
         ]
     )
     return dataset_from_known_refs(out_refs, nrows, schema)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023): hashed-bigram importance
+# weights toward a target distribution — constant-size state, no shuffle
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed-feature dimensionality (10^4..10^6 in practice;
+#                     4096 separates the target lang cleanly at test scale)
+DSIR_TARGET_LANG = "en"  # stands in for the trainer's target corpus
+DSIR_SEL_MILLI = 392  # selected iff mean per-bigram weight >= 0.392 (between
+#                       the target-lang 25th pct and the rest's 75th at sf0.001)
+
+
+def dsir_select(sf_dir: str) -> "ray.data.Dataset":
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023),
+    integer-exact: score every document by how much its hashed-bigram
+    profile resembles the TARGET distribution (here: the ``lang='en'``
+    slice standing in for the trainer's target corpus).
+
+    Feature = poly32(tok_i + ' ' + tok_{i+1}) % DSIR_BUCKETS per bigram
+    occurrence; bucket counts ct (target) and cr (all) accumulate in ONE
+    streaming pass as per-batch partial count vectors — the driver merges
+    |buckets|-sized arrays, CONSTANT in corpus size — then broadcast once
+    via ``ray.put``; a second pass scores each doc:
+    ``score_milli = Σ_bigrams (1000 * (ct[b]+1)) // (cr[b]+1)`` (Laplace-
+    smoothed importance weight, floor division, exact in the SQL replay)
+    and gates ``selected = score_milli >= 400 * n_bigrams``. No shuffle
+    anywhere: two embarrassingly parallel passes + one tiny broadcast —
+    the DSIR paper's shape, which is why it runs at full-corpus scale.
+
+    Token hashes are memoized per actor (tokens repeat heavily) and the
+    bigram hash composes from token hashes via the Horner identity
+    h(a+' '+b) = h(a)*31^(1+|b|) + 32*31^(|b|) + h(b) mod 2^32 — no
+    per-bigram string building in the hot loop."""
+    import numpy as np
+
+    from ..functions.hashing import _pow31, poly_hash
+    from .corpus import collect_table
+
+    B = DSIR_BUCKETS
+    _memo: dict = {}
+
+    def _tok_hashes(toks: list) -> "np.ndarray":
+        out = np.empty(len(toks), dtype=np.uint32)
+        for i, t in enumerate(toks):
+            h = _memo.get(t)
+            if h is None:
+                h = np.uint32(poly_hash(t))
+                _memo[t] = h
+            out[i] = h
+        return out
+
+    def _bigram_buckets(toks: list) -> "np.ndarray":
+        if len(toks) < 2:
+            return np.empty(0, dtype=np.int64)
+        th = _tok_hashes(toks)
+        blen = np.array([len(t) for t in toks[1:]], dtype=np.int64)
+        p = _pow31(int(blen.max()) + 2)  # 31^k mod 2^32 table
+        with np.errstate(over="ignore"):
+            h = (
+                th[:-1] * p[blen + 1]
+                + np.uint32(32) * p[blen]  # ord(' ') == 32
+                + th[1:]
+            )
+        return (h % np.uint32(B)).astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ct = np.zeros(B, dtype=np.int64)
+        cr = np.zeros(B, dtype=np.int64)
+        for t, lg in zip(
+            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            bk = _bigram_buckets(_TOK_RE.findall(t.lower()))
+            bc = np.bincount(bk, minlength=B)
+            cr += bc
+            if lg == DSIR_TARGET_LANG:
+                ct += bc
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(B, dtype=np.int64), pa.int64()),
+                "ct": pa.array(ct, pa.int64()),
+                "cr": pa.array(cr, pa.int64()),
+            }
+        )
+
+    parts = collect_table(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            partials, batch_format="pyarrow"
+        )
+    )
+    ct = np.zeros(B, dtype=np.int64)
+    cr = np.zeros(B, dtype=np.int64)
+    np.add.at(ct, parts.column("bucket").to_numpy(), parts.column("ct").to_numpy())
+    np.add.at(cr, parts.column("bucket").to_numpy(), parts.column("cr").to_numpy())
+    wref = ray.put((1000 * (ct + 1)) // (cr + 1))  # per-bucket milli-weight
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        nbg, sc = [], []
+        for t in batch.column("text").to_pylist():
+            bk = _bigram_buckets(_TOK_RE.findall(t.lower()))
+            nbg.append(len(bk))
+            sc.append(int(w[bk].sum()))
+        nbg_a = np.array(nbg, dtype=np.int64)
+        sc_a = np.array(sc, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(nbg_a, pa.int64()),
+                "score_milli": pa.array(sc_a, pa.int64()),
+                "selected": pa.array(
+                    (nbg_a > 0) & (sc_a >= DSIR_SEL_MILLI * nbg_a), pa.bool_()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
