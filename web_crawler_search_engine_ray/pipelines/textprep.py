@@ -554,13 +554,15 @@ def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
 
     @ray.remote(num_returns=2)
     def block_stats(tbl: pa.Table):
-        src = tbl.column("source").to_pylist()
-        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        # per-source counts within the block, in first-appearance order
-        counts: dict = {}
-        for s in src:
-            counts[s] = counts.get(s, 0) + 1
-        return ((src[0], int(did[0])), (src[-1], int(did[-1])), counts), tbl
+        col = tbl.column("source")
+        did = tbl.column("doc_id")
+        vc = pc.value_counts(col.combine_chunks())
+        counts = dict(
+            zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        )
+        first = (col[0].as_py(), did[0].as_py())
+        last = (col[-1].as_py(), did[-1].as_py())
+        return (first, last, counts), tbl
 
     pairs = [block_stats.remote(r) for r in refs]
     stats = ray.get([p[0] for p in pairs])
@@ -581,13 +583,14 @@ def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
     def stamp(tbl: pa.Table, base: dict) -> pa.Table:
         totals_d = ray.get(tref)
         names = sorted(totals_d, key=lambda s: int(s[3:]))
-        idx_of = {s: j for j, s in enumerate(names)}
         s_idx_all = np.array([int(s[3:]) for s in names], dtype=np.int64)
         d_all = MIX_STRIDE_LCM // _mix_weight(s_idx_all)
         n_all = np.array([totals_d[s] for s in names], dtype=np.int64)
 
-        src = tbl.column("source").to_pylist()
-        pos = np.array([idx_of[s] for s in src], dtype=np.int64)
+        src_col = tbl.column("source").combine_chunks()
+        pos = pc.index_in(src_col, value_set=pa.array(names)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         # local per-source rank: runs are contiguous (block is sorted)
         change = np.empty(len(pos), dtype=bool)
         if len(pos):
@@ -597,8 +600,8 @@ def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
             np.where(change, np.arange(len(pos)), 0)
         )
         local = np.arange(len(pos)) - run_start
-        base_arr = np.array([base.get(s, 0) for s in src], dtype=np.int64)
-        seq = base_arr + local
+        base_by_idx = np.array([base.get(s, 0) for s in names], dtype=np.int64)
+        seq = base_by_idx[pos] + local
         vt = (seq + 1) * d_all[pos]
         s_idx = s_idx_all[pos]
 
