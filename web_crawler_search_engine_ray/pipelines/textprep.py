@@ -805,9 +805,19 @@ def dsir_select(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    # per-batch partials are B-row vectors; one narrow exchange reduces
+    # them to EXACTLY B rows before the driver sees anything — without it
+    # the driver would collect B x n_blocks rows (a scale-killer at 10^6
+    # blocks). Width 4 keeps the reduce parallel yet constant-size.
+    from ..stages.util import exchange_sum_by_key
+
     parts = collect_table(
-        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-            partials, batch_format="pyarrow"
+        exchange_sum_by_key(
+            _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+                partials, batch_format="pyarrow"
+            ),
+            "bucket",
+            4,
         )
     )
     ct = np.zeros(B, dtype=np.int64)
