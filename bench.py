@@ -574,6 +574,13 @@ def main():
     ap.add_argument(
         "--child-lite", action="store_true", help="internal: crawl+tokenize leg"
     )
+    ap.add_argument(
+        "--lo", type=int, default=None,
+        help="low-parallelism leg cpu count for --scaling/--sinkscale/--busprobe "
+        "(default 8); e.g. --lo 4 --hi 16 measures BELOW the box's membw "
+        "saturation point, where the engine's own scaling is visible",
+    )
+    ap.add_argument("--hi", type=int, default=None, help="high leg cpu count (default 32)")
     args = ap.parse_args()
     nd = os.environ.get("WCSE_BENCH_DOCS")
     if nd:
@@ -583,13 +590,13 @@ def main():
     elif args.child_lite:
         print(json.dumps(run_once(NUM_CPUS, with_queries=False, with_index=False)))
     elif args.scaling:
-        print(json.dumps(run_scaling(8, 32)))
+        print(json.dumps(run_scaling(args.lo or 8, args.hi or 32)))
     elif args.wavescale:
         print(json.dumps(run_wavescale()))
     elif args.sinkscale:
-        print(json.dumps(run_sinkscale(8, 32)))
+        print(json.dumps(run_sinkscale(args.lo or 8, args.hi or 32)))
     elif args.busprobe:
-        print(json.dumps(run_busprobe(8, 32)))
+        print(json.dumps(run_busprobe(args.lo or 8, args.hi or 32)))
     elif args.webscale:
         print(json.dumps(run_webscale()))
     elif args.indexscale:
