@@ -2,13 +2,18 @@
 
 The synthetic web's documents interleave text with media spans
 (``kind in {image, ...}`` carrying an opaque ``media_ref``). The decode
-kernel has two modes: ``decode='deterministic'`` (default) produces a
+kernel has three modes: ``decode='deterministic'`` (default) produces a
 seeded fake feature vector / payload from the media_ref (stable across
-runs and processes — no decoder library needed), and ``decode='real'``
-treats ``media_ref`` as a filesystem path and decodes it with PIL,
-raising NotImplementedError per actor at ``__init__`` when PIL is not
-importable (it is absent from this container; the real path is covered by
-a ``pytest.importorskip`` smoke test that runs wherever PIL exists).
+runs and processes — no decoder library needed); ``decode='builtin'``
+synthesizes a VALID 24-bit BMP payload per media_ref (standing in for
+the object-store blob read) and genuinely parses those bytes with the
+dependency-free numpy codec in ``functions/bmp.py`` — a real decode
+path that runs in this container and is PIL-cross-checked where pillow
+exists; and ``decode='real'`` treats ``media_ref`` as a filesystem path
+and decodes it with PIL, raising NotImplementedError per actor at
+``__init__`` when PIL is not importable (it is absent from this
+container; that path is covered by a ``pytest.importorskip`` smoke test
+that runs wherever PIL exists).
 Everything around the kernel — the Arrow schema, actor-pool signature,
 batch sizing, and output layout — is identical in both modes.
 
@@ -34,6 +39,7 @@ from typing import List
 import numpy as np
 import pyarrow as pa
 
+from ..functions.bmp import decode_bmp24, encode_bmp24
 from ..functions.hashing import mix32_batch, poly_hash
 
 def _require_pil():
@@ -83,24 +89,64 @@ def _fake_feature_ints(media_refs: List[str]) -> np.ndarray:
     return mixed.astype(np.int64) % 2001 - 1000
 
 
+BMP_SIDE = 16  # builtin payloads are 16x16 RGB — 822-byte valid BMPs
+BMP_PIX_SALT = 600_000
+
+
+def builtin_payload_bmp(media_ref: str) -> bytes:
+    """Deterministic VALID BMP payload for a media_ref (the stand-in for
+    reading the blob from the object store): 16x16 RGB pixels seeded by
+    poly_hash(ref) through mix32, encoded with the real numpy codec."""
+    key = poly_hash(media_ref)
+    n = BMP_SIDE * BMP_SIDE * 3
+    pix = (
+        mix32_batch(
+            np.full(n, key, dtype=np.uint64),
+            BMP_PIX_SALT + np.arange(n, dtype=np.uint64),
+        )
+        % 256
+    ).astype(np.uint8)
+    return encode_bmp24(pix.reshape(BMP_SIDE, BMP_SIDE, 3))
+
+
 class MediaFeatureStage:
     """Actor-pool map_batches stage: docs-with-spans → one feature row per
     media span. Use with ``map_batches(MediaFeatureStage,
     fn_constructor_kwargs={...}, concurrency=N, batch_size=small)``."""
 
     def __init__(self, media_kinds: tuple = ("image",), decode: str = "deterministic"):
-        if decode not in ("deterministic", "real"):
+        if decode not in ("deterministic", "real", "builtin"):
             raise ValueError(decode)
         self.media_kinds = frozenset(media_kinds)
         self.decode = decode
         # per-actor state: the codec loads here, once per actor, never per
-        # batch; 'real' raises immediately when PIL is absent.
+        # batch; 'real' raises immediately when PIL is absent. 'builtin'
+        # decodes REAL BMP bytes with the dependency-free numpy codec
+        # (functions/bmp.py) — the payload is synthesized per media_ref
+        # (standing in for the object-store blob read) but the decode is a
+        # genuine byte-format parse, PIL-cross-checked where PIL exists.
         self._pil = _require_pil() if decode == "real" else None
 
     def _decode(self, media_ref: str) -> np.ndarray:
         if self.decode == "real":
             return self._real_features([media_ref])[0] / 1000.0
+        if self.decode == "builtin":
+            return self._builtin_features([media_ref])[0] / 1000.0
         return (_fake_feature_ints([media_ref])[0] / 1000.0).astype(np.float32)
+
+    def _builtin_features(self, refs: List[str]) -> np.ndarray:
+        """media_ref → synthesize its BMP payload → REAL decode → band
+        features: mean gray ((r+g+b)//3) of FEATURE_DIM horizontal bands,
+        centered and scaled exactly like the PIL path."""
+        out = np.empty((len(refs), FEATURE_DIM), dtype=np.int64)
+        for i, ref in enumerate(refs):
+            rgb = decode_bmp24(builtin_payload_bmp(ref))
+            gray = rgb.astype(np.int64).sum(axis=2) // 3
+            bands = gray.reshape(FEATURE_DIM, -1).mean(axis=1)
+            out[i] = np.floor((bands - 128.0) / 128.0 * 1000.0 + 0.5).astype(
+                np.int64
+            )
+        return out
 
     def _real_features(self, refs: List[str]) -> np.ndarray:
         """media_ref = image path → (n, FEATURE_DIM) int64 feature in
@@ -129,11 +175,12 @@ class MediaFeatureStage:
                     out_ref.append(s["media_ref"])
                     out_kind.append(s["kind"])
         if out_ref:
-            kmat = (
-                self._real_features(out_ref)
-                if self.decode == "real"
-                else _fake_feature_ints(out_ref)
-            )
+            if self.decode == "real":
+                kmat = self._real_features(out_ref)
+            elif self.decode == "builtin":
+                kmat = self._builtin_features(out_ref)
+            else:
+                kmat = _fake_feature_ints(out_ref)
             fmat = (kmat / 1000.0).astype(np.float32)
             # ‖f‖ = sqrt(Σ(k/1000)²) = sqrt(Σk²)/1000; *1e4 → *10 exact
             norms = np.floor(
