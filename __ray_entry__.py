@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      shape with quality_gopher) ----
         "pii_redact": T.pii_redact,
         "shuffle_order": T.shuffle_order,
+        "sequence_pack_shuffled": T.sequence_pack_shuffled,
         "stratified_sample": K.stratified_sample_events,
         "search_topk_bm25": C.search_topk_bm25,
         "doc_token_counts": C.doc_token_counts,
@@ -1182,6 +1183,24 @@ FROM per p JOIN mr m USING (doc_id)
                    greatest(start_offset, start_offset + n_tokens - 1) // 256 AS end_pack,
                    greatest(start_offset, start_offset + n_tokens - 1) // 256
                      - start_offset // 256 + 1 AS n_packs_spanned
+            FROM scan
+        """,
+        # the composed trainer stream: pack in SEEDED-SHUFFLE order
+        # (pipelines/textprep.py sequence_pack_shuffled — shuffle ∘ pack)
+        "sequence_pack_shuffled": f"""
+            WITH src AS (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+                   FROM documents),{_mix_sql("src", "doc_id", "20177")},
+            scan AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY mixh, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_offset
+              FROM s5
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 256 AS pack_id,
+                   greatest(start_offset, start_offset + n_tokens - 1) // 256 AS end_pack
             FROM scan
         """,
         # DSIR importance selection: hashed-bigram bucket counts (target =

@@ -215,6 +215,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("interleave_mix", T.interleave_mix),
         ("shuffle_order", T.shuffle_order),
         ("dsir_select", T.dsir_select),
+        ("sequence_pack_shuffled", T.sequence_pack_shuffled),
         ("search_topk_bm25", C.search_topk_bm25),
         ("link_pagerank", G.link_pagerank),
         ("anchor_texts", G.anchor_texts),

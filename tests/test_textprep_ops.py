@@ -334,3 +334,26 @@ def test_dsir_select_discriminates_target_lang(ray_session):
     assert n_en / len(sel_langs) >= 0.75
     total_en = sum(1 for lg in langs if lg == DSIR_TARGET_LANG)
     assert n_en / total_en >= 0.75
+
+
+def test_sequence_pack_shuffled_is_gapless_in_shuffle_order(ray_session):
+    """Offsets must form a gapless token stream when rows are ordered by
+    the shuffle permutation (not doc_id), and agree with shuffle_order."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        sequence_pack_shuffled,
+        shuffle_order,
+    )
+
+    packs = sequence_pack_shuffled(SF).to_pandas()
+    order = shuffle_order(SF).to_pandas().sort_values("pos")
+    merged = order.merge(packs, on="doc_id").sort_values("pos")
+    n = merged["n_tokens"].to_numpy()
+    start = merged["start_offset"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()  # gapless in stream order
+    # and NOT gapless in doc_id order (the shuffle actually reordered)
+    by_doc = packs.sort_values("doc_id")
+    sd = by_doc["start_offset"].to_numpy()
+    assert not (sd[1:] >= sd[:-1]).all()

@@ -44,6 +44,7 @@ __all__ = [
     "interleave_mix",
     "shuffle_order",
     "dsir_select",
+    "sequence_pack_shuffled",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -849,3 +850,89 @@ def dsir_select(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def sequence_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
+    """The composed training-stream pipeline: documents are packed into
+    fixed-capacity token windows in the SEEDED-SHUFFLE order (the
+    ``shuffle_order`` permutation), not doc_id order — exactly what a
+    trainer consumes after ``shuffle -> pack``. Same distributed shape as
+    ``sequence_pack`` (one narrow sort + per-block ordered prefix scan,
+    one scalar per block to the driver), with the scan keyed by
+    (mix32(doc_id, seed), doc_id) instead of doc_id."""
+    import numpy as np
+
+    from ..functions.hashing import mix32_batch
+    from ..stages.util import dataset_from_known_refs, refs_and_counts
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        n = [len(_TOK_RE.findall(t.lower())) for t in texts]
+        k = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": pa.array(k, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .materialize()
+    )
+    refs, nrows = refs_and_counts(counts)
+
+    @ray.remote(num_returns=2)
+    def block_stats(tbl: pa.Table):
+        k = tbl.column("shuffle_key").to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        return (
+            (int(k[0]), int(d[0])),
+            (int(k[-1]), int(d[-1])),
+            int(n.sum()),
+        ), tbl
+
+    pairs = [block_stats.remote(r) for r in refs]
+    stats = ray.get([p[0] for p in pairs])
+    order = sorted(range(len(stats)), key=lambda i: stats[i][0])
+    for a, b in zip(order[:-1], order[1:]):
+        assert stats[a][1] < stats[b][0], "sorted blocks interleave"
+    base = 0
+    bases = {}
+    for i in order:
+        bases[i] = base
+        base += stats[i][2]
+
+    @ray.remote
+    def stamp(tbl: pa.Table, base_off: int) -> pa.Table:
+        n = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = base_off + np.cumsum(n) - n
+        pack = start // PACK_CAPACITY
+        last = np.maximum(start, start + n - 1)
+        end_pack = last // PACK_CAPACITY
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": tbl.column("n_tokens"),
+                "start_offset": pa.array(start, pa.int64()),
+                "pack_id": pa.array(pack, pa.int64()),
+                "end_pack": pa.array(end_pack, pa.int64()),
+            }
+        )
+
+    out_refs = [stamp.remote(pairs[i][1], bases[i]) for i in range(len(pairs))]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_offset", pa.int64()),
+            ("pack_id", pa.int64()),
+            ("end_pack", pa.int64()),
+        ]
+    )
+    return dataset_from_known_refs(out_refs, nrows, schema)
