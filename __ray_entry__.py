@@ -93,6 +93,44 @@ SELECT doc_a, doc_b, CAST(floor(1000.0 * i / u + 0.5) AS BIGINT) AS jaccard_mill
 FROM j WHERE u > 0 AND 1.0 * i / u >= 0.8
 """
 
+_CC_ROUNDS = 13  # pointer jumping: k rounds cover diameter 2^k
+
+
+def _cc_min_label_sql(rounds: int = _CC_ROUNDS) -> str:
+    """WITH-chain computing ``comp(doc_id, component_id)`` over the
+    near-dup pair graph by unrolled min-label propagation with pointer
+    jumping: lab_{k+1}(v) = min(lab_k(v), min_{(v,u)∈E} lab_k(u),
+    lab_k(lab_k(v))). Every CTE is MATERIALIZED (each round references
+    the previous one three times — inlining would re-evaluate it
+    exponentially). Converges to min-node-id per component, the same
+    fixpoint the engine's distributed label propagation reaches."""
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({_SHINGLE_CTE}),",
+        """edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+l0 AS MATERIALIZED (SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)),""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT p.node,
+         least(p.lab, coalesce(nm.m, p.lab), coalesce(j.lab, p.lab)) AS lab
+  FROM {p} p
+  LEFT JOIN (SELECT e.u AS node, MIN(x.lab) AS m
+             FROM edges e JOIN {p} x ON x.node = e.v GROUP BY e.u) nm
+    ON nm.node = p.node
+  LEFT JOIN {p} j ON j.node = p.lab
+),"""
+        )
+    parts.append(
+        f"comp AS (SELECT node AS doc_id, lab AS component_id FROM l{rounds})"
+    )
+    return "\n".join(parts)
+
+
 def _mix_sql(src: str, k1: str, k2: str, sfx: str = "") -> str:
     """Staged-CTE SQL replay of pipelines/sketch.py::mix32_batch — LCG
     multipliers + xor-shift, every step exact in BIGINT (// is the shift).
@@ -609,22 +647,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _SHINGLE_CTE,
         "ngram_jaccard_pairs": _SHINGLE_CTE,
-        # connected components of the near-dup pair graph: the recursive
-        # CTE enumerates (node, reachable-root) pairs over the symmetric
-        # edge closure; min reachable id == the engine's min-label fixpoint
+        # connected components of the near-dup pair graph: unrolled
+        # min-label propagation WITH pointer jumping (label(label)) — each
+        # round is a linear hash join, and k rounds cover diameter 2^k, so
+        # _CC_ROUNDS=13 is exact for any graph up to 8192 hops. (The
+        # obvious recursive closure CTE enumerates ALL (node, root) pairs:
+        # quadratic in component size — measured minutes at sf0.1.)
+        # Min-in-component == the engine's min-label fixpoint.
         "dedup_components": f"""
-WITH RECURSIVE pairs AS ({_SHINGLE_CTE}),
-edges AS (
-  SELECT doc_a AS u, doc_b AS v FROM pairs
-  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
-),
-nodes AS (SELECT DISTINCT u AS node FROM edges),
-reach(node, root) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
-),
-comp AS (SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node)
+{_cc_min_label_sql()}
 SELECT doc_id, component_id,
        CAST(doc_id = component_id AS BIGINT) AS keep,
        COUNT(*) OVER (PARTITION BY component_id) AS csize
@@ -633,18 +664,7 @@ FROM comp ORDER BY doc_id
         # survivors of near-dup removal: everything except non-canonical
         # members of the components above
         "dedup_keep_list": f"""
-WITH RECURSIVE pairs AS ({_SHINGLE_CTE}),
-edges AS (
-  SELECT doc_a AS u, doc_b AS v FROM pairs
-  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
-),
-nodes AS (SELECT DISTINCT u AS node FROM edges),
-reach(node, root) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
-),
-comp AS (SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node)
+{_cc_min_label_sql()}
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
 """,
