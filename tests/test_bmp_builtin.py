@@ -69,3 +69,35 @@ def test_builtin_decode_stage_matches_direct_replay(ray_session):
     # payloads differ per ref (the features aren't degenerate)
     feats = np.array(out.column("feat_norm_e4").to_pylist())
     assert len(set(feats.tolist())) > 1
+
+
+def test_builtin_resize_stage_matches_direct_replay(ray_session):
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        BMP_SIDE,
+        MediaResizeStage,
+        builtin_payload_bmp,
+    )
+
+    refs = [f"media://blob/{i}" for i in range(4)]
+    spans = [
+        [{"kind": "image", "text": "", "media_ref": r, "offset": 0}] for r in refs
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"https://h/p{i}" for i in range(len(refs))]),
+            "spans": pa.array(spans),
+        }
+    )
+    W = H = 8
+    out = MediaResizeStage(width=W, height=H, decode="builtin")(batch)
+    assert out.num_rows == len(refs)
+    ys = (np.arange(H) * BMP_SIDE) // H
+    xs = (np.arange(W) * BMP_SIDE) // W
+    for i, r in enumerate(refs):
+        rgb = decode_bmp24(builtin_payload_bmp(r))
+        want = (rgb.astype(np.int64).sum(axis=2) // 3)[np.ix_(ys, xs)].astype(
+            np.uint8
+        )
+        got = np.frombuffer(out.column("payload")[i].as_py(), dtype=np.uint8)
+        assert (got == want.ravel()).all()
+        assert out.column("payload_crc")[i].as_py() == int(want.sum())

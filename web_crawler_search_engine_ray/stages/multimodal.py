@@ -230,7 +230,7 @@ class MediaResizeStage:
 
     def __init__(self, width: int = 64, height: int = 64,
                  media_kinds: tuple = ("image",), decode: str = "deterministic"):
-        if decode not in ("deterministic", "real"):
+        if decode not in ("deterministic", "real", "builtin"):
             raise ValueError(decode)
         self.width, self.height = width, height
         self.media_kinds = frozenset(media_kinds)
@@ -239,6 +239,23 @@ class MediaResizeStage:
 
     def _resize(self, media_ref: str) -> bytes:
         return self._resize_batch([media_ref])[0][0]
+
+    def _resize_batch_builtin(self, refs: List[str]) -> tuple:
+        """REAL resize path without PIL: decode the BMP payload with the
+        numpy codec, nearest-neighbor resample the actual pixel matrix,
+        emit grayscale ((r+g+b)//3) raw bytes — same output layout and
+        crc formula as the PIL path."""
+        payloads, crcs = [], np.empty(len(refs), dtype=np.int64)
+        ys = (np.arange(self.height) * BMP_SIDE) // self.height
+        xs = (np.arange(self.width) * BMP_SIDE) // self.width
+        for i, ref in enumerate(refs):
+            rgb = decode_bmp24(builtin_payload_bmp(ref))
+            px = (rgb.astype(np.int64).sum(axis=2) // 3)[np.ix_(ys, xs)].astype(
+                np.uint8
+            )
+            payloads.append(px.tobytes())
+            crcs[i] = int(px.sum(dtype=np.int64))
+        return payloads, crcs
 
     def _resize_batch_real(self, refs: List[str]) -> tuple:
         payloads, crcs = [], np.empty(len(refs), dtype=np.int64)
@@ -256,6 +273,8 @@ class MediaResizeStage:
         """(payload bytes list, crc int64 array) — one mix per pixel."""
         if self.decode == "real":
             return self._resize_batch_real(refs)
+        if self.decode == "builtin":
+            return self._resize_batch_builtin(refs)
         n = len(refs)
         npx = self.width * self.height
         keys = np.fromiter(
