@@ -105,3 +105,66 @@ def test_bucket_exchange_equals_groupby(ray_session):
         .sort_index()
     )
     assert got.equals(want)
+
+
+def test_exchange_sum_by_key_property(ray_session):
+    """Property sweep: exchange_sum_by_key == pandas groupby-sum across
+    randomized shapes — empty blocks, single rows, negative values,
+    key counts around/below/above the bucket width, many dtype layouts."""
+    import ray
+    import ray.data
+
+    from web_crawler_search_engine_ray.stages.util import exchange_sum_by_key
+
+    rng = np.random.RandomState(13)
+    for trial in range(12):
+        n = int(rng.choice([1, 2, 7, 100, 3_000]))
+        nkeys = int(rng.choice([1, 2, 5, 50, 700]))
+        nbuck = int(rng.choice([1, 2, 4, 16]))
+        tbl = pa.table(
+            {
+                "key": pa.array(rng.randint(0, nkeys, n), pa.int64()),
+                "a": pa.array(rng.randint(-1000, 1000, n), pa.int64()),
+                "b": pa.array(rng.randint(0, 10, n), pa.int64()),
+            }
+        )
+        cuts = sorted(rng.randint(0, n + 1, 2))
+        blocks = [
+            tbl.slice(0, cuts[0]),
+            tbl.slice(cuts[0], cuts[1] - cuts[0]),  # possibly empty
+            tbl.slice(cuts[1]),
+        ]
+        ds = ray.data.from_arrow(blocks).materialize()
+        got = (
+            exchange_sum_by_key(ds, "key", nbuck)
+            .to_pandas()
+            .set_index("key")
+            .sort_index()
+        )
+        want = tbl.to_pandas().groupby("key")[["a", "b"]].sum().sort_index()
+        assert got["a"].equals(want["a"]) and got["b"].equals(want["b"]), (
+            f"trial {trial}: n={n} nkeys={nkeys} nbuck={nbuck}"
+        )
+
+
+def test_bucket_exchange_all_empty_buckets_schema(ray_session):
+    """Regression (ADVICE r2): when every part of a bucket is empty the
+    reduce must still return fn's OUTPUT schema, not the input schema."""
+    import ray
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "bucket": pa.array([0, 0, 0], pa.int32()),  # bucket 1..7 empty
+        }
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"out": pa.array([t.num_rows], pa.int64())})
+
+    ds = ray.data.from_arrow([tbl]).materialize()
+    out = bucket_exchange(ds, "bucket", 8, fn)
+    got = out.to_pandas()
+    assert list(got.columns) == ["out"]
+    assert sorted(got["out"].tolist()) == [0] * 7 + [3]
