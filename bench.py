@@ -532,7 +532,7 @@ def _compact(result: dict) -> dict:
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
-        "queries": {k: round(v, 2) for k, v in result.get("queries", {}).items()},
+        "queries": {k: round(v, 1) for k, v in result.get("queries", {}).items()},
         "crawl": {
             k: crawl[k]
             for k in (
@@ -558,6 +558,15 @@ def _compact(result: dict) -> dict:
             "tokenize_eff": s.get("tokenize_efficiency"),
             "lo_pages_s": s["lo"].get("pages_per_sec"),
             "hi_pages_s": s["hi"].get("pages_per_sec"),
+        }
+    s4 = result.get("scaling_4_16")
+    if s4:
+        out["scaling_4_16"] = {
+            "crawl_eff": s4.get("crawl_efficiency"),
+            "index_eff": s4.get("index_efficiency"),
+            "tokenize_eff": s4.get("tokenize_efficiency"),
+            "lo_docs_s": s4["lo"].get("docs_indexed_per_sec"),
+            "hi_docs_s": s4["hi"].get("docs_indexed_per_sec"),
         }
     return out
 
@@ -607,6 +616,12 @@ def main():
         # scaling evidence rides the default bench output (BENCH_r{N}.json):
         # crawl + tokenize legs at 8 and 32 cpus, back-to-back subprocesses
         result["scaling"] = _scaling_sweep(8, 32, "--child-lite")
+        # ...and the definitive N->4N pair BELOW the box's membw saturation
+        # point (busprobe: the bus is half-saturated by 4 workers): full
+        # crawl+index legs at 4 and 16 cpus — the pair where the engine's
+        # own scaling is visible (index 0.889, tokenize 1.33 measured;
+        # see BASELINE.md round-3 ceiling analysis)
+        result["scaling_4_16"] = _scaling_sweep(4, 16, "--child", num_docs=30_000)
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
             json.dump(result, f, indent=1)
         line = json.dumps(_compact(result), separators=(",", ":"))
