@@ -198,3 +198,229 @@ def page_context(
         if pos > -1:
             context = joined[pos : pos + 300]
     return context
+
+
+# --- columnar (batch) profile kernels ----------------------------------------
+#
+# Arrow-native equivalents of the per-row span path above, used by the
+# crawl-loop hot stages (stages/extract.analyze_batch, stages/index
+# .add_page_hash). Semantics are bit-identical to sorting each page's spans
+# by offset, extract_profile_text(), and T1 tokenize() — covered by the
+# equivalence tests in tests/test_columnar_text.py.
+
+import numpy as _np
+import pyarrow as _pa
+import pyarrow.compute as _pc
+
+# Python re \s over str — spelled out for RE2 (whose bare \s is ASCII-only):
+# ASCII whitespace + \x1c-\x1f + NEL + the Unicode space separators.
+_PY_WS_CLASS = (
+    "[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f "
+    "\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+)
+
+
+def profile_joined_text_batch(spans_col, profile: frozenset) -> _pa.Array:
+    """Per page: sort spans by offset, filter to ``profile`` kinds, strip +
+    collapse whitespace, drop empties, join with ' ' — i.e. exactly
+    ``' '.join(extract_profile_text(...))`` of the per-row path, computed
+    with Arrow kernels (no per-span Python objects). Null/empty span lists
+    yield ''."""
+    sc = spans_col.combine_chunks() if isinstance(spans_col, _pa.ChunkedArray) else spans_col
+    n = len(sc)
+    if n == 0:
+        return _pa.array([], _pa.string())
+    lengths = _pc.fill_null(_pc.list_value_length(sc), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(_np.int64)
+    flat = sc.flatten()  # values of valid slots, concatenated in row order
+    if len(flat) == 0:
+        return _pa.array([""] * n, _pa.string())
+    row_rep = _np.repeat(_np.arange(n, dtype=_np.int64), lengths)
+
+    # stable (page, offset) order == per-page sorted(key=offset)
+    offs = flat.field("offset").to_numpy(zero_copy_only=False)
+    order = _np.lexsort((offs, row_rep))
+
+    kinds_dict = _pc.dictionary_encode(flat.field("kind"))
+    kind_vals = kinds_dict.dictionary.to_pylist()
+    prof_codes = _np.array(
+        [i for i, v in enumerate(kind_vals) if v in profile], dtype=_np.int64
+    )
+    codes = _pc.fill_null(kinds_dict.indices, -1).to_numpy(
+        zero_copy_only=False
+    ).astype(_np.int64)
+    in_prof = _np.isin(codes[order], prof_codes)
+
+    sel = order[in_prof]
+    texts = _pc.take(flat.field("text"), _pa.array(sel, _pa.int64()))
+    pages = row_rep[sel]
+
+    norm = _pc.utf8_trim(
+        _pc.replace_substring_regex(texts, pattern=_PY_WS_CLASS, replacement=" "),
+        " ",
+    )
+    keep = _pc.fill_null(_pc.not_equal(norm, ""), False).to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    frags = norm.filter(_pa.array(keep))
+    pages = pages[keep]
+
+    counts = _np.bincount(pages, minlength=n)
+    offsets = _np.concatenate(([0], _np.cumsum(counts)))
+    lst = _pa.ListArray.from_arrays(
+        _pa.array(offsets, _pa.int32()), frags.combine_chunks() if isinstance(frags, _pa.ChunkedArray) else frags
+    )
+    return _pc.binary_join(lst, " ")
+
+
+# byte-level T1 machinery: [A-Za-z0-9]+ runs are pure-ASCII, and UTF-8
+# continuation/lead bytes are all >= 0x80 — so a byte scan over the Arrow
+# string buffer is exactly the reference's char scan, with A-Z lowered by
+# table lookup.
+_ALNUM_LUT = _np.zeros(256, dtype=bool)
+for _c in range(256):
+    _ALNUM_LUT[_c] = chr(_c).isascii() and chr(_c).isalnum()
+_LOWER_LUT = _np.arange(256, dtype=_np.uint8)
+_LOWER_LUT[ord("A") : ord("Z") + 1] += 32
+
+
+def _t1_scan_strings(arr: _pa.Array):
+    """Tokenize every string of ``arr`` (UTF-8) at byte level: returns
+    (tokens: StringArray lowercased, owner: int64 array — index into
+    ``arr`` of each token's source string). Tokens never cross string
+    boundaries."""
+    arr = arr.combine_chunks() if isinstance(arr, _pa.ChunkedArray) else arr
+    n = len(arr)
+    empty = (_pa.array([], _pa.string()), _np.empty(0, _np.int64))
+    if n == 0:
+        return empty
+    bufs = arr.buffers()
+    # offsets honor the array's slice offset; value buffer is shared
+    off = _np.frombuffer(bufs[1], _np.int32)[arr.offset : arr.offset + n + 1]
+    if bufs[2] is None:
+        return empty
+    data = _np.frombuffer(bufs[2], _np.uint8)
+    start, end = int(off[0]), int(off[-1])
+    if end == start:
+        return empty
+    b = data[start:end]
+    po = (off.astype(_np.int64) - start)  # string starts, relative to b
+
+    m = _ALNUM_LUT[b]
+    # a token starts where alnum begins OR at a string boundary inside an
+    # alnum run (adjacent strings in the buffer must not merge), and ends
+    # where alnum stops or the next string begins — starts/ends pair up
+    # 1:1 in order, so token lengths need no cumulative scan (numpy cumsum
+    # is a serial scalar loop; on 40M+ bytes it dominated this kernel)
+    boundary = _np.zeros(len(b) + 1, dtype=bool)
+    boundary[po[:-1]] = True
+    # start test, in-place over one scratch buffer: m & (~m<<1 | boundary)
+    scratch = _np.empty_like(m)
+    scratch[0] = False
+    scratch[1:] = m[:-1]
+    _np.logical_not(scratch, out=scratch)
+    _np.logical_or(scratch, boundary[: len(b)], out=scratch)
+    _np.logical_and(m, scratch, out=scratch)
+    starts = _np.nonzero(scratch)[0]
+    if not len(starts):
+        return empty
+    # end test: m & (~m>>1 | boundary-at-next)
+    scratch[-1] = False
+    scratch[:-1] = m[1:]
+    _np.logical_not(scratch, out=scratch)
+    _np.logical_or(scratch, boundary[1 : len(b) + 1], out=scratch)
+    _np.logical_and(m, scratch, out=scratch)
+    ends = _np.nonzero(scratch)[0] + 1
+    tok_lens = ends - starts
+    out_off = _np.concatenate(([0], _np.cumsum(tok_lens)))
+    total = int(out_off[-1])
+    idx = _np.arange(total, dtype=_np.int64) + _np.repeat(
+        starts - out_off[:-1], tok_lens
+    )
+    tok_bytes = _LOWER_LUT[b[idx]]
+    tokens = _pa.Array.from_buffers(
+        _pa.utf8(),
+        len(starts),
+        [None, _pa.py_buffer(out_off.astype(_np.int32)), _pa.py_buffer(tok_bytes)],
+    )
+    owner = _np.searchsorted(po, starts, side="right") - 1
+    return tokens, owner
+
+
+def t1_token_page_counts(joined: _pa.Array):
+    """T1 tokenize over a per-page joined-text array, vectorized: returns
+    (page_ids, tokens, counts, page_lengths) where (page_ids[i], tokens[i])
+    carries counts[i] occurrences and page_lengths[p] is page p's total
+    token count. Token order within a page is unspecified (callers
+    aggregate)."""
+    n = len(joined)
+    arr = joined.combine_chunks() if isinstance(joined, _pa.ChunkedArray) else joined
+    toks, pages = _t1_scan_strings(_pc.fill_null(arr, ""))
+    return _group_token_counts(toks, pages, n)
+
+
+def t1_profile_page_counts(spans_col, profile: frozenset):
+    """T1 token counts per page straight from the spans column. Whitespace
+    normalization, fragment order and the joining separator are all
+    invisible to T1 (any non-alnum char separates, tokens never cross
+    fragments), so this skips the join entirely: filter span texts to the
+    profile, byte-scan the flat text buffer, count. Returns the same tuple
+    as t1_token_page_counts."""
+    sc = (
+        spans_col.combine_chunks()
+        if isinstance(spans_col, _pa.ChunkedArray)
+        else spans_col
+    )
+    n = len(sc)
+    lengths = _pc.fill_null(_pc.list_value_length(sc), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(_np.int64)
+    flat = sc.flatten()
+    if len(flat) == 0:
+        return _group_token_counts(_pa.array([], _pa.string()), _np.empty(0, _np.int64), n)
+    row_rep = _np.repeat(_np.arange(n, dtype=_np.int64), lengths)
+
+    kinds_dict = _pc.dictionary_encode(flat.field("kind"))
+    kind_vals = kinds_dict.dictionary.to_pylist()
+    prof_codes = _np.array(
+        [i for i, v in enumerate(kind_vals) if v in profile], dtype=_np.int64
+    )
+    codes = _pc.fill_null(kinds_dict.indices, -1).to_numpy(
+        zero_copy_only=False
+    ).astype(_np.int64)
+    text = flat.field("text")
+    keep = _np.isin(codes, prof_codes) & _pc.is_valid(text).to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+
+    frags = text.filter(_pa.array(keep))
+    frag_pages = row_rep[keep]
+    toks, owner = _t1_scan_strings(
+        frags.combine_chunks() if isinstance(frags, _pa.ChunkedArray) else frags
+    )
+    return _group_token_counts(toks, frag_pages[owner] if len(owner) else owner, n)
+
+
+def _group_token_counts(tokens: _pa.Array, pages: _np.ndarray, n: int):
+    page_lengths = _np.bincount(pages, minlength=n)
+    if len(pages) == 0:
+        return (
+            _np.empty(0, _np.int64),
+            _pa.array([], _pa.string()),
+            _np.empty(0, _np.int64),
+            page_lengths,
+        )
+    grouped = (
+        _pa.table({"page": _pa.array(pages, _pa.int64()), "token": tokens})
+        .group_by(["page", "token"])
+        .aggregate([("token", "count")])
+        .sort_by("page")
+    )
+    return (
+        grouped.column("page").to_numpy(zero_copy_only=False),
+        grouped.column("token").combine_chunks(),
+        grouped.column("token_count").to_numpy(zero_copy_only=False),
+        page_lengths,
+    )

@@ -20,32 +20,63 @@ from ..functions import urls as U
 
 def extract_links_batch(batch: pa.Table, root_domains: tuple) -> pa.Table:
     """fetched pages -> candidate frontier rows
-    (url, host, parent_seq, offset, depth)."""
-    spans_col = batch.column("spans").to_pylist()
+    (url, host, parent_seq, offset, depth).
+
+    The span scan is columnar: link spans are selected with Arrow kernels
+    (the full span payload never round-trips through Python — only the
+    href strings of actual link spans do); per-link resolve/validate/
+    normalize stays the reference's urllib chain."""
+    import pyarrow.compute as pc
+
     page_urls = batch.column("url").to_pylist()
     parent_seqs = batch.column("seq").to_pylist()
     depths = batch.column("depth").to_pylist()
 
+    sc = batch.column("spans").combine_chunks()
+    lengths = (
+        pc.fill_null(pc.list_value_length(sc), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = sc.flatten()
     out_url, out_host, out_parent, out_offset, out_depth = [], [], [], [], []
-    for page_url, pseq, depth, spans in zip(page_urls, parent_seqs, depths, spans_col):
-        if not spans:
-            continue
-        hrefs = [
-            (s["offset"], s["media_ref"])
-            for s in spans
-            if s["kind"] == "link" and s["media_ref"]
-        ]
-        hrefs.sort()
-        offsets = [o for o, _ in hrefs]
-        resolved = U.resolve_links(page_url, [h for _, h in hrefs])
-        mask = U.is_valid_batch(resolved, root_domains)
-        keep = [i for i in range(len(resolved)) if mask[i]]
-        normd = U.normalize_batch([resolved[i] for i in keep])
-        for j, i in enumerate(keep):
-            out_url.append(normd[j])
-            out_offset.append(offsets[i])
-        out_parent.extend([pseq] * len(keep))
-        out_depth.extend([depth + 1] * len(keep))
+    if len(flat):
+        row_rep = np.repeat(np.arange(len(sc), dtype=np.int64), lengths)
+        media = flat.field("media_ref")
+        is_link = pc.and_kleene(
+            pc.equal(flat.field("kind"), "link"),
+            pc.and_kleene(pc.is_valid(media), pc.not_equal(media, "")),
+        )
+        sel0 = np.nonzero(
+            pc.fill_null(is_link, False).to_numpy(zero_copy_only=False).astype(bool)
+        )[0]
+        if len(sel0):
+            offs0 = flat.field("offset").to_numpy(zero_copy_only=False)[sel0]
+            pages0 = row_rep[sel0]
+            media0 = np.array(
+                pc.take(media, pa.array(sel0, pa.int64())).to_pylist(), dtype=object
+            )
+            # per page the reference sorts (offset, href) tuples — lexsort
+            # replicates the href tiebreak on equal offsets
+            order = np.lexsort((media0, offs0, pages0))
+            pages_s, offs_s, media_s = pages0[order], offs0[order], media0[order]
+            # group boundaries per page
+            starts = np.concatenate(
+                ([0], np.nonzero(pages_s[1:] != pages_s[:-1])[0] + 1, [len(pages_s)])
+            )
+            for gi in range(len(starts) - 1):
+                a, b = starts[gi], starts[gi + 1]
+                p = int(pages_s[a])
+                page_url, pseq, depth = page_urls[p], parent_seqs[p], depths[p]
+                resolved = U.resolve_links(page_url, list(media_s[a:b]))
+                mask = U.is_valid_batch(resolved, root_domains)
+                keep = [i for i in range(len(resolved)) if mask[i]]
+                normd = U.normalize_batch([resolved[i] for i in keep])
+                for j, i in enumerate(keep):
+                    out_url.append(normd[j])
+                    out_offset.append(int(offs_s[a + i]))
+                out_parent.extend([pseq] * len(keep))
+                out_depth.extend([depth + 1] * len(keep))
     out_host.extend(U.host_batch(out_url))
 
     return pa.Table.from_arrays(
@@ -63,30 +94,30 @@ def extract_links_batch(batch: pa.Table, root_domains: tuple) -> pa.Table:
 def analyze_batch(batch: pa.Table) -> pa.Table:
     """Crawl-profile tokenization per page (worker.py:91-98): emits one row
     per page with url/seq/length plus the page's distinct tokens + counts as
-    list columns (exploded later for the global frequency aggregate, A1)."""
-    spans_col = batch.column("spans").to_pylist()
-    urls = batch.column("url").to_pylist()
-    seqs = batch.column("seq").to_pylist()
+    list columns (exploded later for the global frequency aggregate, A1).
 
-    lengths = np.zeros(len(urls), dtype=np.int64)
-    token_lists, count_lists = [], []
-    for i, spans in enumerate(spans_col):
-        spans = sorted(spans, key=lambda s: s["offset"]) if spans else []
-        frags = T.extract_profile_text(
-            [s["kind"] for s in spans], [s["text"] for s in spans], T.PROFILE_CRAWL
-        )
-        freqs = T.compute_word_frequencies(T.tokenize(" ".join(frags)))
-        lengths[i] = sum(freqs.values())
-        token_lists.append(list(freqs.keys()))
-        count_lists.append(list(freqs.values()))
+    Fully vectorized: the profile join and the T1 tokenizer run as Arrow
+    kernels (functions/text.profile_joined_text_batch /
+    t1_token_page_counts, equivalence-tested against the per-row path);
+    within-page token order is unspecified — every consumer aggregates."""
+    n = batch.num_rows
+    pages, tokens, counts, page_lengths = T.t1_profile_page_counts(
+        batch.column("spans"), T.PROFILE_CRAWL
+    )
 
+    per_page = np.bincount(pages, minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(per_page)))
+    token_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tokens)
+    count_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(counts, pa.int64())
+    )
     return pa.Table.from_arrays(
         [
-            pa.array(urls, pa.string()),
-            pa.array(seqs, pa.int64()),
-            pa.array(lengths, pa.int64()),
-            pa.array(token_lists, pa.list_(pa.string())),
-            pa.array(count_lists, pa.list_(pa.int64())),
+            batch.column("url"),
+            batch.column("seq"),
+            pa.array(page_lengths, pa.int64()),
+            token_lists,
+            count_lists,
         ],
         names=["url", "seq", "length", "tokens", "counts"],
     )

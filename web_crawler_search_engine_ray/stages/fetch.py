@@ -398,37 +398,35 @@ def _fetch_with_store(store: DocStore, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         pos, docs_tbl = store.take(urls)
         n = len(urls)
-
-        status = np.full(n, 404, dtype=np.int32)
-        content_bytes = np.zeros(n, dtype=np.int64)
-        is_html = np.zeros(n, dtype=bool)
-
         hit_mask = pos >= 0
-        hit_rows = np.nonzero(hit_mask)[0]
-        if len(hit_rows):
-            take_idx = pa.array(pos[hit_mask], pa.int64())
-            aligned = docs_tbl.take(take_idx)
-            status[hit_mask] = aligned.column("status").to_numpy()
-            content_bytes[hit_mask] = aligned.column("content_bytes").to_numpy()
-            is_html[hit_mask] = aligned.column("is_html").to_numpy(zero_copy_only=False)
-            spans_aligned = aligned.column("spans")
-        # spans column: null for misses, aligned values for hits
-        spans_type = DOCS_SCHEMA.field("spans").type
-        if len(hit_rows) == n:
-            spans_col = spans_aligned.combine_chunks()
+
+        if (
+            docs_tbl.num_rows == n
+            and hit_mask.all()
+            and np.array_equal(pos, np.arange(n, dtype=pos.dtype))
+        ):
+            # store.take already returned the hit rows aligned in batch
+            # order (the in-memory path always does) — appending its
+            # columns directly skips an identity re-gather, i.e. one full
+            # copy of every span payload per batch
+            status_col = docs_tbl.column("status")
+            cb_col = docs_tbl.column("content_bytes")
+            html_col = docs_tbl.column("is_html")
+            spans_col = docs_tbl.column("spans")
         else:
-            py = [None] * n
-            if len(hit_rows):
-                vals = spans_aligned.to_pylist()
-                for j, i in enumerate(hit_rows):
-                    py[i] = vals[j]
-            spans_col = pa.array(py, spans_type)
+            # null-masked gather: one vectorized take where misses become
+            # nulls — the span payloads never round-trip through Python
+            idx = pa.array(pos, pa.int64(), mask=~hit_mask)
+            status_col = pc.fill_null(pc.take(docs_tbl.column("status"), idx), 404)
+            cb_col = pc.fill_null(pc.take(docs_tbl.column("content_bytes"), idx), 0)
+            html_col = pc.fill_null(pc.take(docs_tbl.column("is_html"), idx), False)
+            spans_col = pc.take(docs_tbl.column("spans"), idx)
 
         out = batch
         for name, arr in (
-            ("status", pa.array(status, pa.int32())),
-            ("content_bytes", pa.array(content_bytes, pa.int64())),
-            ("is_html", pa.array(is_html, pa.bool_())),
+            ("status", status_col),
+            ("content_bytes", cb_col),
+            ("is_html", html_col),
             ("spans", spans_col),
         ):
             out = out.append_column(name, arr)

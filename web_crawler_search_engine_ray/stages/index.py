@@ -31,15 +31,18 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import poly_hash_batch
-from ..functions.postings import dedup_text, doc_term_frequencies, page_title
+from ..functions.postings import doc_term_frequencies, page_title
 
 
 def add_page_hash(batch: pa.Table) -> pa.Table:
     """Append the reference's 32-bit polynomial hash of the dedup-profile
-    text (indexer/worker.py:124-142)."""
-    spans_col = batch.column("spans").to_pylist()
-    texts = [dedup_text(s or []) for s in spans_col]
-    hashes = poly_hash_batch(texts).astype(np.int64)
+    text (indexer/worker.py:124-142). The profile join runs columnar
+    (functions/text.profile_joined_text_batch ≡ dedup_text per row,
+    equivalence-tested) — only the n joined page strings touch Python."""
+    from ..functions import text as T
+
+    joined = T.profile_joined_text_batch(batch.column("spans"), T.PROFILE_DEDUP)
+    hashes = poly_hash_batch(joined.to_pylist()).astype(np.int64)
     return batch.append_column("page_hash", pa.array(hashes, pa.int64()))
 
 
