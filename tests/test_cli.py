@@ -56,3 +56,74 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys, monkeypatch):
     # runs under heavy parallel load and a single descheduled query would
     # flake an every-query bound)
     assert min(rec["elapsed_ms"] for rec in lines[1:]) < 100.0, lines[1:]
+
+
+def test_summary_paths(ray_session, tmp_path, capsys, monkeypatch):
+    """M17 surface: no-client parity (''), injected-client streaming shape
+    (reference get_summary, shared/webpage.py:31-53), offline extractive
+    mode end-to-end through serve --summary extractive."""
+    from web_crawler_search_engine_ray.__main__ import main
+    from web_crawler_search_engine_ray.pipelines.search import ResultPresenter
+
+    web = str(tmp_path / "web")
+    crawl = str(tmp_path / "crawl")
+    index = str(tmp_path / "index")
+    assert main(["genweb", "--out", web, "--docs", "60", "--hosts", "3"]) == 0
+    assert (
+        main(["crawl", "--web-dir", web, "--workdir", crawl, "--wave-span", "64"]) == 0
+    )
+    assert (
+        main(["index", "--pages", f"{crawl}/pages", "--out", index,
+              "--min-ngram-df", "3"]) == 0
+    )
+    capsys.readouterr()
+
+    import pyarrow.dataset as pads
+
+    pages = f"{crawl}/pages"
+    presenter = ResultPresenter(pages)
+    url = (
+        pads.dataset(pages, format="parquet")
+        .to_table(columns=["url"])
+        .column("url")[0]
+        .as_py()
+    )
+
+    # reference no-key parity: no client -> '' (and no generator)
+    assert presenter.summary(url) == ""
+
+    # injected client: prompt is the reference's body-word-string content,
+    # output is a stream prefixed 'AI Summary: '
+    seen = {}
+
+    def fake_client(content):
+        seen["content"] = content
+        yield "two"
+        yield None  # reference skips None chunks
+        yield " words"
+
+    chunks = list(presenter.summary(url, client=fake_client))
+    assert chunks == ["AI Summary: ", "two", " words"]
+    content = seen["content"]
+    assert content == presenter.summary_content(url)
+    assert content and all(len(s) >= 5 for s in content.split("\n"))
+
+    # extractive mode is deterministic and bounded
+    s1 = presenter.summary_extractive(url, ["the data"], max_words=10)
+    s2 = presenter.summary_extractive(url, ["the data"], max_words=10)
+    assert s1 == s2 and len(s1.split(" ")) <= 10
+
+    # serve --summary extractive end-to-end
+    import io
+    import json as _json
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("data stream\nquit\n"))
+    assert (
+        main(["serve", "--index", index, "--pages", pages,
+              "--summary", "extractive"]) == 0
+    )
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert all("summary" in r for rec in lines[1:] for r in rec["results"])

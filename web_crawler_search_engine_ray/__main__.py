@@ -195,6 +195,8 @@ def cmd_serve(args) -> int:
             rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
             if presenter:
                 rec["context"] = ctx.get(url, "")
+                if args.summary == "extractive":
+                    rec["summary"] = presenter.summary_extractive(url, primary)
             results.append(rec)
         print(
             json.dumps(
@@ -249,6 +251,14 @@ def main(argv=None) -> int:
     v.add_argument("--index", required=True, help="index dir (postings/ + catalog/)")
     v.add_argument("--pages", default=None, help="pages dir for context windows")
     v.add_argument("--warmup", default="the", help="warm-up query run at startup")
+    v.add_argument(
+        "--summary",
+        choices=["none", "extractive"],
+        default="none",
+        help="per-result summary: 'extractive' = offline deterministic "
+        "lead extract (the LLM path is an injected client on "
+        "ResultPresenter.summary, '' without one — reference no-key parity)",
+    )
     v.add_argument("-k", type=int, default=5)
     v.set_defaults(fn=cmd_serve)
 

@@ -103,7 +103,59 @@ class ResultPresenter:
             )
         return out
 
-    def summary(self, url: str) -> str:
-        # M17 stub: the reference yields nothing without an API key
-        # (CLIENT is None -> returns ""); external calls are out of scope.
-        return ""
+    def summary_content(self, url: str) -> str:
+        """M17 prompt construction (shared/webpage.py:37-40): body
+        stripped-strings (the get_summary path does NOT decompose
+        style/script/code — same quirk as get_context, so the CONTEXT
+        profile), whitespace-collapsed, word-joined per fragment,
+        fragments shorter than 5 chars dropped, newline-joined."""
+        from ..functions.text import PROFILE_CONTEXT, _WORD_RE, extract_profile_text
+
+        tbl = self.pages.to_table(
+            columns=["url", "spans"],
+            filter=pc.field("url") == url,
+        )
+        if tbl.num_rows == 0:
+            return ""
+        spans = sorted(tbl.column("spans")[0].as_py() or [], key=lambda s: s["offset"])
+        frags = extract_profile_text(
+            [s["kind"] for s in spans], [s["text"] for s in spans], PROFILE_CONTEXT
+        )
+        body_strings = [" ".join(_WORD_RE.findall(f)) for f in frags]
+        return "\n".join(s for s in body_strings if len(s) >= 5)
+
+    def summary(self, url: str, client=None):
+        """M17 (shared/webpage.py:31-53). Without ``client`` returns ''
+        exactly like the reference's no-API-key path (CLIENT is None) —
+        no external call is ever made by default. With ``client`` — any
+        callable(content: str) -> iterable[str chunks] (an injected LLM
+        API adapter) — returns a generator that yields 'AI Summary: '
+        then the streamed chunks, the reference's streaming shape."""
+        if client is None:
+            return ""
+
+        def _stream():
+            yield "AI Summary: "
+            for chunk in client(self.summary_content(url)):
+                if chunk is not None:
+                    yield chunk
+
+        return _stream()
+
+    def summary_extractive(self, url: str, query_tokens: List[str], max_words: int = 30) -> str:
+        """Offline deterministic substitute for the LLM call (no network
+        in this engine's environment): lead-biased extract — fragments of
+        the summary content that contain a query word, first-match order,
+        clipped to ``max_words`` words. Not a reference behavior; an
+        engine-native alternative surfaced behind an explicit flag."""
+        content = self.summary_content(url)
+        if not content:
+            return ""
+        wants = {w.lower() for t in query_tokens for w in t.split(" ")}
+        picked: List[str] = []
+        for frag in content.split("\n"):
+            if not wants or wants.intersection(w.lower() for w in frag.split(" ")):
+                picked.extend(frag.split(" "))
+            if len(picked) >= max_words:
+                break
+        return " ".join(picked[:max_words])
