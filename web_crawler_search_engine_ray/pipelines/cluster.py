@@ -34,6 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..stages.util import empty_guard
 from ..functions.hashing import mix32_batch
 from .corpus import (
     ANN_NUM_QUERIES,
@@ -161,6 +162,7 @@ def _train_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
     return cents
 
 
+@empty_guard("embeddings", vec_id=pa.int64(), cluster_id=pa.int64(), dist2=pa.int64())
 def embedding_kmeans(
     sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> "ray.data.Dataset":
@@ -249,6 +251,7 @@ def lsh_planned_sim_fraction(sf_dir: str) -> float:
     return float(match.sum()) / float(len(q_ids) * len(ids))
 
 
+@empty_guard("embeddings", query_id=pa.int64(), vec_id=pa.int64(), sim_e4=pa.int64())
 def ann_topk_lsh(sf_dir: str) -> "ray.data.Dataset":
     """LSH-bucketed cosine top-k: exact sims computed ONLY for (query,
     vector) pairs whose codes collide in >= 1 of the NT tables; per-batch
@@ -326,6 +329,7 @@ def ann_topk_lsh(sf_dir: str) -> "ray.data.Dataset":
 SEMDEDUP_TAU = 0.45  # shared with the embedding_neardup oracle threshold
 
 
+@empty_guard("embeddings", vec_id=pa.int64())
 def semantic_dedup(sf_dir: str, tau: float = SEMDEDUP_TAU) -> "ray.data.Dataset":
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): k-means
     the embedding space, then remove near-duplicates WITHIN each cluster

@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..stages.util import empty_guard
 from ..functions.hashing import (
     minhash_band_keys,
     minhash_signature,
@@ -101,10 +102,22 @@ def _fixed(x: float, scale: int) -> int:
 
 def collect_table(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a SMALL dataset to one Arrow table (driver-side)."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    if not tables:
-        return pa.Table.from_pylist([], schema=ds.schema().base_schema)
-    return pa.concat_tables(tables)
+    blocks = ray.get(ds.to_arrow_refs())
+    tables = [t for t in blocks if t.num_rows]
+    if tables:
+        return pa.concat_tables(tables)
+    # zero-row result: Dataset.schema() is None when no sampled block had
+    # rows, but the executed empty blocks still carry the output schema —
+    # an empty input table/partition must yield an empty TYPED table, not
+    # a crash (normal state on resumed/skewed runs)
+    if blocks:
+        return blocks[0]
+    schema = ds.schema()
+    return (
+        pa.Table.from_pylist([], schema=schema.base_schema)
+        if schema is not None
+        else pa.table({})
+    )
 
 
 def _dedup_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -219,6 +232,7 @@ def tokens_of(text: str) -> List[str]:
 # ---------------------------------------------------------------------------
 
 
+@empty_guard("documents", token=pa.string(), count=pa.int64())
 def word_frequencies(sf_dir: str) -> "ray.data.Dataset":
     """A1 global word-frequency sum (worker.py:93-97): per-batch Counter
     partials, then ONE manual token-hash exchange — the shuffle carries
@@ -244,6 +258,7 @@ def word_frequencies(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64())
 def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
     """A2 page length per document (worker.py:98)."""
 
@@ -257,6 +272,7 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
 
 
+@empty_guard("documents", token=pa.string(), count=pa.int64())
 def top_words(sf_dir: str, k: int = 50) -> pa.Table:
     """Top-50-words analytic (crawler checkpoint ordering O1,
     crawler/__init__.py:44): global word frequencies sorted count desc /
@@ -270,6 +286,7 @@ def top_words(sf_dir: str, k: int = 50) -> pa.Table:
     return collect_table(ds)
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64())
 def longest_pages(sf_dir: str, k: int = 20) -> pa.Table:
     """Longest-page analytic (A2 + O1, crawler/__init__.py:43): per-doc
     token counts sorted length desc / doc_id asc, top 20."""
@@ -281,6 +298,7 @@ def longest_pages(sf_dir: str, k: int = 20) -> pa.Table:
     return collect_table(ds)
 
 
+@empty_guard("documents", host=pa.string(), n_pages=pa.int64())
 def subdomain_counts(sf_dir: str) -> "ray.data.Dataset":
     """A7 subdomain counting (north-star re-expression target): pages per
     subdomain host over the deterministically constructed URL corpus
@@ -377,6 +395,7 @@ def _session_cache_key(sf_dir: str) -> tuple:
     return (sf_dir, job)
 
 
+@empty_guard("documents", doc_id=pa.int64(), token=pa.string(), tf=pa.int64(), tf_idf=pa.float64())
 def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
     """A4/A5: df per token, idf = ln(N/df), tf_idf = (1 + ln tf)·idf
     rounded to 3 decimals (indexer/__init__.py:192-198); multi-word tokens
@@ -439,6 +458,7 @@ def postings_tfidf(sf_dir: str) -> "ray.data.Dataset":
     return out
 
 
+@empty_guard("documents", doc_id=pa.int64(), score=pa.float64())
 def search_topk(sf_dir: str) -> pa.Table:
     """O3/A6 top-5 search for a fixed unigram query: per-doc score = sum of
     matching tf_idf, summed in exact milli-units so ranking is
@@ -480,6 +500,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+@empty_guard("documents", doc_id=pa.int64(), score_milli=pa.int64())
 def search_topk_bm25(sf_dir: str) -> pa.Table:
     """Okapi BM25 top-5 for the fixed query — the modern ranking
     counterpart to the reference's (1+ln tf)·ln(N/df) scorer, kept as a
@@ -625,6 +646,7 @@ def search_topk_bm25(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_chars=pa.int64(), n_tokens=pa.int64(), n_stopwords=pa.int64(), n_numeric=pa.int64(), n_unique=pa.int64())
 def quality_scores(sf_dir: str) -> "ray.data.Dataset":
     """Quality-signal columns as exact integers (no float ratios → no
     rounding drift): chars, tokens, stopwords, numeric tokens, distinct
@@ -655,6 +677,7 @@ def quality_scores(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
 
 
+@empty_guard("documents", doc_id=pa.int64(), de_hits=pa.int64(), en_hits=pa.int64(), es_hits=pa.int64(), fr_hits=pa.int64(), zh_hits=pa.int64(), pred_lang=pa.string())
 def lang_profile(sf_dir: str) -> "ray.data.Dataset":
     """Stopword-hit language-ID heuristic: per-language hit counts plus the
     argmax (ties broken by language code, ascending)."""
@@ -682,6 +705,7 @@ def lang_profile(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(profile, batch_format="pyarrow")
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_ws_tokens=pa.int64(), n_bpe_tokens=pa.int64())
 def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     pretokenizer (same RE2-compatible pattern as the oracle)."""
@@ -701,6 +725,7 @@ def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
 
 
+@empty_guard("documents", doc_id=pa.int64(), fingerprint=pa.int64())
 def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """F6 32-bit polynomial rolling hash of the raw text per document
     (indexer/worker.py:138-142 arithmetic, vectorized)."""
@@ -724,6 +749,7 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_copies=pa.int64())
 def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
     """Exact dedup: hash-partition on a 128-bit content digest, keep the
     lowest doc_id per group (D2 first-wins made global/deterministic)."""
@@ -1024,6 +1050,7 @@ def _minhash_verified_pairs(sf_dir: str) -> "ray.data.Dataset":
     return out
 
 
+@empty_guard("documents", doc_a=pa.int64(), doc_b=pa.int64(), jaccard_milli=pa.int64())
 def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs (see `_minhash_verified_pairs`)."""
     tbl = collect_table(_minhash_verified_pairs(sf_dir))
@@ -1266,6 +1293,7 @@ def connected_components(
     )
 
 
+@empty_guard("documents", doc_id=pa.int64(), component_id=pa.int64(), keep=pa.int64(), csize=pa.int64())
 def dedup_components(sf_dir: str) -> pa.Table:
     """Near-dup clusters over the documents table: connected components of
     the exact-verified MinHash-LSH pair graph (`_minhash_verified_pairs`),
@@ -1277,6 +1305,7 @@ def dedup_components(sf_dir: str) -> pa.Table:
     return connected_components(pairs)
 
 
+@empty_guard("documents", doc_id=pa.int64(), simhash=pa.int64())
 def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
     """32-bit SimHash (Charikar 2002) with the F6 polynomial token hash so
     the oracle can reproduce it in SQL: bit b set iff
@@ -1310,6 +1339,7 @@ def dedup_simhash(sf_dir: str) -> "ray.data.Dataset":
 SHINGLE_DF_CAP = 64  # hot-shingle df cap for pair emission (see docstring)
 
 
+@empty_guard("documents", doc_a=pa.int64(), doc_b=pa.int64(), jaccard_milli=pa.int64())
 def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.8.
 
@@ -1519,6 +1549,7 @@ def _cosine(q: np.ndarray, m: np.ndarray) -> np.ndarray:
     return dots / (nq[:, None] * nm[None, :])
 
 
+@empty_guard("embeddings", vec_a=pa.int64(), vec_b=pa.int64(), sim_e4=pa.int64())
 def embedding_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
     """Embedding-cosine near-dup: all pairs (a<b) with cosine ≥ threshold.
     One side streams in batches; the other is a broadcast matrix
@@ -1549,6 +1580,7 @@ def embedding_neardup_pairs(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+@empty_guard("embeddings", query_id=pa.int64(), vec_id=pa.int64(), sim_e4=pa.int64())
 def ann_topk_bruteforce(sf_dir: str) -> "ray.data.Dataset":
     """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
     per-batch top-k prune, per-query merge via groupby — the baseline the
@@ -1767,6 +1799,7 @@ def _kmeans_centroids_fp(
     return cents
 
 
+@empty_guard("embeddings", query_id=pa.int64(), vec_id=pa.int64(), sim_e4=pa.int64())
 def ann_topk_ivf_fp(
     sf_dir: str, nlist: int = 16, nprobe: int = 4, iters: int = 1
 ) -> "ray.data.Dataset":
@@ -1896,6 +1929,7 @@ def _build_raw_urls(ids: Sequence[int]) -> List[str]:
     return raws
 
 
+@empty_guard("documents", doc_id=pa.int64(), url_norm=pa.string(), valid=pa.bool_())
 def url_normalize_validate(sf_dir: str) -> "ray.data.Dataset":
     """Exercise normalize (M1) + the validity chain (M4-M8) on URLs
     constructed deterministically from doc_id (the testdata has no URL
@@ -1923,6 +1957,7 @@ def url_normalize_validate(sf_dir: str) -> "ray.data.Dataset":
 # profile by (source, lang) — each with a DuckDB oracle in __ray_entry__.
 
 
+@empty_guard("documents", doc_id=pa.int64(), token=pa.string(), tf_idf=pa.float64(), rank=pa.int64())
 def keyword_topk(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document top-k keywords by tf-idf (the per-doc view of A4's
     scores — what a training-data pipeline tags documents with before
@@ -1998,6 +2033,7 @@ def keyword_topk(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     return bucket_exchange(mat, "kbucket", nbuck, topk)
 
 
+@empty_guard("documents", doc_id=pa.int64())
 def dedup_keep_list(sf_dir: str) -> "ray.data.Dataset":
     """Documents SURVIVING near-dup removal: one doc per MinHash cluster
     (the component min) plus every unclustered doc — the actual output a
@@ -2022,6 +2058,7 @@ def dedup_keep_list(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id"]).map_batches(keep, batch_format="pyarrow")
 
 
+@empty_guard("documents", source=pa.string(), lang=pa.string(), n_docs=pa.int64(), sum_chars=pa.int64(), max_chars=pa.int64())
 def source_stats(sf_dir: str) -> "ray.data.Dataset":
     """Corpus profile per (source, lang): doc count, total/max chars —
     the partition-level accounting report a 100 TB ingest runs first.

@@ -37,6 +37,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..stages.util import empty_guard
 from .corpus import _PAIR_BUCKETS, collect_table
 
 # fixed-point scale for ranks: 10^12 keeps 85*rank well inside int64 even
@@ -363,6 +364,7 @@ def _doc_link_edges(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(gen, batch_format="pyarrow")
 
 
+@empty_guard("documents", doc_id=pa.int64(), token=pa.string(), anchor_tf=pa.int64())
 def anchor_texts(sf_dir: str) -> "ray.data.Dataset":
     """Anchor-text aggregation over the documents link graph — the
     classic in-link relevance signal an indexer folds into a target
@@ -422,6 +424,7 @@ def anchor_texts(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+@empty_guard("documents", doc_id=pa.int64(), rank_fp=pa.int64())
 def link_pagerank(sf_dir: str) -> pa.Table:
     """PageRank over the documents link graph: 3 fixed-point iterations,
     damping 85/100, scale 10^12.  Returns (doc_id, rank_fp) per doc."""
@@ -440,6 +443,7 @@ def link_pagerank(sf_dir: str) -> pa.Table:
 _TRI_BUCKETS = 64
 
 
+@empty_guard("documents", node=pa.int64(), n_triangles=pa.int64())
 def link_triangles(sf_dir: str, n_buckets: int = 0) -> "ray.data.Dataset":
     """Per-node triangle counts over the (undirected) documents link graph
     — the classic 2-round MapReduce triangle algorithm (Suri & Vassilvitskii

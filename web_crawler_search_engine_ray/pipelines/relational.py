@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..stages.util import empty_guard
 from .corpus import collect_table
 
 PRICING_CUTOFF = "1998-09-02"
@@ -54,6 +55,7 @@ def _partial(
     return pa.table(cols)
 
 
+@empty_guard("lineitem", l_returnflag=pa.string(), l_linestatus=pa.string(), sum_qty=pa.float64(), sum_base_price=pa.float64(), sum_disc_price=pa.float64(), sum_charge=pa.float64(), count_order=pa.int64())
 def pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped pricing summary: filter on ship date, vectorized
     derived columns, batch-local combine to 6 partial rows per block,
@@ -137,6 +139,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     return pa.table(out)
 
 
+@empty_guard("customer", "orders", "lineitem", c_custkey=pa.int64(), c_name=pa.string(), revenue=pa.float64(), n_orders=pa.int64())
 def top_customers(sf_dir: str) -> pa.Table:
     """Top-10 customers by total order value: batch-local combine routed
     through ONE manual bucket exchange on custkey (each customer's
@@ -236,6 +239,7 @@ def top_customers(sf_dir: str) -> pa.Table:
     )
 
 
+@empty_guard("events", event_type=pa.string(), hour=pa.timestamp("us"), n_events=pa.int64(), sum_value=pa.float64())
 def events_hourly(sf_dir: str) -> pa.Table:
     """Tumbling-window (hourly) aggregate of the events stream table:
     temporal floor + batch-local combine, then ONE manual hash exchange
@@ -279,6 +283,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
     )
 
 
+@empty_guard("events", user_id=pa.int64(), n_events=pa.int64(), n_purchases=pa.int64(), n_errors=pa.int64(), sum_value=pa.float64())
 def events_user_stats(sf_dir: str) -> pa.Table:
     """Per-user event profile: conditional aggregation as vectorized masks,
     batch-local combine, then ONE manual exchange of partials keyed by
@@ -340,6 +345,7 @@ def events_user_stats(sf_dir: str) -> pa.Table:
     )
 
 
+@empty_guard("part", p_brand=pa.string(), n_parts=pa.int64(), sum_size=pa.int64(), avg_price=pa.float64())
 def brand_part_stats(sf_dir: str) -> pa.Table:
     """Part-catalog profile per brand: batch-local combine to 25 partial
     rows per block, then ONE reduce merges the partials (no AllToAll);
@@ -380,6 +386,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap (µs)
 _ASOF_BUCKETS = 64
 
 
+@empty_guard("events", user_id=pa.int64(), session_start=pa.timestamp("us"), session_end=pa.timestamp("us"), n_events=pa.int64(), sum_value=pa.float64())
 def events_sessions(sf_dir: str) -> "ray.data.Dataset":
     """Session-window aggregate (streaming-window custom operator): per
     user, events sorted by (ts, event_id) split into sessions at >30-min
@@ -443,6 +450,7 @@ def events_sessions(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+@empty_guard("events", event_id=pa.int64(), user_id=pa.int64(), asof_orderkey=pa.int64(), asof_totalprice=pa.float64())
 def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
     """As-of join (custom operator): for every event, the user's most
     recent order with o_orderdate <= ts (ties: max o_orderkey); -1 / 0.0
@@ -555,6 +563,7 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
 ROLL_WINDOW = 5  # current event + 4 preceding
 
 
+@empty_guard("events", event_id=pa.int64(), user_id=pa.int64(), prev_gap_us=pa.int64(), roll_sum_milli=pa.int64())
 def events_rolling(sf_dir: str) -> "ray.data.Dataset":
     """Sliding-window operator (lag + rolling aggregate): per user, events
     ordered by (ts, event_id); each event gets the µs gap to the user's
@@ -606,6 +615,7 @@ Q3_CUTOFF = "1998-06-01"
 Q3_TOPN = 10
 
 
+@empty_guard("customer", "orders", "lineitem", l_orderkey=pa.int64(), revenue_e4=pa.int64(), o_orderdate=pa.timestamp("us"), o_orderpriority=pa.string())
 def shipping_priority(sf_dir: str) -> pa.Table:
     """TPC-H Q3-shaped top-N: revenue of not-yet-shipped lineitems for
     orders of one market segment. Exercises the co-partitioned distributed
@@ -737,6 +747,7 @@ RANGE_WINDOW_DAYS = 3
 RANGE_BAND_DAYS = 16  # band >> window so each order window spans <= 2 bands
 
 
+@empty_guard("orders", o_orderkey=pa.int64(), n_shipped_3d=pa.int64(), sum_qty_milli_3d=pa.int64())
 def order_shipments_window(sf_dir: str) -> "ray.data.Dataset":
     """Range join (non-equi, time-interval): for every order, count and
     sum the quantity of ALL lineitems shipped in (o_orderdate,
@@ -882,6 +893,7 @@ BLOOM_SALT = 5005
 BLOOM_PRICE_CUT = 400000.0
 
 
+@empty_guard("orders", "lineitem", l_returnflag=pa.string(), n_candidates=pa.int64(), n_matched=pa.int64(), sum_qty_milli=pa.int64())
 def lineitem_bloom_semijoin(sf_dir: str) -> pa.Table:
     """Semi-join lineitem against high-value orders through a broadcast
     Bloom filter, the classic shuffle-avoidance pattern for big⋈small at
@@ -994,6 +1006,7 @@ _FUNNEL_STAGES = ("view", "click", "purchase")
 _FUNNEL_BUCKETS = 64
 
 
+@empty_guard("events", stage=pa.int64(), n_users=pa.int64())
 def events_funnel(sf_dir: str) -> pa.Table:
     """Conversion-funnel analysis (view → click → purchase): per user, the
     furthest stage reached with STRICTLY increasing timestamps between
@@ -1101,6 +1114,7 @@ def events_funnel(sf_dir: str) -> pa.Table:
 _ANTI_BUCKETS = 64
 
 
+@empty_guard("orders", o_orderkey=pa.int64(), o_custkey=pa.int64())
 def orders_no_returns(sf_dir: str) -> "ray.data.Dataset":
     """Distributed ANTI-join: orders with NO returned ('R') lineitem —
     the left-anti member of the join family (inner = shipping_priority's
@@ -1168,6 +1182,17 @@ def orders_no_returns(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# ROLLUP emits its grand-total cell even over zero rows (SQL semantics)
+@empty_guard(
+    "lineitem",
+    _rows=[
+        {"l_returnflag": "ALL", "l_linestatus": "ALL", "sum_qty_milli": None, "n_rows": 0}
+    ],
+    l_returnflag=pa.string(),
+    l_linestatus=pa.string(),
+    sum_qty_milli=pa.int64(),
+    n_rows=pa.int64(),
+)
 def pricing_rollup(sf_dir: str) -> pa.Table:
     """ROLLUP / grouping-sets aggregate: quantity and row counts at three
     levels — (returnflag, linestatus), (returnflag, ALL), (ALL, ALL) —
@@ -1235,6 +1260,7 @@ def pricing_rollup(sf_dir: str) -> pa.Table:
     )
 
 
+@empty_guard("events", prev_type=pa.string(), next_type=pa.string(), n_transitions=pa.int64())
 def event_transitions(sf_dir: str) -> pa.Table:
     """Markov transition counts over the event stream: for each user, the
     (previous event_type → next event_type) bigram along (ts, event_id)

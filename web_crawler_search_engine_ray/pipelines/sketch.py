@@ -43,6 +43,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..stages.util import empty_guard
 from ..functions.hashing import mix32_batch
 from .corpus import collect_table
 
@@ -80,6 +81,7 @@ def _table_rows(sf_dir: str, table: str) -> int:
 # --- deterministic Bernoulli sample -----------------------------------------
 
 
+@empty_guard("lineitem", l_orderkey=pa.int64(), l_linenumber=pa.int32(), l_quantity=pa.float64(), l_extendedprice=pa.float64())
 def sample_lineitem(sf_dir: str) -> "ray.data.Dataset":
     """~10% deterministic sample of lineitem keyed on (orderkey, linenumber).
 
@@ -107,6 +109,7 @@ STRATA_DEFAULT_KEEP = 5
 STRATA_SALT = 424242
 
 
+@empty_guard("events", event_id=pa.int64(), event_type=pa.string(), user_id=pa.int64(), value=pa.float64())
 def stratified_sample_events(sf_dir: str) -> "ray.data.Dataset":
     """Stratified deterministic sample of events: rare/valuable strata
     (purchases, errors) keep a high rate, the bulk keeps 5%. Same
@@ -136,6 +139,7 @@ def stratified_sample_events(sf_dir: str) -> "ray.data.Dataset":
 _QUANTILES = ((1, 2, "p50_milli"), (9, 10, "p90_milli"), (99, 100, "p99_milli"))
 
 
+@empty_guard("events", event_type=pa.string(), n_events=pa.int64(), p50_milli=pa.int64(), p90_milli=pa.int64(), p99_milli=pa.int64())
 def value_percentiles(sf_dir: str) -> pa.Table:
     """Exact discrete p50/p90/p99 of events.value per event_type.
 
@@ -275,6 +279,7 @@ def _topk_rows(t: pa.Table, k: int, emit_rank: bool) -> pa.Table:
     return pa.table(cols)
 
 
+@empty_guard("lineitem", l_suppkey=pa.int64(), l_orderkey=pa.int64(), l_linenumber=pa.int32(), l_extendedprice=pa.float64(), rk=pa.int64())
 def supplier_topk(sf_dir: str) -> "ray.data.Dataset":
     """Top-3 lineitems by extended price per supplier (ties broken by
     (orderkey, linenumber) — the SQL row_number order). Batch-local top-k
@@ -306,6 +311,7 @@ CMS_SALT = 7707  # row-d hash = mix32(key, CMS_SALT + d)
 CMS_THRESHOLD = 620  # report keys whose CMS estimate >= threshold
 
 
+@empty_guard("lineitem", l_suppkey=pa.int64(), n_exact=pa.int64(), n_cms=pa.int64())
 def heavy_hitters_cms(sf_dir: str) -> pa.Table:
     """Count-Min-sketch heavy hitters over ``lineitem.l_suppkey``.
 
@@ -481,6 +487,7 @@ def hll_estimate(s_scaled: int, n_zero_regs: int) -> int:
     return int(math.floor(e + 0.5))
 
 
+@empty_guard("events", event_type=pa.string(), n_exact=pa.int64(), n_hll=pa.int64())
 def distinct_users_hll(sf_dir: str) -> pa.Table:
     """Exact vs HyperLogLog distinct user_id per event_type.
 

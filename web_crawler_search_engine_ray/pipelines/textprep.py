@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..stages.util import empty_guard
 from .corpus import _TOK_RE, _docs
 
 __all__ = [
@@ -66,6 +67,7 @@ def _contact_line(doc_id: int) -> str:
     )
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_emails=pa.int64(), n_phones=pa.int64(), n_ips=pa.int64(), redacted=pa.string())
 def pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """Scrub emails/phones/IPv4 from (augmented) document text; emit
     per-doc match counts and the redacted text."""
@@ -104,6 +106,7 @@ GATE_MAX_MWL_MILLI = 10_000
 GATE_MAX_TOP_MILLI = 250  # most common token <= 25% of tokens
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_words=pa.int64(), n_distinct=pa.int64(), top_tok_count=pa.int64(), sum_word_len=pa.int64(), mean_word_len_milli=pa.int64(), top_frac_milli=pa.int64(), passes_gate=pa.bool_())
 def quality_gopher(sf_dir: str) -> "ray.data.Dataset":
     """Repetition/length quality signals + keep/drop gate per document."""
 
@@ -172,6 +175,7 @@ def _decon_grams(text: str) -> set:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_grams=pa.int64(), n_overlap=pa.int64(), contaminated=pa.int64())
 def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     """Training-set decontamination (the eval-overlap gate every LLM data
     pipeline runs before training — e.g. GPT-3 appendix C / Gopher):
@@ -256,6 +260,7 @@ def _dupspan_augment(doc_id: int, text: str) -> str:
     return text + DUPSPAN_CANARY if doc_id % DUPSPAN_MOD == 2 else text
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_windows=pa.int64(), n_dup_windows=pa.int64(), dup_frac_milli=pa.int64(), max_dup_run=pa.int64(), longest_dup_span=pa.int64())
 def dup_substring_spans(sf_dir: str) -> "ray.data.Dataset":
     """Per-document duplicated-substring spans: for every document that
     shares at least one DUPSPAN_W-token window VERBATIM with another
@@ -407,6 +412,7 @@ PACK_CAPACITY = 256  # tokens per training sequence (2048/4096 in practice;
 #                      256 makes the ~54-token synthetic docs span packs)
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64(), start_offset=pa.int64(), pack_id=pa.int64(), end_pack=pa.int64(), n_packs_spanned=pa.int64())
 def sequence_pack(sf_dir: str) -> "ray.data.Dataset":
     """Assign every document its byte-exact place in the packed training
     stream: concatenation order is doc_id ascending; each doc occupies
@@ -518,6 +524,7 @@ def _mix_weight(src_idx: "np.ndarray") -> "np.ndarray":
     return 1 + (src_idx % 4)
 
 
+@empty_guard("documents", doc_id=pa.int64(), source=pa.string(), seq=pa.int64(), vt=pa.int64(), slot=pa.int64())
 def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic weighted interleave of the per-source document
     streams into ONE training-stream order (the HF
@@ -644,6 +651,7 @@ def interleave_mix(sf_dir: str) -> "ray.data.Dataset":
 SHUFFLE_SEED = 20177  # the trainer's shuffle seed; replayed by the oracle
 
 
+@empty_guard("documents", doc_id=pa.int64(), shuffle_key=pa.int64(), pos=pa.int64())
 def shuffle_order(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic seeded GLOBAL SHUFFLE of the document stream — the
     reproducible training-order permutation a trainer applies before
@@ -734,6 +742,7 @@ DSIR_SEL_MILLI = 392  # selected iff mean per-bigram weight >= 0.392 (between
 #                       the target-lang 25th pct and the rest's 75th at sf0.001)
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_bigrams=pa.int64(), score_milli=pa.int64(), selected=pa.bool_())
 def dsir_select(sf_dir: str) -> "ray.data.Dataset":
     """Data Selection with Importance Resampling (DSIR, Xie et al. 2023),
     integer-exact: score every document by how much its hashed-bigram
@@ -852,6 +861,7 @@ def dsir_select(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64(), start_offset=pa.int64(), pack_id=pa.int64(), end_pack=pa.int64())
 def sequence_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
     """The composed training-stream pipeline: documents are packed into
     fixed-capacity token windows in the SEEDED-SHUFFLE order (the

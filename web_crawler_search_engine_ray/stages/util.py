@@ -495,3 +495,45 @@ def split_prefix_zip(
         dataset_from_known_refs(out_refs, out_counts, schema) if out_refs else None
     )
     return prefix_ds, total, rest_refs
+
+
+def sf_table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — free, known before any read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
+def empty_guard(*tables: str, _rows: Optional[list] = None, **out_cols):
+    """Short-circuit an ``fn(sf_dir, ...)`` query when any listed input
+    table has zero rows: return the query's TYPED empty result (or the
+    literal ``_rows`` — e.g. a global aggregate's zeros row) instead of
+    running the pipeline.
+
+    Ray Data drops zero-row parquet blocks entirely — the read yields
+    column-less blocks, map UDFs never execute on them, and every
+    downstream ``batch.column(...)`` or final schema vanishes — so an
+    empty table/partition (a normal state on resumed or skew-filtered
+    100 TB runs) cannot be typed mid-pipeline. The head guard is the
+    contract: empty input in → the same typed result the query's SQL
+    oracle produces on empty views. Pinned per query by
+    tests/test_empty_inputs.py.
+    """
+    import functools
+
+    schema = pa.schema([(k, t) for k, t in out_cols.items()])
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(sf_dir, *args, **kwargs):
+            if any(sf_table_rows(sf_dir, t) == 0 for t in tables):
+                if _rows is not None:
+                    return pa.Table.from_pylist(_rows, schema=schema)
+                return schema.empty_table()
+            return fn(sf_dir, *args, **kwargs)
+
+        return wrapper
+
+    return deco
