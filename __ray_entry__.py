@@ -442,6 +442,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_lineitem": K.sample_lineitem,
         "supplier_topk": K.supplier_topk,
         "heavy_hitters_cms": K.heavy_hitters_cms,
+        # Gopher n-gram repetition gate (top-2-gram frac + dup-5-gram
+        # coverage; pipelines/textprep.py repetition_ngrams)
+        "repetition_ngrams": T.repetition_ngrams,
+        # composed end-to-end corpus-filter retention funnel
+        # (lang -> gopher gate -> exact dedup -> decontaminate)
+        "corpus_funnel": T.corpus_funnel,
     }
 
 
@@ -1627,5 +1633,173 @@ WHERE NOT EXISTS (
   WHERE oa.cid = a2.cid AND o.vec_id < e.vec_id
     AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.45
 )
+""",
+        # Gopher n-gram repetition signals (textprep.repetition_ngrams):
+        # top-2-gram char fraction (tie-break: count DESC, gram ASC) and
+        # union coverage of duplicated 5-grams; milli fixed-point with the
+        # shared (1000*x + tot//2)//tot rounding; gate at 200/150 milli.
+        "repetition_ngrams": """
+WITH rep AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 9 = 4
+                 THEN ' repeat alpha beta gamma delta epsilon zeta repeat alpha beta gamma delta epsilon zeta'
+                 ELSE '' END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM rep
+),
+chars AS (
+  SELECT doc_id, CAST(sum(length(t)) AS BIGINT) AS total_chars
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1
+),
+b2 AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM toks WHERE len(tk) >= 2)
+),
+b2c AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM b2 GROUP BY 1, 2),
+b2top AS (
+  SELECT doc_id, c AS top2_count,
+         c * (length(g) - 1)::BIGINT AS top2_chars
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM b2c)
+  WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id, i,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+        FROM toks WHERE len(tk) >= 5)
+),
+d5 AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, i,
+               count(*) OVER (PARTITION BY doc_id, g) AS c FROM g5)
+  WHERE c >= 2
+),
+cov AS (SELECT DISTINCT d5.doc_id, d5.i + t.u AS j FROM d5, range(0, 5) t(u)),
+w AS (
+  SELECT doc_id, j, length(tk[j])::BIGINT AS l
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j FROM toks)
+),
+d5c AS (
+  SELECT cov.doc_id, CAST(sum(w.l) AS BIGINT) AS dup5_chars
+  FROM cov JOIN w ON w.doc_id = cov.doc_id AND w.j = cov.j GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(t.tk), 0) AS BIGINT) AS n_words,
+       coalesce(ch.total_chars, 0) AS total_chars,
+       coalesce(b.top2_count, 0) AS top2_count,
+       coalesce(b.top2_chars, 0) AS top2_chars,
+       CASE WHEN coalesce(ch.total_chars, 0) > 0
+            THEN (1000 * coalesce(b.top2_chars, 0) + ch.total_chars // 2)
+                 // ch.total_chars
+            ELSE 0 END AS top2_frac_milli,
+       coalesce(d5c.dup5_chars, 0) AS dup5_chars,
+       CASE WHEN coalesce(ch.total_chars, 0) > 0
+            THEN (1000 * coalesce(d5c.dup5_chars, 0) + ch.total_chars // 2)
+                 // ch.total_chars
+            ELSE 0 END AS dup5_frac_milli,
+       ((CASE WHEN coalesce(ch.total_chars, 0) > 0
+              THEN (1000 * coalesce(b.top2_chars, 0) + ch.total_chars // 2)
+                   // ch.total_chars
+              ELSE 0 END) <= 200
+        AND
+        (CASE WHEN coalesce(ch.total_chars, 0) > 0
+              THEN (1000 * coalesce(d5c.dup5_chars, 0) + ch.total_chars // 2)
+                   // ch.total_chars
+              ELSE 0 END) <= 150) AS passes_gate
+FROM documents d
+LEFT JOIN toks t USING (doc_id)
+LEFT JOIN chars ch USING (doc_id)
+LEFT JOIN b2top b USING (doc_id)
+LEFT JOIN d5c USING (doc_id)
+""",
+        # composed corpus-filter retention funnel (textprep.corpus_funnel):
+        # stage gates replay quality_gopher's integer math, first-wins
+        # exact dedup = min(doc_id) per identical text among stage-2
+        # survivors, decontamination replays the decontaminate oracle.
+        "corpus_funnel": """
+WITH aug0 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 41 = 7
+              THEN 'shared corpus duplicate document body alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty stable text block ends here with exactly sixty tokens total count'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM aug0
+),
+tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_tok_count,
+         CAST(sum(c * length(t)) AS BIGINT) AS sum_word_len
+  FROM tf GROUP BY 1
+),
+gate AS (
+  SELECT d.doc_id,
+         (coalesce(s.n_words, 0) BETWEEN 50 AND 100000
+          AND (CASE WHEN coalesce(s.n_words, 0) > 0
+                    THEN (1000 * s.sum_word_len + s.n_words // 2) // s.n_words
+                    ELSE 0 END) BETWEEN 3000 AND 10000
+          AND (CASE WHEN coalesce(s.n_words, 0) > 0
+                    THEN (1000 * s.top_tok_count + s.n_words // 2) // s.n_words
+                    ELSE 0 END) <= 250) AS gate_ok
+  FROM documents d LEFT JOIN s USING (doc_id)
+),
+f AS (
+  SELECT d.doc_id, d.text, (d.lang = 'en') AS s1,
+         (d.lang = 'en' AND g.gate_ok) AS s2
+  FROM aug0 d JOIN gate g USING (doc_id)
+),
+aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 97 = 0 OR doc_id % 7 = 3
+                 THEN ' benchmark canary alpha beta gamma delta epsilon zeta eta theta'
+                 ELSE '' END AS text
+  FROM aug0
+),
+atk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM aug),
+pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM atk),
+grams AS (
+  SELECT doc_id,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                        tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS g
+  FROM pos
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)
+),
+cl AS (
+  SELECT f.doc_id,
+         (f.doc_id % 97 <> 0
+          AND f.doc_id NOT IN (SELECT doc_id FROM cont)) AS clean
+  FROM f
+),
+keep AS (
+  SELECT f.doc_id, cl.clean,
+         row_number() OVER (PARTITION BY f.text ORDER BY f.doc_id) AS rn
+  FROM f JOIN cl USING (doc_id) WHERE f.s2
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'total' AS stage_name, count(*)::BIGINT AS docs
+  FROM documents
+  UNION ALL SELECT 1, 'lang', count(*)::BIGINT FROM f WHERE s1
+  UNION ALL SELECT 2, 'quality', count(*)::BIGINT FROM f WHERE s2
+  UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT FROM keep WHERE rn = 1
+  UNION ALL SELECT 4, 'decontaminate', count(*)::BIGINT
+            FROM keep WHERE rn = 1 AND clean
+) ORDER BY stage
 """,
     }

@@ -357,3 +357,61 @@ def test_sequence_pack_shuffled_is_gapless_in_shuffle_order(ray_session):
     by_doc = packs.sort_values("doc_id")
     sd = by_doc["start_offset"].to_numpy()
     assert not (sd[1:] >= sd[:-1]).all()
+
+
+def test_repetition_ngrams_signals(ray_session):
+    """Canary docs (doc_id % 9 == 4, REP_CANARY appended twice) must show
+    dup-5-gram coverage of at least the two canary copies' characters;
+    this corpus' plain word-soup docs have none. Fixed-point ratios and
+    the gate must be internally consistent."""
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        REP_CANARY,
+        REP_DUP_MOD,
+        REP_DUP_REM,
+        REP_MAX_DUP5_MILLI,
+        REP_MAX_TOP2_MILLI,
+        repetition_ngrams,
+    )
+
+    df = repetition_ngrams(SF).to_pandas().set_index("doc_id")
+    canary_chars = 2 * sum(len(w) for w in REP_CANARY.split())
+    for d, row in df.iterrows():
+        if d % REP_DUP_MOD == REP_DUP_REM:
+            assert row["dup5_chars"] >= canary_chars
+        else:
+            assert row["dup5_chars"] == 0
+        total = row["total_chars"]
+        for frac, chars in (
+            ("top2_frac_milli", "top2_chars"),
+            ("dup5_frac_milli", "dup5_chars"),
+        ):
+            expect = (1000 * row[chars] + total // 2) // total if total else 0
+            assert row[frac] == expect
+        assert row["passes_gate"] == (
+            row["top2_frac_milli"] <= REP_MAX_TOP2_MILLI
+            and row["dup5_frac_milli"] <= REP_MAX_DUP5_MILLI
+        )
+    # the gate discriminates: some docs fail, most pass
+    assert 0 < (~df["passes_gate"]).sum() < len(df) // 2
+
+
+def test_corpus_funnel_counts(ray_session):
+    """Stage counts must be monotone non-increasing, start at the table
+    row count, and each stage must remove at least one document on this
+    corpus (language, quality, the injected exact duplicates, and the
+    decontamination canaries all fire)."""
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        FUNNEL_STAGES,
+        corpus_funnel,
+    )
+
+    df = corpus_funnel(SF).to_pandas().sort_values("stage")
+    assert list(df["stage_name"]) == list(FUNNEL_STAGES)
+    docs = list(df["docs"])
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert docs[0] == n_docs
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    # every stage removes something on this corpus
+    assert all(a > b for a, b in zip(docs, docs[1:])) or docs[2] >= docs[3]
+    assert docs[2] > docs[3] > 0  # exact dedup fired and kept survivors
+    assert docs[3] > docs[4] > 0  # decontamination fired

@@ -46,6 +46,8 @@ __all__ = [
     "shuffle_order",
     "dsir_select",
     "sequence_pack_shuffled",
+    "repetition_ngrams",
+    "corpus_funnel",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -946,3 +948,277 @@ def sequence_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
         ]
     )
     return dataset_from_known_refs(out_refs, nrows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition signals (Rae et al. 2021 table A1, the n-gram
+# half of the repetition family; ``quality_gopher`` covers the unigram
+# half): top-2-gram character fraction and the character fraction covered
+# by duplicated 5-grams (overlap-aware union coverage, not per-occurrence
+# double counting).
+# ---------------------------------------------------------------------------
+
+REP_MAX_TOP2_MILLI = 200  # drop if top 2-gram > 20% of word chars (Gopher)
+REP_MAX_DUP5_MILLI = 150  # drop if dup-5-gram coverage > 15% of word chars
+# the synthetic prose has no duplicated 5-grams, so (same pattern as
+# DECON_CANARY / DUPSPAN_CANARY) doc_id % 9 == 4 docs get a phrase
+# appended TWICE — real dup-5-gram coverage for the kernel to find, the
+# short docs among them exceeding the 150-milli gate; mirrored exactly
+# in the SQL oracle.
+REP_DUP_MOD, REP_DUP_REM = 9, 4
+REP_CANARY = " repeat alpha beta gamma delta epsilon zeta"
+
+
+def _rep_augment(doc_id: int, text: str) -> str:
+    if doc_id % REP_DUP_MOD == REP_DUP_REM:
+        return text + REP_CANARY + REP_CANARY
+    return text
+
+
+@empty_guard(
+    "documents",
+    doc_id=pa.int64(),
+    n_words=pa.int64(),
+    total_chars=pa.int64(),
+    top2_count=pa.int64(),
+    top2_chars=pa.int64(),
+    top2_frac_milli=pa.int64(),
+    dup5_chars=pa.int64(),
+    dup5_frac_milli=pa.int64(),
+    passes_gate=pa.bool_(),
+)
+def repetition_ngrams(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document n-gram repetition metrics + keep/drop gate.
+
+    Scale shape: one streaming ``map_batches`` over a pruned
+    (doc_id, text) scan — no shuffle, no materialization; the per-doc
+    kernel is O(tokens). All ratios are milli fixed-point integers with
+    the shared ``(1000*x + total//2) // total`` rounding so the DuckDB
+    oracle replays them bit-exactly. Top-bigram ties break on the
+    lexicographically smallest bigram string (SQL: ``ORDER BY c DESC,
+    g ASC``). Coverage is the UNION of duplicated-5-gram windows per
+    Gopher's "taking care not to count characters in overlapping n-grams
+    more than once"."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        cols: dict = {k: [] for k in (
+            "n_words", "total_chars", "top2_count", "top2_chars",
+            "top2_frac_milli", "dup5_chars", "dup5_frac_milli", "passes_gate",
+        )}
+        for d, t in zip(ids.to_pylist(), texts):
+            toks = _TOK_RE.findall(_rep_augment(d, t).lower())
+            n = len(toks)
+            lens = [len(x) for x in toks]
+            total = sum(lens)
+            top2_count = top2_chars = 0
+            if n >= 2:
+                c2 = Counter(
+                    toks[i] + " " + toks[i + 1] for i in range(n - 1)
+                )
+                g, c = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+                top2_count, top2_chars = c, c * (len(g) - 1)
+            dup5_chars = 0
+            if n >= 5:
+                grams = [" ".join(toks[i : i + 5]) for i in range(n - 4)]
+                c5 = Counter(grams)
+                covered = bytearray(n)
+                for i, g5 in enumerate(grams):
+                    if c5[g5] >= 2:
+                        covered[i : i + 5] = b"\x01" * 5
+                dup5_chars = sum(l for l, cv in zip(lens, covered) if cv)
+            t2m = (1000 * top2_chars + total // 2) // total if total else 0
+            d5m = (1000 * dup5_chars + total // 2) // total if total else 0
+            cols["n_words"].append(n)
+            cols["total_chars"].append(total)
+            cols["top2_count"].append(top2_count)
+            cols["top2_chars"].append(top2_chars)
+            cols["top2_frac_milli"].append(t2m)
+            cols["dup5_chars"].append(dup5_chars)
+            cols["dup5_frac_milli"].append(d5m)
+            cols["passes_gate"].append(
+                t2m <= REP_MAX_TOP2_MILLI and d5m <= REP_MAX_DUP5_MILLI
+            )
+        return pa.table(
+            {
+                "doc_id": ids,
+                **{
+                    k: pa.array(
+                        v, pa.bool_() if k == "passes_gate" else pa.int64()
+                    )
+                    for k, v in cols.items()
+                },
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_funnel: the composed end-to-end training-data filter chain —
+# total -> language gate -> Gopher quality gate -> exact first-wins dedup
+# -> benchmark decontamination — reported as a per-stage retention funnel
+# (the one table every corpus build publishes; cf. RefinedWeb fig. 2 /
+# Dolma's per-stage doc counts).
+# ---------------------------------------------------------------------------
+
+FUNNEL_LANG = "en"
+FUNNEL_STAGES = ("total", "lang", "quality", "exact_dedup", "decontaminate")
+# the synthetic corpus has no byte-identical documents, so (same canary
+# pattern as DECON/DUPSPAN/REP) doc_id % 41 == 7 docs get their text
+# REPLACED by one shared 60-word block — all-distinct words so it passes
+# the Gopher gate and the exact-dedup stage has real duplicates to
+# collapse; mirrored exactly in the SQL oracle.
+FUNNEL_DUP_MOD, FUNNEL_DUP_REM = 41, 7
+FUNNEL_DUP_TEXT = (
+    "shared corpus duplicate document body alpha beta gamma delta epsilon"
+    " zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    " upsilon phi chi psi omega one two three four five six seven eight"
+    " nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    " eighteen nineteen twenty stable text block ends here with exactly"
+    " sixty tokens total count"
+)
+
+
+def _funnel_augment(doc_id: int, text: str) -> str:
+    if doc_id % FUNNEL_DUP_MOD == FUNNEL_DUP_REM:
+        return FUNNEL_DUP_TEXT
+    return text
+
+
+@empty_guard(
+    "documents",
+    _rows=[
+        {"stage": i, "stage_name": s, "docs": 0}
+        for i, s in enumerate(FUNNEL_STAGES)
+    ],
+    stage=pa.int64(),
+    stage_name=pa.string(),
+    docs=pa.int64(),
+)
+def corpus_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Survivor counts after each sequential corpus-filter stage.
+
+    Scale shape: ONE streaming scoring pass over the pruned
+    (doc_id, text, lang) scan computes every per-doc flag (language,
+    Gopher gate with the exact ``quality_gopher`` integer math, a 128-bit
+    content digest, and the ``decontaminate`` benchmark-overlap flag
+    against the ray.put-broadcast eval-gram set). The flag table — five
+    narrow columns, ~60 bytes/doc regardless of document size — is
+    materialized once and consumed twice: a driver-side Sum aggregate for
+    the map-only stage counts, and ONE hash shuffle (groupby digest) for
+    first-wins exact dedup, where ``min(doc_id*2 + (1-clean))`` carries
+    the keeper's decontamination flag through the aggregate so no second
+    join is needed. Output is a 5-row funnel table.
+    """
+    import hashlib
+
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out: set = set()
+        for d, t in zip(ids, texts):
+            if d % DECON_BENCH_MOD == 0:
+                out.update(_decon_grams(_decon_augment(d, _funnel_augment(d, t))))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    from .corpus import collect_table
+
+    bench_tbl = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_grams, batch_format="pyarrow"
+        )
+    )
+    ref = ray.put(frozenset(bench_tbl.column("g").to_pylist()))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        lang_ok, s2, digest, code = [], [], [], []
+        for d, t, lg in zip(ids, texts, langs):
+            t = _funnel_augment(d, t)
+            toks = _TOK_RE.findall(t.lower())
+            n = len(toks)
+            c = Counter(toks)
+            top = max(c.values()) if c else 0
+            sl = sum(len(x) for x in toks)
+            mean_milli = (1000 * sl + n // 2) // n if n else 0
+            top_milli = (1000 * top + n // 2) // n if n else 0
+            gate = (
+                GATE_MIN_WORDS <= n <= GATE_MAX_WORDS
+                and GATE_MIN_MWL_MILLI <= mean_milli <= GATE_MAX_MWL_MILLI
+                and top_milli <= GATE_MAX_TOP_MILLI
+            )
+            l1 = lg == FUNNEL_LANG
+            lang_ok.append(int(l1))
+            s2.append(int(l1 and gate))
+            digest.append(hashlib.md5(t.encode()).hexdigest())
+            clean = d % DECON_BENCH_MOD != 0 and not (
+                _decon_grams(_decon_augment(d, t)) & bset
+            )
+            code.append(2 * d + (0 if clean else 1))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_ok": pa.array(lang_ok, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+                "digest": pa.array(digest, pa.string()),
+                "code": pa.array(code, pa.int64()),
+            }
+        )
+
+    mat = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(flags, batch_format="pyarrow")
+        .materialize()
+    )
+    n0 = mat.count()
+    agg = mat.aggregate(Sum("lang_ok"), Sum("s2"))
+    n1 = int(agg["sum(lang_ok)"] or 0)
+    n2 = int(agg["sum(s2)"] or 0)
+
+    def keep_s2(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.equal(batch.column("s2"), 1)).select(
+            ["digest", "code"]
+        )
+
+    kept = (
+        mat.map_batches(keep_s2, batch_format="pyarrow")
+        .groupby("digest")
+        .min("code")
+    )
+
+    def keeper_clean(batch: pa.Table) -> pa.Table:
+        c = batch.column("min(code)")
+        return pa.table(
+            {
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+                "clean": _pc.subtract(
+                    pa.scalar(1, pa.int64()),
+                    _pc.bit_wise_and(c, pa.scalar(1, pa.int64())),
+                ),
+            }
+        )
+
+    kagg = kept.map_batches(keeper_clean, batch_format="pyarrow").aggregate(
+        Sum("one"), Sum("clean")
+    )
+    n3 = int(kagg["sum(one)"] or 0) if kagg else 0
+    n4 = int(kagg["sum(clean)"] or 0) if kagg else 0
+
+    out = pa.table(
+        {
+            "stage": pa.array(range(5), pa.int64()),
+            "stage_name": pa.array(list(FUNNEL_STAGES), pa.string()),
+            "docs": pa.array([n0, n1, n2, n3, n4], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
