@@ -227,6 +227,8 @@ def _bench_queries(sf_dir: str) -> dict:
         ("dedup_keep_list", C.dedup_keep_list),
         ("source_stats", C.source_stats),
         ("event_transitions", R.event_transitions),
+        ("repetition_ngrams", T.repetition_ngrams),
+        ("corpus_funnel", T.corpus_funnel),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
