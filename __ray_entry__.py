@@ -240,6 +240,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def crawl_page_lengths(sf_dir: str) -> Any:
         return _conf_crawl(sf_dir)["crawl"].page_lengths()
 
+    def crawl_politeness(sf_dir: str) -> Any:
+        """Per-host politeness audit over the conformance crawl lineage:
+        minimum inter-fetch virtual-time gap per host (hosts with >= 2
+        fetches), milli fixed-point, plus the >=500ms-floor flag — the
+        reference's frontier invariant (`web_crawler/crawler/frontier.py:
+        121-133`, elapsed >= max(crawl_delay, POLITENESS)) surfaced as
+        driver-hashable DATA and replayed by the unrolled SQL wave loop.
+        Distributed shape: one groupby(host) over two pruned lineage
+        columns; the per-group kernel is a sort + vectorized diff."""
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("host", pa.string()),
+                ("n_fetches", pa.int64()),
+                ("min_gap_milli", pa.int64()),
+                ("meets_floor", pa.bool_()),
+            ]
+        )
+        lin = _conf_crawl(sf_dir)["crawl"].lineage()
+
+        def gaps(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows < 2:
+                return schema.empty_table()
+            ts = np.sort(
+                tbl.column("virtual_ts").to_numpy(zero_copy_only=False)
+            )
+            mg = int(np.floor(1000.0 * float(np.min(np.diff(ts))) + 0.5))
+            return pa.table(
+                {
+                    "host": pa.array([tbl.column("host")[0].as_py()]),
+                    "n_fetches": pa.array([tbl.num_rows], pa.int64()),
+                    "min_gap_milli": pa.array([mg], pa.int64()),
+                    "meets_floor": pa.array([mg >= 500], pa.bool_()),
+                },
+                schema=schema,
+            )
+
+        if lin.count() == 0:
+            return schema.empty_table()
+        grouped = (
+            lin.select_columns(["host", "virtual_ts"])
+            .groupby("host")
+            .map_groups(gaps, batch_format="pyarrow")
+        )
+        # all-singleton-host crawls yield only zero-row blocks, whose
+        # schema Ray drops — pin the typed empty result instead (the
+        # empty_guard convention: a typed pa.Table)
+        if grouped.count() == 0:
+            return schema.empty_table()
+        return grouped
+
     def index_postings(sf_dir: str) -> Any:
         import ray.data
 
@@ -448,6 +501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed end-to-end corpus-filter retention funnel
         # (lang -> gopher gate -> exact dedup -> decontaminate)
         "corpus_funnel": T.corpus_funnel,
+        # per-host politeness-floor audit over the conformance crawl
+        "crawl_politeness": crawl_politeness,
     }
 
 
@@ -1331,6 +1386,23 @@ FROM per p JOIN mr m USING (doc_id)
         "crawl_lineage": _CSQL.CRAWL_LINEAGE_SQL,
         "crawl_frequencies": _CSQL.CRAWL_FREQUENCIES_SQL,
         "crawl_page_lengths": _CSQL.CRAWL_PAGE_LENGTHS_SQL,
+        # per-host min inter-fetch gap over the replayed lineage; rounding
+        # after min() ≡ engine's min of rounded gaps (floor(1000x+.5) is
+        # non-decreasing, so it commutes with min)
+        "crawl_politeness": _CSQL.lineage_with()
+        + """
+SELECT host, (count(*) + 1)::BIGINT AS n_fetches,
+       CAST(floor(1000 * min(gap) + 0.5) AS BIGINT) AS min_gap_milli,
+       (floor(1000 * min(gap) + 0.5) >= 500) AS meets_floor
+FROM (
+  SELECT host, seq,
+         virtual_ts - lag(virtual_ts) OVER (
+           PARTITION BY host ORDER BY virtual_ts, seq) AS gap
+  FROM lin
+)
+WHERE gap IS NOT NULL
+GROUP BY host
+""",
         "index_postings": _CSQL.INDEX_POSTINGS_SQL,
         "search_results": _CSQL.SEARCH_RESULTS_SQL,
         "search_contexts": _CSQL.SEARCH_CONTEXTS_SQL,
