@@ -76,3 +76,21 @@ def test_conf_crawl_matches_sql_replay(conf_crawl):
     assert list(sql["url"]) == list(eng["url"])
     assert list(sql["wave"]) == list(eng["wave"])
     assert (abs(sql["virtual_ts"].to_numpy() - eng["virtual_ts"].to_numpy()) < 1e-12).all()
+
+
+def test_conf_crawl_politeness_floor(conf_crawl):
+    """The politeness INVARIANT itself (not just oracle parity): every
+    host's consecutive fetches are spaced >= max(robots crawl_delay,
+    POLITENESS) in virtual time — the reference's frontier.py:121-133
+    guarantee."""
+    import numpy as np
+
+    _, out = conf_crawl
+    lin = out.lineage().to_pandas()
+    cfg = conf_config()
+    for host, grp in lin.groupby("host"):
+        ts = np.sort(grp["virtual_ts"].to_numpy())
+        if len(ts) < 2:
+            continue
+        min_gap = float(np.min(np.diff(ts)))
+        assert min_gap >= cfg.politeness - 1e-9, (host, min_gap)
