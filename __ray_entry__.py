@@ -279,16 +279,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 schema=schema,
             )
 
-        if lin.count() == 0:
-            return schema.empty_table()
+        # materialize once: the count() guards below would otherwise each
+        # re-execute the groupby pipeline, and the consumer a third time
         grouped = (
             lin.select_columns(["host", "virtual_ts"])
             .groupby("host")
             .map_groups(gaps, batch_format="pyarrow")
+            .materialize()
         )
-        # all-singleton-host crawls yield only zero-row blocks, whose
-        # schema Ray drops — pin the typed empty result instead (the
-        # empty_guard convention: a typed pa.Table)
+        # empty / all-singleton-host crawls yield only zero-row blocks,
+        # whose schema Ray drops — pin the typed empty result instead
+        # (the empty_guard convention: a typed pa.Table)
         if grouped.count() == 0:
             return schema.empty_table()
         return grouped

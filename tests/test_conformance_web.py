@@ -82,15 +82,29 @@ def test_conf_crawl_politeness_floor(conf_crawl):
     """The politeness INVARIANT itself (not just oracle parity): every
     host's consecutive fetches are spaced >= max(robots crawl_delay,
     POLITENESS) in virtual time — the reference's frontier.py:121-133
-    guarantee."""
+    guarantee. h1 declares Crawl-delay: 1 (ROBOTS_BODIES), so its floor
+    is 1.0 s, not the global 0.5 s."""
+    import re
+
     import numpy as np
 
     _, out = conf_crawl
     lin = out.lineage().to_pandas()
     cfg = conf_config()
+    delays = {
+        h: float(m.group(1))
+        for h, body in ROBOTS_BODIES.items()
+        if (m := re.search(r"Crawl-delay:\s*([0-9.]+)", body))
+    }
+    checked_delayed = 0
     for host, grp in lin.groupby("host"):
         ts = np.sort(grp["virtual_ts"].to_numpy())
         if len(ts) < 2:
             continue
+        floor = max(cfg.politeness, delays.get(host, 0.0))
         min_gap = float(np.min(np.diff(ts)))
-        assert min_gap >= cfg.politeness - 1e-9, (host, min_gap)
+        assert min_gap >= floor - 1e-9, (host, min_gap, floor)
+        if delays.get(host, 0.0) > cfg.politeness:
+            checked_delayed += 1
+    # the crawl-delay half of the invariant must actually be exercised
+    assert checked_delayed >= 1

@@ -25,8 +25,10 @@ FORBIDDEN = [
     (re.compile(r"\.iter_rows\("), "driver-side row iteration"),
     (re.compile(r"\.take_all\("), "full-dataset driver collect"),
     (re.compile(r"\.to_pandas\("), "driver-side pandas materialization"),
-    # Dataset.map(fn) is per-row Python; map_batches/map_groups are fine.
-    (re.compile(r"\.map\((?!_)"), "per-row Dataset.map"),
+    # Dataset.map(fn) is per-row Python; map_batches/map_groups are fine
+    # (the lookahead excludes the method-NAME continuation, so
+    # `.map(_private_fn)` is still caught).
+    (re.compile(r"\.map(?!_)\("), "per-row Dataset.map"),
 ]
 
 # (filename, substring that must appear on the offending line): sites
@@ -40,8 +42,22 @@ WHITELIST = {
 
 
 def _lines(path: pathlib.Path):
-    for i, raw in enumerate(path.read_text().splitlines(), 1):
-        line = raw.split("#", 1)[0]
+    """Source lines with comments stripped via the tokenizer (a naive
+    '#'-split would truncate at '#' inside string literals and hide
+    offenders later on the line)."""
+    import io
+    import tokenize
+
+    text = path.read_text()
+    comment_starts: dict[int, int] = {}
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(text).readline):
+            if tok.type == tokenize.COMMENT:
+                comment_starts[tok.start[0]] = tok.start[1]
+    except tokenize.TokenError:
+        pass  # fall back to raw lines on malformed source
+    for i, raw in enumerate(text.splitlines(), 1):
+        line = raw[: comment_starts[i]] if i in comment_starts else raw
         if line.strip():
             yield i, line
 

@@ -410,8 +410,8 @@ def test_corpus_funnel_counts(ray_session):
     docs = list(df["docs"])
     n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert docs[0] == n_docs
-    assert all(a >= b for a, b in zip(docs, docs[1:]))
     # every stage removes something on this corpus
-    assert all(a > b for a, b in zip(docs, docs[1:])) or docs[2] >= docs[3]
+    assert docs[0] > docs[1] > 0  # language gate fired
+    assert docs[1] > docs[2] > 0  # gopher quality gate fired
     assert docs[2] > docs[3] > 0  # exact dedup fired and kept survivors
     assert docs[3] > docs[4] > 0  # decontamination fired

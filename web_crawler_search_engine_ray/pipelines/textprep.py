@@ -108,6 +108,26 @@ GATE_MAX_MWL_MILLI = 10_000
 GATE_MAX_TOP_MILLI = 250  # most common token <= 25% of tokens
 
 
+def _gopher_stats(toks: list) -> tuple:
+    """The ONE copy of the Gopher gate's integer math, shared by
+    quality_gopher and corpus_funnel (COVERAGE.md promises 'gate math ≡
+    quality_gopher' — a shared kernel makes that true by construction).
+    Returns (n_words, n_distinct, top_count, sum_word_len,
+    mean_word_len_milli, top_frac_milli, passes_gate)."""
+    n = len(toks)
+    c = Counter(toks)
+    top = max(c.values()) if c else 0
+    sl = sum(len(x) for x in toks)
+    mean_milli = (1000 * sl + n // 2) // n if n else 0
+    top_milli = (1000 * top + n // 2) // n if n else 0
+    gate = (
+        GATE_MIN_WORDS <= n <= GATE_MAX_WORDS
+        and GATE_MIN_MWL_MILLI <= mean_milli <= GATE_MAX_MWL_MILLI
+        and top_milli <= GATE_MAX_TOP_MILLI
+    )
+    return n, len(c), top, sl, mean_milli, top_milli, gate
+
+
 @empty_guard("documents", doc_id=pa.int64(), n_words=pa.int64(), n_distinct=pa.int64(), top_tok_count=pa.int64(), sum_word_len=pa.int64(), mean_word_len_milli=pa.int64(), top_frac_milli=pa.int64(), passes_gate=pa.bool_())
 def quality_gopher(sf_dir: str) -> "ray.data.Dataset":
     """Repetition/length quality signals + keep/drop gate per document."""
@@ -116,24 +136,16 @@ def quality_gopher(sf_dir: str) -> "ray.data.Dataset":
         texts = batch.column("text").to_pylist()
         n_w, n_d, top_c, sum_l, mwl, top_m, keep = [], [], [], [], [], [], []
         for t in texts:
-            toks = _TOK_RE.findall(t.lower())
-            n = len(toks)
-            c = Counter(toks)
-            top = max(c.values()) if c else 0
-            sl = sum(len(x) for x in toks)
-            mean_milli = (1000 * sl + n // 2) // n if n else 0
-            top_milli = (1000 * top + n // 2) // n if n else 0
+            n, nd, top, sl, mean_milli, top_milli, gate = _gopher_stats(
+                _TOK_RE.findall(t.lower())
+            )
             n_w.append(n)
-            n_d.append(len(c))
+            n_d.append(nd)
             top_c.append(top)
             sum_l.append(sl)
             mwl.append(mean_milli)
             top_m.append(top_milli)
-            keep.append(
-                GATE_MIN_WORDS <= n <= GATE_MAX_WORDS
-                and GATE_MIN_MWL_MILLI <= mean_milli <= GATE_MAX_MWL_MILLI
-                and top_milli <= GATE_MAX_TOP_MILLI
-            )
+            keep.append(gate)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -177,6 +189,34 @@ def _decon_grams(text: str) -> set:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+def _decon_bench_ref(sf_dir: str, augment=None):
+    """ray.put-broadcast frozenset of the benchmark side's n-grams (the
+    eval suites are tiny at ANY corpus scale, so one shared-memory copy
+    per node). ``augment`` pre-transforms each doc's text (corpus_funnel
+    passes its shared-duplicate rewrite) so both consumers share this ONE
+    builder instead of drifting copies."""
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out: set = set()
+        for d, t in zip(ids, texts):
+            if d % DECON_BENCH_MOD == 0:
+                if augment is not None:
+                    t = augment(d, t)
+                out.update(_decon_grams(_decon_augment(d, t)))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    from .corpus import collect_table
+
+    tbl = collect_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_grams, batch_format="pyarrow"
+        )
+    )
+    return ray.put(frozenset(tbl.column("g").to_pylist()))
+
+
 @empty_guard("documents", doc_id=pa.int64(), n_grams=pa.int64(), n_overlap=pa.int64(), contaminated=pa.int64())
 def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     """Training-set decontamination (the eval-overlap gate every LLM data
@@ -189,26 +229,7 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     copy per node, never re-shipped per batch) and the training side
     streams through one map_batches: no shuffle at all. Per doc we emit
     (distinct-window count, overlap count, contaminated flag)."""
-    import numpy as np
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out: set = set()
-        for d, t in zip(ids, texts):
-            if d % DECON_BENCH_MOD == 0:
-                out.update(_decon_grams(_decon_augment(d, t)))
-        return pa.table({"g": pa.array(sorted(out), pa.string())})
-
-    from .corpus import collect_table
-
-    bench_tbl = collect_table(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            bench_grams, batch_format="pyarrow"
-        )
-    )
-    bench = frozenset(bench_tbl.column("g").to_pylist())
-    ref = ray.put(bench)
+    ref = _decon_bench_ref(sf_dir)
 
     def scan(batch: pa.Table) -> pa.Table:
         bset = ray.get(ref)
@@ -1119,23 +1140,7 @@ def corpus_funnel(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.compute as _pc
     from ray.data.aggregate import Sum
 
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out: set = set()
-        for d, t in zip(ids, texts):
-            if d % DECON_BENCH_MOD == 0:
-                out.update(_decon_grams(_decon_augment(d, _funnel_augment(d, t))))
-        return pa.table({"g": pa.array(sorted(out), pa.string())})
-
-    from .corpus import collect_table
-
-    bench_tbl = collect_table(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            bench_grams, batch_format="pyarrow"
-        )
-    )
-    ref = ray.put(frozenset(bench_tbl.column("g").to_pylist()))
+    ref = _decon_bench_ref(sf_dir, augment=_funnel_augment)
 
     def flags(batch: pa.Table) -> pa.Table:
         bset = ray.get(ref)
@@ -1145,18 +1150,7 @@ def corpus_funnel(sf_dir: str) -> "ray.data.Dataset":
         lang_ok, s2, digest, code = [], [], [], []
         for d, t, lg in zip(ids, texts, langs):
             t = _funnel_augment(d, t)
-            toks = _TOK_RE.findall(t.lower())
-            n = len(toks)
-            c = Counter(toks)
-            top = max(c.values()) if c else 0
-            sl = sum(len(x) for x in toks)
-            mean_milli = (1000 * sl + n // 2) // n if n else 0
-            top_milli = (1000 * top + n // 2) // n if n else 0
-            gate = (
-                GATE_MIN_WORDS <= n <= GATE_MAX_WORDS
-                and GATE_MIN_MWL_MILLI <= mean_milli <= GATE_MAX_MWL_MILLI
-                and top_milli <= GATE_MAX_TOP_MILLI
-            )
+            gate = _gopher_stats(_TOK_RE.findall(t.lower()))[-1]
             l1 = lg == FUNNEL_LANG
             lang_ok.append(int(l1))
             s2.append(int(l1 and gate))
