@@ -101,3 +101,62 @@ def test_builtin_resize_stage_matches_direct_replay(ray_session):
         got = np.frombuffer(out.column("payload")[i].as_py(), dtype=np.uint8)
         assert (got == want.ravel()).all()
         assert out.column("payload_crc")[i].as_py() == int(want.sum())
+
+
+def test_phash_builtin_group_separation():
+    """The REAL pixels-to-hash path (group BMP payload -> encode -> numpy
+    decode -> DCT pHash) must put group variants within PHASH_MAX_DIST
+    and distinct groups far outside it."""
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        PHASH_GROUP,
+        PHASH_MAX_DIST,
+        phash_for_refs,
+    )
+
+    refs = [f"media://conf{d:04x}" for d in range(8 * PHASH_GROUP)]
+    ph = phash_for_refs(refs, decode="builtin")
+    for g in range(8):
+        base = ph[g * PHASH_GROUP]
+        for v in range(1, PHASH_GROUP):
+            dist = bin(int(base) ^ int(ph[g * PHASH_GROUP + v])).count("1")
+            assert dist <= PHASH_MAX_DIST, (g, v, dist)
+    for g in range(7):
+        dist = bin(int(ph[g * PHASH_GROUP]) ^ int(ph[(g + 1) * PHASH_GROUP])).count("1")
+        assert dist > PHASH_MAX_DIST, (g, dist)
+
+
+def test_phash_pairs_builtin_end_to_end(ray_session):
+    """phash_pairs(decode='builtin') — the full band-LSH + Hamming-verify
+    machinery over REAL decoded pixels — finds exactly the within-group
+    pairs of the synthetic groups and nothing across groups."""
+    import ray.data
+
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        PHASH_GROUP,
+        phash_pairs,
+    )
+
+    n_groups = 3
+    refs = [f"media://conf{d:04x}" for d in range(n_groups * PHASH_GROUP)]
+    spans = [
+        [{"kind": "image", "text": "", "media_ref": r, "offset": 0}]
+        for r in refs
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"https://h/p{i}" for i in range(len(refs))], pa.string()
+            ),
+            "spans": pa.array(spans),
+        }
+    )
+    got = phash_pairs(ray.data.from_arrow(docs), decode="builtin").to_pandas()
+    pairs = {tuple(sorted(p)) for p in zip(got["media_a"], got["media_b"])}
+    want = {
+        tuple(sorted((refs[g * PHASH_GROUP + a], refs[g * PHASH_GROUP + b])))
+        for g in range(n_groups)
+        for a in range(PHASH_GROUP)
+        for b in range(a + 1, PHASH_GROUP)
+    }
+    # every within-group pair found, nothing across groups
+    assert pairs == want

@@ -428,14 +428,33 @@ PHASH_GROUP = 4  # consecutive refs model re-encodings of one source image
 PHASH_MAX_DIST = 6
 
 
-def phash_for_refs(media_refs: List[str]) -> np.ndarray:
-    """STUB perceptual hash (real pHash needs an image decoder): the
-    synthetic corpus declares each run of PHASH_GROUP consecutive media
-    refs to be re-encodings of one source image — variant v of group g
-    hashes to g's base bit pattern with v salted bit flips, so true
-    near-dups sit at small Hamming distance and everything else is ~24
-    bits apart. Base bits and flip positions come from the mix32
-    avalanche on (g, salt), replayed exactly by the SQL oracle."""
+def phash_for_refs(
+    media_refs: List[str], decode: str = "deterministic"
+) -> np.ndarray:
+    """Perceptual hashes for media refs, two modes.
+
+    ``decode='deterministic'`` (default, the SQL-oracle-checked mode):
+    STUB hash — the synthetic corpus declares each run of PHASH_GROUP
+    consecutive media refs to be re-encodings of one source image;
+    variant v of group g hashes to g's base bit pattern with v salted
+    bit flips, so true near-dups sit at small Hamming distance and
+    everything else is ~24 bits apart. Base bits and flip positions come
+    from the mix32 avalanche on (g, salt), replayed exactly by the SQL
+    oracle.
+
+    ``decode='builtin'``: REAL pixels-to-hash path — each ref's group
+    BMP payload is synthesized, encoded to valid BMP bytes, decoded back
+    through the numpy codec, and DCT-pHashed (phash_from_pixels). No
+    SQL replay (a DCT has no reasonable SQL form); pinned by
+    tests/test_multimodal_real.py instead."""
+    if decode == "builtin":
+        return np.asarray(
+            [
+                phash_from_pixels(decode_bmp24(builtin_payload_group_bmp(r)))
+                for r in media_refs
+            ],
+            dtype=np.uint64,
+        )
     d = np.asarray(
         [int(r.rsplit("conf", 1)[1], 16) for r in media_refs], dtype=np.uint64
     )
@@ -464,6 +483,71 @@ def phash_for_refs(media_refs: List[str]) -> np.ndarray:
     return ph
 
 
+# --- REAL pHash kernel: the classic DCT recipe over decoded pixels -----
+# grayscale -> orthonormal DCT-II -> 7x7 low-frequency block minus the DC
+# term (48 coefficients = PHASH_BITS) -> median threshold. Used by
+# phash_for_refs(decode='builtin'), where each media_ref's BMP payload is
+# synthesized, ENCODED to real BMP bytes and decoded back through the
+# dependency-free numpy codec (functions/bmp.py) before hashing — a
+# genuine pixels-to-hash path with no PIL. Group payloads make
+# consecutive PHASH_GROUP refs true re-encodings (variant v perturbs 3v
+# pixel bytes of the group's base image): measured Hamming <= 2 within a
+# group vs >= 18 across groups, cleanly split by PHASH_MAX_DIST=6.
+
+_DCT_CACHE: dict = {}
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    if n not in _DCT_CACHE:
+        k = np.arange(n)
+        d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        d[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = d * np.sqrt(2.0 / n)
+    return _DCT_CACHE[n]
+
+
+def phash_from_pixels(rgb: np.ndarray) -> int:
+    """48-bit DCT pHash of an (H, W, 3) uint8 image. Non-16x16 inputs are
+    nearest-neighbor sampled to 16x16 first (builtin payloads are 16x16
+    already; the sampling path serves decode='real' images)."""
+    g = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if g.shape != (BMP_SIDE, BMP_SIDE):
+        yi = (np.arange(BMP_SIDE) * g.shape[0]) // BMP_SIDE
+        xi = (np.arange(BMP_SIDE) * g.shape[1]) // BMP_SIDE
+        g = g[np.ix_(yi, xi)]
+    d = _dct_matrix(BMP_SIDE)
+    block = (d @ g @ d.T)[:7, :7].reshape(-1)[1:]  # 48 coeffs, DC dropped
+    bits = block > np.median(block)
+    return int(
+        (bits.astype(np.uint64) << np.arange(PHASH_BITS, dtype=np.uint64)).sum()
+    )
+
+
+def builtin_payload_group_bmp(media_ref: str) -> bytes:
+    """VALID BMP payload where consecutive PHASH_GROUP refs are variants
+    of ONE base image (group g's pixels are mix32-seeded; variant v
+    xors 3v mix32-chosen pixel bytes with 0x1F) — the builtin-decode
+    counterpart of the stub's group model, so the REAL pixel path has
+    true near-duplicates to find."""
+    d = int(media_ref.rsplit("conf", 1)[1], 16)
+    g, v = d // PHASH_GROUP, d % PHASH_GROUP
+    n = BMP_SIDE * BMP_SIDE * 3
+    pix = (
+        mix32_batch(
+            np.full(n, g, dtype=np.uint64),
+            BMP_PIX_SALT + np.arange(n, dtype=np.uint64),
+        )
+        % 256
+    ).astype(np.uint8)
+    if v:
+        idx = mix32_batch(
+            np.full(3 * v, d, dtype=np.uint64),
+            PHASH_VAR_SALT + np.arange(3 * v, dtype=np.uint64),
+        ) % np.uint64(n)
+        pix[idx] ^= 0x1F
+    return encode_bmp24(pix.reshape(BMP_SIDE, BMP_SIDE, 3))
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount for uint64 (numpy 1.x has no bit_count ufunc)."""
     if not len(x):
@@ -472,7 +556,7 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return b.sum(axis=1).astype(np.int64)
 
 
-def phash_pairs(docs) -> "object":
+def phash_pairs(docs, decode: str = "deterministic") -> "object":
     """Near-duplicate media pairs over a docs-with-spans Dataset.
 
     Shape (the 100 TB path): one streaming map computes per-span pHashes
@@ -480,7 +564,9 @@ def phash_pairs(docs) -> "object":
     groupby(band bucket) shuffle of those narrow rows; candidate pairs
     verified by Hamming distance inside each (tiny) bucket; a second
     narrow groupby dedups pairs found by multiple bands. Mirrors the
-    MinHash-LSH text path (pipelines/corpus.py) on the media side."""
+    MinHash-LSH text path (pipelines/corpus.py) on the media side.
+    ``decode='builtin'`` swaps in the REAL pixels-to-hash kernel (see
+    phash_for_refs) with the same banding/verify machinery."""
     import pyarrow.compute as pc
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -497,7 +583,7 @@ def phash_pairs(docs) -> "object":
                     "phash": pa.array([], pa.int64()),
                 }
             )
-        ph = phash_for_refs(refs)
+        ph = phash_for_refs(refs, decode=decode)
         n = len(refs)
         bs = np.arange(PHASH_BANDS, dtype=np.uint64)
         bvals = (ph[:, None] >> (np.uint64(12) * bs)) & np.uint64(0xFFF)
