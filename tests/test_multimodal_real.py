@@ -104,3 +104,30 @@ def test_missing_pil_raises(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_pil)
     with pytest.raises(NotImplementedError):
         M.MediaFeatureStage(decode="real")
+
+
+def test_real_phash_near_dup_separation(tmp_path):
+    """phash_for_refs(decode='real'): a slightly perturbed re-save of an
+    image hashes within PHASH_MAX_DIST of the original; an unrelated
+    image lands far away."""
+    from web_crawler_search_engine_ray.stages.multimodal import (
+        PHASH_MAX_DIST,
+        phash_for_refs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    variant = base.copy()
+    idx = rng.integers(0, 32, size=(6, 2))
+    variant[idx[:, 0], idx[:, 1]] ^= 0x1F  # 6 perturbed pixels
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    paths = []
+    for name, arr in [("base", base), ("variant", variant), ("other", other)]:
+        p = tmp_path / f"{name}.png"
+        PIL_Image.fromarray(arr, mode="RGB").save(p)
+        paths.append(str(p))
+    ph = phash_for_refs(paths, decode="real")
+    near = bin(int(ph[0]) ^ int(ph[1])).count("1")
+    far = bin(int(ph[0]) ^ int(ph[2])).count("1")
+    assert near <= PHASH_MAX_DIST, near
+    assert far > PHASH_MAX_DIST, far

@@ -446,7 +446,11 @@ def phash_for_refs(
     BMP payload is synthesized, encoded to valid BMP bytes, decoded back
     through the numpy codec, and DCT-pHashed (phash_from_pixels). No
     SQL replay (a DCT has no reasonable SQL form); pinned by
-    tests/test_multimodal_real.py instead."""
+    tests/test_bmp_builtin.py instead.
+
+    ``decode='real'``: media_ref is a filesystem path decoded with PIL
+    (raises at import when pillow is absent, same gate as the feature
+    stages); pinned by tests/test_multimodal_real.py where PIL exists."""
     if decode == "builtin":
         return np.asarray(
             [
@@ -455,6 +459,19 @@ def phash_for_refs(
             ],
             dtype=np.uint64,
         )
+    if decode == "real":
+        pil = _require_pil()
+        return np.asarray(
+            [
+                phash_from_pixels(
+                    np.asarray(pil.open(r).convert("RGB"), dtype=np.uint8)
+                )
+                for r in media_refs
+            ],
+            dtype=np.uint64,
+        )
+    if decode != "deterministic":  # no silent stub fallback on typos
+        raise ValueError(decode)
     d = np.asarray(
         [int(r.rsplit("conf", 1)[1], 16) for r in media_refs], dtype=np.uint64
     )
