@@ -1866,12 +1866,13 @@ keep AS (
   FROM f JOIN cl USING (doc_id) WHERE f.s2
 )
 SELECT * FROM (
-  SELECT 0 AS stage, 'total' AS stage_name, count(*)::BIGINT AS docs
+  SELECT 0::BIGINT AS stage, 'total' AS stage_name, count(*)::BIGINT AS docs
   FROM documents
-  UNION ALL SELECT 1, 'lang', count(*)::BIGINT FROM f WHERE s1
-  UNION ALL SELECT 2, 'quality', count(*)::BIGINT FROM f WHERE s2
-  UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT FROM keep WHERE rn = 1
-  UNION ALL SELECT 4, 'decontaminate', count(*)::BIGINT
+  UNION ALL SELECT 1::BIGINT, 'lang', count(*)::BIGINT FROM f WHERE s1
+  UNION ALL SELECT 2::BIGINT, 'quality', count(*)::BIGINT FROM f WHERE s2
+  UNION ALL SELECT 3::BIGINT, 'exact_dedup', count(*)::BIGINT
+            FROM keep WHERE rn = 1
+  UNION ALL SELECT 4::BIGINT, 'decontaminate', count(*)::BIGINT
             FROM keep WHERE rn = 1 AND clean
 ) ORDER BY stage
 """,
