@@ -504,7 +504,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_funnel": T.corpus_funnel,
         # per-host politeness-floor audit over the conformance crawl
         "crawl_politeness": crawl_politeness,
+        # the capstone composition: funnel survivors -> seeded shuffle
+        # -> fixed-capacity sequence packing (filter ∘ shuffle ∘ pack)
+        "train_stream_pack": T.train_stream_pack,
     }
+
+
+_FUNNEL_CTES = """aug0 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 41 = 7
+              THEN 'shared corpus duplicate document body alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty stable text block ends here with exactly sixty tokens total count'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM aug0
+),
+tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_tok_count,
+         CAST(sum(c * length(t)) AS BIGINT) AS sum_word_len
+  FROM tf GROUP BY 1
+),
+gate AS (
+  SELECT d.doc_id,
+         (coalesce(s.n_words, 0) BETWEEN 50 AND 100000
+          AND (CASE WHEN coalesce(s.n_words, 0) > 0
+                    THEN (1000 * s.sum_word_len + s.n_words // 2) // s.n_words
+                    ELSE 0 END) BETWEEN 3000 AND 10000
+          AND (CASE WHEN coalesce(s.n_words, 0) > 0
+                    THEN (1000 * s.top_tok_count + s.n_words // 2) // s.n_words
+                    ELSE 0 END) <= 250) AS gate_ok
+  FROM documents d LEFT JOIN s USING (doc_id)
+),
+f AS (
+  SELECT d.doc_id, d.text, (d.lang = 'en') AS s1,
+         (d.lang = 'en' AND g.gate_ok) AS s2
+  FROM aug0 d JOIN gate g USING (doc_id)
+),
+aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 97 = 0 OR doc_id % 7 = 3
+                 THEN ' benchmark canary alpha beta gamma delta epsilon zeta eta theta'
+                 ELSE '' END AS text
+  FROM aug0
+),
+atk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM aug),
+pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM atk),
+grams AS (
+  SELECT doc_id,
+         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                        tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS g
+  FROM pos
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)
+),
+cl AS (
+  SELECT f.doc_id,
+         (f.doc_id % 97 <> 0
+          AND f.doc_id NOT IN (SELECT doc_id FROM cont)) AS clean
+  FROM f
+),
+keep AS (
+  SELECT f.doc_id, cl.clean,
+         row_number() OVER (PARTITION BY f.text ORDER BY f.doc_id) AS rn
+  FROM f JOIN cl USING (doc_id) WHERE f.s2
+)"""
 
 
 def _pagerank_sql(iters: int = 3, scale: int = 10**12) -> str:
@@ -1796,75 +1869,8 @@ LEFT JOIN d5c USING (doc_id)
         # stage gates replay quality_gopher's integer math, first-wins
         # exact dedup = min(doc_id) per identical text among stage-2
         # survivors, decontamination replays the decontaminate oracle.
-        "corpus_funnel": """
-WITH aug0 AS (
-  SELECT doc_id, lang,
-         CASE WHEN doc_id % 41 = 7
-              THEN 'shared corpus duplicate document body alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty stable text block ends here with exactly sixty tokens total count'
-              ELSE text END AS text
-  FROM documents
-),
-toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-  FROM aug0
-),
-tf AS (
-  SELECT doc_id, t, count(*)::BIGINT AS c
-  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2
-),
-s AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-         CAST(max(c) AS BIGINT) AS top_tok_count,
-         CAST(sum(c * length(t)) AS BIGINT) AS sum_word_len
-  FROM tf GROUP BY 1
-),
-gate AS (
-  SELECT d.doc_id,
-         (coalesce(s.n_words, 0) BETWEEN 50 AND 100000
-          AND (CASE WHEN coalesce(s.n_words, 0) > 0
-                    THEN (1000 * s.sum_word_len + s.n_words // 2) // s.n_words
-                    ELSE 0 END) BETWEEN 3000 AND 10000
-          AND (CASE WHEN coalesce(s.n_words, 0) > 0
-                    THEN (1000 * s.top_tok_count + s.n_words // 2) // s.n_words
-                    ELSE 0 END) <= 250) AS gate_ok
-  FROM documents d LEFT JOIN s USING (doc_id)
-),
-f AS (
-  SELECT d.doc_id, d.text, (d.lang = 'en') AS s1,
-         (d.lang = 'en' AND g.gate_ok) AS s2
-  FROM aug0 d JOIN gate g USING (doc_id)
-),
-aug AS (
-  SELECT doc_id,
-         text || CASE WHEN doc_id % 97 = 0 OR doc_id % 7 = 3
-                 THEN ' benchmark canary alpha beta gamma delta epsilon zeta eta theta'
-                 ELSE '' END AS text
-  FROM aug0
-),
-atk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM aug),
-pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM atk),
-grams AS (
-  SELECT doc_id,
-         concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
-                        tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS g
-  FROM pos
-),
-bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-cont AS (
-  SELECT DISTINCT doc_id FROM grams
-  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)
-),
-cl AS (
-  SELECT f.doc_id,
-         (f.doc_id % 97 <> 0
-          AND f.doc_id NOT IN (SELECT doc_id FROM cont)) AS clean
-  FROM f
-),
-keep AS (
-  SELECT f.doc_id, cl.clean,
-         row_number() OVER (PARTITION BY f.text ORDER BY f.doc_id) AS rn
-  FROM f JOIN cl USING (doc_id) WHERE f.s2
-)
+        "corpus_funnel": f"""
+WITH {_FUNNEL_CTES}
 SELECT * FROM (
   SELECT 0::BIGINT AS stage, 'total' AS stage_name, count(*)::BIGINT AS docs
   FROM documents
@@ -1876,4 +1882,26 @@ SELECT * FROM (
             FROM keep WHERE rn = 1 AND clean
 ) ORDER BY stage
 """,
+        # capstone composition: funnel survivors (kept = rn=1 AND clean)
+        # -> mix32 seeded shuffle order -> window-cumsum packing (same
+        # scan fragment as sequence_pack_shuffled)
+        "train_stream_pack": f"""
+WITH {_FUNNEL_CTES},
+kept AS (SELECT doc_id FROM keep WHERE rn = 1 AND clean),
+src AS (
+  SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens
+  FROM toks t JOIN kept USING (doc_id)
+),{_mix_sql("src", "doc_id", "20177")},
+scan AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY mixh, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM s5
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 256 AS pack_id,
+       greatest(start_offset, start_offset + n_tokens - 1) // 256 AS end_pack
+FROM scan
+"""
     }

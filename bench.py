@@ -229,6 +229,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("event_transitions", R.event_transitions),
         ("repetition_ngrams", T.repetition_ngrams),
         ("corpus_funnel", T.corpus_funnel),
+        ("train_stream_pack", T.train_stream_pack),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -415,3 +415,31 @@ def test_corpus_funnel_counts(ray_session):
     assert docs[1] > docs[2] > 0  # gopher quality gate fired
     assert docs[2] > docs[3] > 0  # exact dedup fired and kept survivors
     assert docs[3] > docs[4] > 0  # decontamination fired
+
+
+def test_train_stream_pack_composition(ray_session):
+    """The capstone composition must pack EXACTLY corpus_funnel's
+    surviving documents, gaplessly, in the shuffle_order permutation
+    restricted to the kept set."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        corpus_funnel,
+        train_stream_pack,
+    )
+
+    packs = train_stream_pack(SF).to_pandas()
+    funnel = corpus_funnel(SF).to_pandas().sort_values("stage")
+    assert len(packs) == int(funnel["docs"].iloc[4])  # stage-4 survivors
+    # gapless token stream in (mix32 shuffle key, doc_id) order
+    from web_crawler_search_engine_ray.functions.hashing import mix32_batch
+    from web_crawler_search_engine_ray.pipelines.textprep import SHUFFLE_SEED
+
+    key = mix32_batch(
+        packs["doc_id"].to_numpy().astype(np.uint64), SHUFFLE_SEED
+    ).astype(np.int64)
+    order = np.lexsort((packs["doc_id"].to_numpy(), key))
+    start = packs["start_offset"].to_numpy()[order]
+    n = packs["n_tokens"].to_numpy()[order]
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()

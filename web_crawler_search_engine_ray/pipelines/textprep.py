@@ -48,6 +48,7 @@ __all__ = [
     "sequence_pack_shuffled",
     "repetition_ngrams",
     "corpus_funnel",
+    "train_stream_pack",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -884,40 +885,32 @@ def dsir_select(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64(), start_offset=pa.int64(), pack_id=pa.int64(), end_pack=pa.int64())
-def sequence_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
-    """The composed training-stream pipeline: documents are packed into
-    fixed-capacity token windows in the SEEDED-SHUFFLE order (the
-    ``shuffle_order`` permutation), not doc_id order — exactly what a
-    trainer consumes after ``shuffle -> pack``. Same distributed shape as
-    ``sequence_pack`` (one narrow sort + per-block ordered prefix scan,
-    one scalar per block to the driver), with the scan keyed by
-    (mix32(doc_id, seed), doc_id) instead of doc_id."""
+PACK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("start_offset", pa.int64()),
+        ("pack_id", pa.int64()),
+        ("end_pack", pa.int64()),
+    ]
+)
+
+
+def _pack_sorted(counts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed ordered prefix-scan packing over a MATERIALIZED
+    (doc_id, shuffle_key, n_tokens) dataset already sorted by
+    (shuffle_key, doc_id): one scalar (block token sum + boundary keys)
+    per block to the driver, then per-block cumsum stamping — the shared
+    tail of sequence_pack_shuffled and train_stream_pack."""
     import numpy as np
 
-    from ..functions.hashing import mix32_batch
     from ..stages.util import dataset_from_known_refs, refs_and_counts
 
-    def tok_counts(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        n = [len(_TOK_RE.findall(t.lower())) for t in texts]
-        k = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "shuffle_key": pa.array(k, pa.int64()),
-                "n_tokens": pa.array(n, pa.int64()),
-            }
-        )
-
-    counts = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(tok_counts, batch_format="pyarrow")
-        .sort(["shuffle_key", "doc_id"])
-        .materialize()
-    )
     refs, nrows = refs_and_counts(counts)
+    if not refs or nrows == 0:
+        # typed pa.Table (the empty_guard convention): a zero-row Ray
+        # dataset drops its schema on to_pandas()
+        return PACK_SCHEMA.empty_table()
 
     @ray.remote(num_returns=2)
     def block_stats(tbl: pa.Table):
@@ -959,16 +952,42 @@ def sequence_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
         )
 
     out_refs = [stamp.remote(pairs[i][1], bases[i]) for i in range(len(pairs))]
-    schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("n_tokens", pa.int64()),
-            ("start_offset", pa.int64()),
-            ("pack_id", pa.int64()),
-            ("end_pack", pa.int64()),
-        ]
+    return dataset_from_known_refs(out_refs, nrows, PACK_SCHEMA)
+
+
+@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64(), start_offset=pa.int64(), pack_id=pa.int64(), end_pack=pa.int64())
+def sequence_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
+    """The composed training-stream pipeline: documents are packed into
+    fixed-capacity token windows in the SEEDED-SHUFFLE order (the
+    ``shuffle_order`` permutation), not doc_id order — exactly what a
+    trainer consumes after ``shuffle -> pack``. Same distributed shape as
+    ``sequence_pack`` (one narrow sort + per-block ordered prefix scan,
+    one scalar per block to the driver), with the scan keyed by
+    (mix32(doc_id, seed), doc_id) instead of doc_id."""
+    import numpy as np
+
+    from ..functions.hashing import mix32_batch
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        n = [len(_TOK_RE.findall(t.lower())) for t in texts]
+        k = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": pa.array(k, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .materialize()
     )
-    return dataset_from_known_refs(out_refs, nrows, schema)
+    return _pack_sorted(counts)
 
 
 # ---------------------------------------------------------------------------
@@ -1216,3 +1235,99 @@ def corpus_funnel(sf_dir: str) -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# train_stream_pack: the FULL trainer-input composition — corpus_funnel's
+# surviving documents (language -> Gopher gate -> exact first-wins dedup
+# keeper -> decontaminated) packed into fixed-capacity token sequences in
+# the seeded shuffle order. The "what a user actually runs end-to-end"
+# capstone: filter chain ∘ shuffle ∘ pack in one query.
+# ---------------------------------------------------------------------------
+
+
+@empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64(), start_offset=pa.int64(), pack_id=pa.int64(), end_pack=pa.int64())
+def train_stream_pack(sf_dir: str) -> "ray.data.Dataset":
+    """Pack the corpus_funnel survivors in seeded-shuffle order.
+
+    Scale shape: ONE streaming flag pass emits only the stage-2 survivor
+    rows — four narrow columns (digest, code, n_tokens, shuffle key
+    precomputed) regardless of document size; ONE digest groupby picks
+    each duplicate group's keeper via the same ``min(doc_id*2 +
+    (1-clean))`` encoding as corpus_funnel (the keeper's n_tokens rides
+    along through a map_groups argmin, groups are duplicate-cardinality
+    tiny); then the shared narrow sort + per-block prefix-scan pack
+    (``_pack_sorted``). No full-corpus join, no driver-side doc state.
+    """
+    import numpy as np
+
+    from ..functions.hashing import mix32_batch
+
+    ref = _decon_bench_ref(sf_dir, augment=_funnel_augment)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        import hashlib
+
+        digest, code, ntok = [], [], []
+        for d, t, lg in zip(ids, texts, langs):
+            if lg != FUNNEL_LANG:
+                continue
+            t = _funnel_augment(d, t)
+            toks = _TOK_RE.findall(t.lower())
+            stats = _gopher_stats(toks)
+            if not stats[-1]:
+                continue
+            clean = d % DECON_BENCH_MOD != 0 and not (
+                _decon_grams(_decon_augment(d, t)) & bset
+            )
+            digest.append(hashlib.md5(t.encode()).hexdigest())
+            code.append(2 * d + (0 if clean else 1))
+            ntok.append(stats[0])
+        return pa.table(
+            {
+                "digest": pa.array(digest, pa.string()),
+                "code": pa.array(code, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    def keeper(tbl: pa.Table) -> pa.Table:
+        codes = tbl.column("code").to_numpy(zero_copy_only=False)
+        i = int(np.argmin(codes))
+        if codes[i] & 1:  # the first-wins keeper is contaminated: drop group
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shuffle_key": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        doc_id = int(codes[i]) // 2
+        key = int(
+            mix32_batch(
+                np.asarray([doc_id], dtype=np.uint64), SHUFFLE_SEED
+            ).astype(np.int64)[0]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "shuffle_key": pa.array([key], pa.int64()),
+                "n_tokens": pa.array(
+                    [int(tbl.column("n_tokens")[i].as_py())], pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("digest")
+        .map_groups(keeper, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .materialize()
+    )
+    return _pack_sorted(counts)
