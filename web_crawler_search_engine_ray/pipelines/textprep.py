@@ -190,12 +190,24 @@ def _decon_grams(text: str) -> set:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+_BENCH_REF_CACHE: dict = {}
+
+
 def _decon_bench_ref(sf_dir: str, augment=None):
     """ray.put-broadcast frozenset of the benchmark side's n-grams (the
     eval suites are tiny at ANY corpus scale, so one shared-memory copy
     per node). ``augment`` pre-transforms each doc's text (corpus_funnel
     passes its shared-duplicate rewrite) so both consumers share this ONE
-    builder instead of drifting copies."""
+    builder instead of drifting copies. Memoized per (sf_dir, augment,
+    Ray session) — building it is a full documents scan, and three
+    queries (decontaminate, corpus_funnel, train_stream_pack) would
+    otherwise each pay it."""
+    from .corpus import _session_cache_key
+
+    key = (_session_cache_key(sf_dir), getattr(augment, "__name__", None))
+    cached = _BENCH_REF_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     def bench_grams(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -215,7 +227,9 @@ def _decon_bench_ref(sf_dir: str, augment=None):
             bench_grams, batch_format="pyarrow"
         )
     )
-    return ray.put(frozenset(tbl.column("g").to_pylist()))
+    ref = ray.put(frozenset(tbl.column("g").to_pylist()))
+    _BENCH_REF_CACHE[key] = ref
+    return ref
 
 
 @empty_guard("documents", doc_id=pa.int64(), n_grams=pa.int64(), n_overlap=pa.int64(), contaminated=pa.int64())
