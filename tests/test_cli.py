@@ -127,3 +127,70 @@ def test_summary_paths(ray_session, tmp_path, capsys, monkeypatch):
         for line in capsys.readouterr().out.strip().splitlines()
     ]
     assert all("summary" in r for rec in lines[1:] for r in rec["results"])
+
+
+def test_serve_http_surface(ray_session, tmp_path):
+    """serve --http: the browser surface (reference Streamlit parity,
+    start_search_engine.py:117-167) — GET / is a search page, GET
+    /search?q= answers the same record as the stdin loop, warm."""
+    import threading
+    import urllib.request
+
+    from web_crawler_search_engine_ray.__main__ import main, make_http_server
+    from web_crawler_search_engine_ray.pipelines.search import (
+        ResultPresenter,
+        SearchService,
+    )
+
+    web = str(tmp_path / "web")
+    crawl = str(tmp_path / "crawl")
+    index = str(tmp_path / "index")
+    assert main(["genweb", "--out", web, "--docs", "60", "--hosts", "3"]) == 0
+    assert (
+        main(["crawl", "--web-dir", web, "--workdir", crawl, "--wave-span", "64"])
+        == 0
+    )
+    assert (
+        main(
+            ["index", "--pages", f"{crawl}/pages", "--out", index,
+             "--min-ngram-df", "3"]
+        )
+        == 0
+    )
+
+    import os
+
+    svc = SearchService(
+        os.path.join(index, "postings"), os.path.join(index, "catalog")
+    )
+    presenter = ResultPresenter(f"{crawl}/pages")
+    srv = make_http_server(svc, presenter, port=0, k=5, summary_mode="extractive")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "<form" in page and "/search?q=" in page
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=data+stream"
+        ) as r:
+            rec = json.loads(r.read().decode())
+        assert rec["query"] == "data stream"
+        assert rec["results"]
+        for res in rec["results"]:
+            assert "url" in res and "context" in res and "summary" in res
+        # warm HTTP query latency mirrors the stdin pin
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=data+stream"
+        ) as r:
+            rec2 = json.loads(r.read().decode())
+        assert rec2["elapsed_ms"] < 100.0
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            raise AssertionError("404 expected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -160,17 +160,109 @@ def cmd_search(args) -> int:
         _run_query(svc, presenter, query, args.k, as_json=False)
 
 
-def cmd_serve(args) -> int:
-    """Warm query service against a prebuilt index (the reference's
-    Streamlit surface, start_search_engine.py:117-167, minus the browser):
-    the index loads ONCE, then each stdin line is a query answered as one
-    JSON line — {"query", "elapsed_ms", "results": [{doc_id, score, url,
-    title, context?}]} — so a warm query costs only the in-memory postings
-    lookup (<100 ms; test_cli.py pins it). Single-process like the
-    reference's serving path — no Ray session needed."""
+def _serve_answer(svc, presenter, query: str, k: int, summary_mode: str) -> dict:
+    """One warm query → the serve-surface record {query, elapsed_ms,
+    results: [{doc_id, score, url, title, context?, summary?}]} — shared
+    by the stdin JSON-lines loop and the HTTP endpoint."""
     import time
 
     from .functions.text import query_tokens
+
+    start = time.perf_counter()
+    rows = svc.search(query, k=k)
+    elapsed_ms = (time.perf_counter() - start) * 1000.0
+    ctx = {}
+    primary = ()
+    if presenter:
+        primary, _ = query_tokens(query)
+        ctx = presenter.contexts([r[2] for r in rows], primary)
+    results = []
+    for doc_id, score, url, title in rows:
+        rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
+        if presenter:
+            rec["context"] = ctx.get(url, "")
+            if summary_mode == "extractive":
+                rec["summary"] = presenter.summary_extractive(url, primary)
+        results.append(rec)
+    return {"query": query, "elapsed_ms": round(elapsed_ms, 3), "results": results}
+
+
+_SERVE_HTML = """<!doctype html>
+<title>web_crawler_search_engine_ray</title>
+<style>body{font-family:sans-serif;max-width:48em;margin:2em auto}
+.r{margin:1em 0}.t{font-weight:bold}.u{color:#070}.c{color:#444}
+.s{color:#226;font-style:italic}</style>
+<h2>Search</h2>
+<form onsubmit="go();return false"><input id=q size=40 autofocus>
+<button>Search</button></form><div id=meta></div><div id=out></div>
+<script>
+async function go(){
+  const q=document.getElementById('q').value;
+  const r=await fetch('/search?q='+encodeURIComponent(q));
+  const d=await r.json();
+  document.getElementById('meta').textContent=
+    'Search completed in '+(d.elapsed_ms/1000).toFixed(3)+' seconds';
+  document.getElementById('out').innerHTML=d.results.map(x=>
+    '<div class=r><div class=t></div><div class=u></div>'+
+    '<div class=c></div><div class=s></div></div>').join('');
+  document.querySelectorAll('.r').forEach((el,i)=>{
+    const x=d.results[i];
+    el.querySelector('.t').textContent=x.title||x.url;
+    el.querySelector('.u').textContent=x.url;
+    el.querySelector('.c').textContent=x.context||'';
+    el.querySelector('.s').textContent=x.summary?('AI Summary: '+x.summary):'';
+  });
+}
+</script>"""
+
+
+def make_http_server(svc, presenter, port: int, k: int, summary_mode: str):
+    """stdlib ThreadingHTTPServer serving the reference's browser surface
+    (start_search_engine.py:117-167 shape: per-result title/url/context +
+    optional summary): GET / → minimal search page, GET /search?q=&k= →
+    the same JSON record as the stdin serve loop. port=0 binds an
+    ephemeral port (tests). No dependency beyond the stdlib."""
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            u = urllib.parse.urlparse(self.path)
+            if u.path == "/search":
+                qs = urllib.parse.parse_qs(u.query)
+                query = (qs.get("q") or [""])[0].strip()
+                kk = int((qs.get("k") or [k])[0])
+                body = json.dumps(
+                    _serve_answer(svc, presenter, query, kk, summary_mode)
+                ).encode()
+                ctype = "application/json"
+            elif u.path == "/":
+                body = _SERVE_HTML.encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet: one JSON ready-line is the log
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def cmd_serve(args) -> int:
+    """Warm query service against a prebuilt index (the reference's
+    Streamlit surface, start_search_engine.py:117-167): the index loads
+    ONCE, then each query is answered from the in-memory postings lookup
+    (<100 ms warm; test_cli.py pins it). Two transports, same record:
+    stdin line → JSON line (default), or --http PORT → a stdlib HTTP
+    server with a minimal browser page at / and JSON at /search?q=.
+    Single-process like the reference's serving path — no Ray session."""
     from .pipelines.search import ResultPresenter, SearchService
 
     svc = SearchService(
@@ -178,34 +270,28 @@ def cmd_serve(args) -> int:
     )
     presenter = ResultPresenter(args.pages) if args.pages else None
     svc.search(args.warmup, k=1)  # touch the postings store once
+    if args.http is not None:
+        srv = make_http_server(svc, presenter, args.http, args.k, args.summary)
+        print(
+            json.dumps(
+                {"ready": True, "index": args.index, "http": srv.server_address[1]}
+            ),
+            flush=True,
+        )
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
+        return 0
     print(json.dumps({"ready": True, "index": args.index}), flush=True)
     for line in sys.stdin:
         query = line.strip()
         if not query or query in (":q", "exit", "quit"):
             break
-        start = time.perf_counter()
-        rows = svc.search(query, k=args.k)
-        elapsed_ms = (time.perf_counter() - start) * 1000.0
-        ctx = {}
-        if presenter:
-            primary, _ = query_tokens(query)
-            ctx = presenter.contexts([r[2] for r in rows], primary)
-        results = []
-        for doc_id, score, url, title in rows:
-            rec = {"doc_id": doc_id, "score": score, "url": url, "title": title}
-            if presenter:
-                rec["context"] = ctx.get(url, "")
-                if args.summary == "extractive":
-                    rec["summary"] = presenter.summary_extractive(url, primary)
-            results.append(rec)
         print(
-            json.dumps(
-                {
-                    "query": query,
-                    "elapsed_ms": round(elapsed_ms, 3),
-                    "results": results,
-                }
-            ),
+            json.dumps(_serve_answer(svc, presenter, query, args.k, args.summary)),
             flush=True,
         )
     return 0
@@ -260,6 +346,14 @@ def main(argv=None) -> int:
         "ResultPresenter.summary, '' without one — reference no-key parity)",
     )
     v.add_argument("-k", type=int, default=5)
+    v.add_argument(
+        "--http",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve over HTTP instead of stdin: GET / is a minimal search "
+        "page, GET /search?q=&k= returns the JSON record (0 = ephemeral)",
+    )
     v.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
