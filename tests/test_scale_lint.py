@@ -38,6 +38,9 @@ WHITELIST = {
     ("stages/index.py", 'r["rows"] for r in counts.take_all()'),
     # postings for the QUERY'S terms only (top-k path), already pruned
     ("pipelines/search.py", "df = tbl.to_pandas()"),
+    # JavaScript Array.map inside the serve HTML template string — not a
+    # Ray Dataset call
+    ("__main__.py", "d.results.map(x=>"),
 }
 
 
