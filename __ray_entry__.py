@@ -294,6 +294,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return schema.empty_table()
         return grouped
 
+    def crawl_wave_stats(sf_dir: str) -> Any:
+        """Per-wave crawl telemetry over the conformance lineage — pages
+        fetched, distinct hosts touched, virtual-time span (milli
+        fixed-point) — the north rule's 'per-partition lineage + metrics'
+        surfaced as driver-hashable data, replayed by the unrolled SQL
+        wave loop. One groupby(wave) over three pruned lineage columns."""
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("wave", pa.int64()),
+                ("pages", pa.int64()),
+                ("hosts", pa.int64()),
+                ("vts_min_milli", pa.int64()),
+                ("vts_max_milli", pa.int64()),
+            ]
+        )
+        lin = _conf_crawl(sf_dir)["crawl"].lineage()
+        if lin.count() == 0:
+            return schema.empty_table()
+
+        def stats(tbl: pa.Table) -> pa.Table:
+            ts = tbl.column("virtual_ts").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "wave": pa.array(
+                        [int(tbl.column("wave")[0].as_py())], pa.int64()
+                    ),
+                    "pages": pa.array([tbl.num_rows], pa.int64()),
+                    "hosts": pa.array(
+                        [len(set(tbl.column("host").to_pylist()))], pa.int64()
+                    ),
+                    "vts_min_milli": pa.array(
+                        [int(np.floor(1000.0 * float(ts.min()) + 0.5))],
+                        pa.int64(),
+                    ),
+                    "vts_max_milli": pa.array(
+                        [int(np.floor(1000.0 * float(ts.max()) + 0.5))],
+                        pa.int64(),
+                    ),
+                },
+                schema=schema,
+            )
+
+        return (
+            lin.select_columns(["wave", "host", "virtual_ts"])
+            .groupby("wave")
+            .map_groups(stats, batch_format="pyarrow")
+        )
+
     def index_postings(sf_dir: str) -> Any:
         import ray.data
 
@@ -507,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the capstone composition: funnel survivors -> seeded shuffle
         # -> fixed-capacity sequence packing (filter ∘ shuffle ∘ pack)
         "train_stream_pack": T.train_stream_pack,
+        # per-wave crawl telemetry (pages/hosts/virtual-time span)
+        "crawl_wave_stats": crawl_wave_stats,
     }
 
 
@@ -1476,6 +1529,17 @@ FROM (
 )
 WHERE gap IS NOT NULL
 GROUP BY host
+""",
+        # per-wave telemetry over the replayed lineage (rounding after
+        # min/max commutes — floor(1000x+.5) is non-decreasing)
+        "crawl_wave_stats": _CSQL.lineage_with()
+        + """
+SELECT wave::BIGINT AS wave, count(*)::BIGINT AS pages,
+       count(DISTINCT host)::BIGINT AS hosts,
+       CAST(floor(1000 * min(virtual_ts) + 0.5) AS BIGINT) AS vts_min_milli,
+       CAST(floor(1000 * max(virtual_ts) + 0.5) AS BIGINT) AS vts_max_milli
+FROM lin
+GROUP BY wave
 """,
         "index_postings": _CSQL.INDEX_POSTINGS_SQL,
         "search_results": _CSQL.SEARCH_RESULTS_SQL,
