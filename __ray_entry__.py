@@ -312,7 +312,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("vts_max_milli", pa.int64()),
             ]
         )
-        lin = _conf_crawl(sf_dir)["crawl"].lineage()
+        # materialize the pruned selection once: the empty-guard count and
+        # the returned groupby would otherwise each re-run the lineage read
+        lin = (
+            _conf_crawl(sf_dir)["crawl"]
+            .lineage()
+            .select_columns(["wave", "host", "virtual_ts"])
+            .materialize()
+        )
         if lin.count() == 0:
             return schema.empty_table()
 
@@ -339,11 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 schema=schema,
             )
 
-        return (
-            lin.select_columns(["wave", "host", "virtual_ts"])
-            .groupby("wave")
-            .map_groups(stats, batch_format="pyarrow")
-        )
+        return lin.groupby("wave").map_groups(stats, batch_format="pyarrow")
 
     def index_postings(sf_dir: str) -> Any:
         import ray.data

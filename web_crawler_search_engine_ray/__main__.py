@@ -216,12 +216,15 @@ async function go(){
 </script>"""
 
 
-def make_http_server(svc, presenter, port: int, k: int, summary_mode: str):
+def make_http_server(
+    svc, presenter, port: int, k: int, summary_mode: str, host: str = "127.0.0.1"
+):
     """stdlib ThreadingHTTPServer serving the reference's browser surface
     (start_search_engine.py:117-167 shape: per-result title/url/context +
     optional summary): GET / → minimal search page, GET /search?q=&k= →
     the same JSON record as the stdin serve loop. port=0 binds an
-    ephemeral port (tests). No dependency beyond the stdlib."""
+    ephemeral port (tests); binds loopback unless ``host`` overrides.
+    No dependency beyond the stdlib."""
     import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -231,7 +234,18 @@ def make_http_server(svc, presenter, port: int, k: int, summary_mode: str):
             if u.path == "/search":
                 qs = urllib.parse.parse_qs(u.query)
                 query = (qs.get("q") or [""])[0].strip()
-                kk = int((qs.get("k") or [k])[0])
+                try:
+                    kk = int((qs.get("k") or [k])[0])
+                except ValueError:
+                    kk = 0
+                if kk < 1:  # bad/absurd k -> 400, not a dropped connection
+                    body = json.dumps({"error": "k must be a positive int"})
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body.encode())
+                    return
                 body = json.dumps(
                     _serve_answer(svc, presenter, query, kk, summary_mode)
                 ).encode()
@@ -252,7 +266,7 @@ def make_http_server(svc, presenter, port: int, k: int, summary_mode: str):
         def log_message(self, *a):  # quiet: one JSON ready-line is the log
             pass
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def cmd_serve(args) -> int:
@@ -271,7 +285,9 @@ def cmd_serve(args) -> int:
     presenter = ResultPresenter(args.pages) if args.pages else None
     svc.search(args.warmup, k=1)  # touch the postings store once
     if args.http is not None:
-        srv = make_http_server(svc, presenter, args.http, args.k, args.summary)
+        srv = make_http_server(
+            svc, presenter, args.http, args.k, args.summary, host=args.host
+        )
         print(
             json.dumps(
                 {"ready": True, "index": args.index, "http": srv.server_address[1]}
@@ -352,7 +368,13 @@ def main(argv=None) -> int:
         default=None,
         metavar="PORT",
         help="serve over HTTP instead of stdin: GET / is a minimal search "
-        "page, GET /search?q=&k= returns the JSON record (0 = ephemeral)",
+        "page, GET /search?q=&k= returns the JSON record (0 = ephemeral); "
+        "binds loopback only unless --host overrides",
+    )
+    v.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="HTTP bind address (default loopback; 0.0.0.0 to expose)",
     )
     v.set_defaults(fn=cmd_serve)
 

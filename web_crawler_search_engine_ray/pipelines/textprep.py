@@ -910,20 +910,21 @@ PACK_SCHEMA = pa.schema(
 )
 
 
-def _pack_sorted(counts: "ray.data.Dataset") -> "ray.data.Dataset":
+def _pack_sorted(counts: "ray.data.Dataset"):
     """Distributed ordered prefix-scan packing over a MATERIALIZED
     (doc_id, shuffle_key, n_tokens) dataset already sorted by
     (shuffle_key, doc_id): one scalar (block token sum + boundary keys)
     per block to the driver, then per-block cumsum stamping — the shared
-    tail of sequence_pack_shuffled and train_stream_pack."""
+    tail of sequence_pack_shuffled and train_stream_pack. Returns a
+    Dataset, or a typed empty pa.Table when every input block is empty
+    (the empty_guard convention — a zero-row Ray dataset drops its
+    schema on to_pandas())."""
     import numpy as np
 
     from ..stages.util import dataset_from_known_refs, refs_and_counts
 
-    refs, nrows = refs_and_counts(counts)
-    if not refs or nrows == 0:
-        # typed pa.Table (the empty_guard convention): a zero-row Ray
-        # dataset drops its schema on to_pandas()
+    refs, block_counts = refs_and_counts(counts)
+    if not refs:  # refs_and_counts drops zero-row blocks
         return PACK_SCHEMA.empty_table()
 
     @ray.remote(num_returns=2)
@@ -966,7 +967,7 @@ def _pack_sorted(counts: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     out_refs = [stamp.remote(pairs[i][1], bases[i]) for i in range(len(pairs))]
-    return dataset_from_known_refs(out_refs, nrows, PACK_SCHEMA)
+    return dataset_from_known_refs(out_refs, block_counts, PACK_SCHEMA)
 
 
 @empty_guard("documents", doc_id=pa.int64(), n_tokens=pa.int64(), start_offset=pa.int64(), pack_id=pa.int64(), end_pack=pa.int64())
@@ -1286,7 +1287,7 @@ def train_stream_pack(sf_dir: str) -> "ray.data.Dataset":
         langs = batch.column("lang").to_pylist()
         import hashlib
 
-        digest, code, ntok = [], [], []
+        digest, code, ntok, kept_ids = [], [], [], []
         for d, t, lg in zip(ids, texts, langs):
             if lg != FUNNEL_LANG:
                 continue
@@ -1301,11 +1302,18 @@ def train_stream_pack(sf_dir: str) -> "ray.data.Dataset":
             digest.append(hashlib.md5(t.encode()).hexdigest())
             code.append(2 * d + (0 if clean else 1))
             ntok.append(stats[0])
+            kept_ids.append(d)
+        # shuffle key precomputed VECTORIZED here (one mix32_batch per
+        # batch), so keeper stays a pure argmin row-pick
+        keys = mix32_batch(
+            np.asarray(kept_ids, dtype=np.uint64), SHUFFLE_SEED
+        ).astype(np.int64)
         return pa.table(
             {
                 "digest": pa.array(digest, pa.string()),
                 "code": pa.array(code, pa.int64()),
                 "n_tokens": pa.array(ntok, pa.int64()),
+                "shuffle_key": pa.array(keys, pa.int64()),
             }
         )
 
@@ -1320,16 +1328,12 @@ def train_stream_pack(sf_dir: str) -> "ray.data.Dataset":
                     "n_tokens": pa.array([], pa.int64()),
                 }
             )
-        doc_id = int(codes[i]) // 2
-        key = int(
-            mix32_batch(
-                np.asarray([doc_id], dtype=np.uint64), SHUFFLE_SEED
-            ).astype(np.int64)[0]
-        )
         return pa.table(
             {
-                "doc_id": pa.array([doc_id], pa.int64()),
-                "shuffle_key": pa.array([key], pa.int64()),
+                "doc_id": pa.array([int(codes[i]) // 2], pa.int64()),
+                "shuffle_key": pa.array(
+                    [int(tbl.column("shuffle_key")[i].as_py())], pa.int64()
+                ),
                 "n_tokens": pa.array(
                     [int(tbl.column("n_tokens")[i].as_py())], pa.int64()
                 ),

@@ -93,19 +93,26 @@ BMP_SIDE = 16  # builtin payloads are 16x16 RGB — 822-byte valid BMPs
 BMP_PIX_SALT = 600_000
 
 
-def builtin_payload_bmp(media_ref: str) -> bytes:
-    """Deterministic VALID BMP payload for a media_ref (the stand-in for
-    reading the blob from the object store): 16x16 RGB pixels seeded by
-    poly_hash(ref) through mix32, encoded with the real numpy codec."""
-    key = poly_hash(media_ref)
+def _seeded_pixels(seed: int) -> np.ndarray:
+    """The ONE copy of the synthetic-payload pixel recipe (mix32 over
+    BMP_PIX_SALT+index, mod 256): flat (BMP_SIDE*BMP_SIDE*3,) uint8 —
+    shared by builtin_payload_bmp (seed = poly_hash(ref)) and
+    builtin_payload_group_bmp (seed = pHash group id)."""
     n = BMP_SIDE * BMP_SIDE * 3
-    pix = (
+    return (
         mix32_batch(
-            np.full(n, key, dtype=np.uint64),
+            np.full(n, seed, dtype=np.uint64),
             BMP_PIX_SALT + np.arange(n, dtype=np.uint64),
         )
         % 256
     ).astype(np.uint8)
+
+
+def builtin_payload_bmp(media_ref: str) -> bytes:
+    """Deterministic VALID BMP payload for a media_ref (the stand-in for
+    reading the blob from the object store): 16x16 RGB pixels seeded by
+    poly_hash(ref) through mix32, encoded with the real numpy codec."""
+    pix = _seeded_pixels(poly_hash(media_ref))
     return encode_bmp24(pix.reshape(BMP_SIDE, BMP_SIDE, 3))
 
 
@@ -461,15 +468,14 @@ def phash_for_refs(
         )
     if decode == "real":
         pil = _require_pil()
-        return np.asarray(
-            [
-                phash_from_pixels(
-                    np.asarray(pil.open(r).convert("RGB"), dtype=np.uint8)
+
+        def _ph(path: str) -> int:
+            with pil.open(path) as img:  # close the fd per image
+                return phash_from_pixels(
+                    np.asarray(img.convert("RGB"), dtype=np.uint8)
                 )
-                for r in media_refs
-            ],
-            dtype=np.uint64,
-        )
+
+        return np.asarray([_ph(r) for r in media_refs], dtype=np.uint64)
     if decode != "deterministic":  # no silent stub fallback on typos
         raise ValueError(decode)
     d = np.asarray(
@@ -549,13 +555,7 @@ def builtin_payload_group_bmp(media_ref: str) -> bytes:
     d = int(media_ref.rsplit("conf", 1)[1], 16)
     g, v = d // PHASH_GROUP, d % PHASH_GROUP
     n = BMP_SIDE * BMP_SIDE * 3
-    pix = (
-        mix32_batch(
-            np.full(n, g, dtype=np.uint64),
-            BMP_PIX_SALT + np.arange(n, dtype=np.uint64),
-        )
-        % 256
-    ).astype(np.uint8)
+    pix = _seeded_pixels(g)
     if v:
         idx = mix32_batch(
             np.full(3 * v, d, dtype=np.uint64),
