@@ -54,3 +54,39 @@ def test_seen_shard_filter_autogrow(ray_session):
     assert not again.any()
     stats = seen.stats()
     assert sum(s["keys"] for s in stats) == 3000
+
+
+def test_seed_registration_does_not_collide_with_wave0_links(ray_session):
+    """The retry-idempotency rule (a url registered in the SAME wave and
+    not downloaded answers True again) must not re-admit seeds during the
+    wave-0 link phase: run_crawl registers seeds with wave=-1, so a
+    carried-over seed re-extracted from a wave-0 page is NOT re-added
+    (matching the oracle's add_url, which never re-adds a seen url)."""
+    from web_crawler_search_engine_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=128)
+    seed = "https://h0.example.org/seed"
+    assert seen.test_and_add([seed], wave=-1).all()  # seed registration
+    # wave-0 link phase rediscovers the (not yet fetched) seed
+    assert not seen.test_and_add([seed], wave=0).any()
+    # genuine retry idempotency still holds: a url registered by the
+    # wave-0 link phase answers True again within wave 0
+    fresh = "https://h0.example.org/new"
+    assert seen.test_and_add([fresh], wave=0).all()
+    assert seen.test_and_add([fresh], wave=0).all()
+    assert not seen.test_and_add([fresh], wave=1).any()
+
+
+def test_mark_complete_unregistered_keeps_filter_invariant(ray_session):
+    """mark_complete on a never-registered url must insert the url's
+    fingerprint into the cuckoo filter — otherwise a later test_and_add
+    gets filter-no, declares the url NEW, and erases the downloaded mark
+    (the filter's no-false-negatives invariant)."""
+    from web_crawler_search_engine_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=128)
+    url = "https://h1.example.org/direct-complete"
+    seen.mark_complete([url], [42])
+    assert not seen.test_and_add([url], wave=3).any()  # not NEW
+    snap = {r["url"]: (r["downloaded"], r["length"]) for r in seen.snapshot().to_pylist()}
+    assert snap[url] == (True, 42)  # the downloaded mark survived

@@ -90,23 +90,71 @@ class CrawlOutputs:
     urls_discovered: int
     metrics: Optional[dict] = None
 
+    def _sink(self, name: str, schema: pa.Schema):
+        """Read a sink dir, or a TYPED empty dataset when the dir is
+        missing or holds no parquet parts (nothing dispatched, nothing
+        scrapeable, or sink_mode='discard') — accessors must not crash
+        on degenerate crawls."""
+        d = os.path.join(self.workdir, name)
+        has_parts = os.path.isdir(d) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for f in files
+        )
+        if not has_parts:
+            return ray.data.from_arrow(schema.empty_table())
+        return ray.data.read_parquet(d)
+
     def lineage(self) -> "ray.data.Dataset":
-        return ray.data.read_parquet(os.path.join(self.workdir, "lineage")).sort("seq")
+        schema = pa.schema(
+            [
+                ("seq", pa.int64()),
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("virtual_ts", pa.float64()),
+                ("status", pa.int32()),
+                ("wave", pa.int32()),
+            ]
+        )
+        return self._sink("lineage", schema).sort("seq")
 
     def pages(self) -> "ray.data.Dataset":
-        return ray.data.read_parquet(os.path.join(self.workdir, "pages"))
+        from ..schema import SPAN_STRUCT
+
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("discovery_seq", pa.int64()),
+                ("depth", pa.int32()),
+                ("virtual_ts", pa.float64()),
+                ("seq", pa.int64()),
+                ("status", pa.int32()),
+                ("content_bytes", pa.int64()),
+                ("is_html", pa.bool_()),
+                ("spans", pa.list_(SPAN_STRUCT)),
+                ("page_hash", pa.int64()),
+            ]
+        )
+        return self._sink("pages", schema)
 
     def frequencies(self) -> "ray.data.Dataset":
         from ray.data.aggregate import Sum
 
-        ds = ray.data.read_parquet(os.path.join(self.workdir, "tokens"))
+        ds = self._sink(
+            "tokens",
+            pa.schema([("token", pa.string()), ("count", pa.int64())]),
+        )
         return ds.groupby("token").aggregate(Sum("count", alias_name="count"))
 
     def page_lengths(self) -> "ray.data.Dataset":
         # select the contract columns: the wave=K dir layout otherwise
         # surfaces as an inferred hive-partition column
-        return ray.data.read_parquet(
-            os.path.join(self.workdir, "page_lengths")
+        return self._sink(
+            "page_lengths",
+            pa.schema(
+                [("url", pa.string()), ("seq", pa.int64()), ("length", pa.int64())]
+            ),
         ).select_columns(["url", "seq", "length"])
 
     def seen(self) -> pa.Table:
@@ -124,6 +172,18 @@ _FRONTIER_SCHEMA = pa.schema(
 )
 
 _FRONTIER_COLS = ["url", "host", "discovery_seq", "depth"]
+
+# candidate-link rows leaving the fetch task (builtin or custom
+# link_extractor) — _add_ubucket casts to this at the hook boundary
+_CAND_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("parent_seq", pa.int64()),
+        ("offset", pa.int32()),
+        ("depth", pa.int32()),
+    ]
+)
 
 _HOSTS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64())])
 
@@ -301,7 +361,13 @@ def _links_small_wave(first_wins_fn, seen_filter_fn, seq_start: int, *blocks):
     if tbl.num_rows:
         ps = tbl.column("parent_seq").to_numpy(zero_copy_only=False)
         off = tbl.column("offset").to_numpy(zero_copy_only=False)
-        order = np.lexsort((off, ps))
+        # url tiebreak: the builtin extractor never produces equal
+        # (parent_seq, offset) pairs (one span = one link), but a custom
+        # link_extractor may — without a total key the distributed path's
+        # unstable sort would order ties nondeterministically and diverge
+        # from this path
+        urls = np.asarray(tbl.column("url").to_pylist(), dtype=object)
+        order = np.lexsort((urls, off, ps))
         tbl = tbl.take(pa.array(order, pa.int64()))
     n = tbl.num_rows
     tbl = tbl.append_column(
@@ -391,7 +457,13 @@ def run_crawl(
             if u not in seen_set:
                 seen_set.add(u)
                 uniq.append(u)
-        seen.test_and_add(uniq, wave=0)
+        # wave=-1 sentinel: the retry-idempotency rule in
+        # SeenShard.test_and_add answers True again for a url registered
+        # in the SAME wave — seeds registered with wave=0 would collide
+        # with the wave-0 link phase (a carried-over seed re-extracted
+        # from a wave-0 page would be re-added and fetched twice, unlike
+        # the oracle's add_url). No link phase ever runs with wave=-1.
+        seen.test_and_add(uniq, wave=-1)
         rows = [
             {"url": u, "host": U.host_of(u), "discovery_seq": i, "depth": 0}
             for i, u in enumerate(uniq)
@@ -664,6 +736,13 @@ def run_crawl(
             # with a vectorized run-selection kernel — never one Python
             # call per unique URL.
             def _add_ubucket(batch: pa.Table) -> pa.Table:
+                # dtype boundary for custom link_extractors: the hook
+                # contract names the columns but not the dtypes — a hook
+                # emitting e.g. depth as int64 would mix schemas with
+                # carry blocks and break frontier concat / checkpoint
+                # parquet on resume
+                if batch.schema != _CAND_SCHEMA:
+                    batch = batch.select(_CAND_SCHEMA.names).cast(_CAND_SCHEMA)
                 h = U.hash64_batch(batch.column("url").to_pylist())
                 return batch.append_column(
                     "ubucket",
@@ -738,7 +817,10 @@ def run_crawl(
                 )
                 fresh = deduped.map_batches(_seen_filter, batch_format="pyarrow")
                 ordered_fresh, n_fresh = zip_with_index_counted(
-                    fresh.sort(["parent_seq", "offset"]),
+                    # url is the total-order tiebreak (see the small-wave
+                    # lexsort): builtin extraction never ties on
+                    # (parent_seq, offset); custom extractors may
+                    fresh.sort(["parent_seq", "offset", "url"]),
                     "discovery_seq",
                     discovery_counter,
                 )

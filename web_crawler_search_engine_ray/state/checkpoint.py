@@ -6,7 +6,7 @@ funnels through the driver.
 
 - **Queue cursor (frontier)**: the next wave's pending queue is written as
   per-block parquet by distributed tasks (pipelines/crawl.py
-  ``_write_frontier_block``) straight into the wave's checkpoint dir; the
+  ``_write_frontier_group``) straight into the wave's checkpoint dir; the
   next wave ``read_parquet``s it back. The checkpoint IS the wave handoff —
   one write, zero driver materialization.
 - **Seen/cuckoo state**: each ``SeenShard`` actor appends an incremental

@@ -79,10 +79,21 @@ class SeenShard:
         (frontier.py:148-152, worker.py:122-126)."""
         if lengths is None:
             lengths = [0] * len(urls)
+        unregistered = []
         for url, ln in zip(urls, lengths):
             prev = self.ledger.get(url)
+            if prev is None:
+                # keep the filter's no-false-negatives invariant: a ledger
+                # entry without its fingerprint would let a later
+                # test_and_add declare the url NEW and erase the
+                # downloaded mark (all in-repo callers complete only
+                # registered urls, but the accept-anyway branch must not
+                # corrupt state)
+                unregistered.append(url)
             self.ledger[url] = [True, int(ln), prev[2] if prev else -1]
             self.dirty[url] = None
+        if unregistered:
+            self.filter.add_batch(hash64_batch(unregistered))
 
     def _table_of(self, urls) -> pa.Table:
         return pa.Table.from_arrays(
