@@ -268,3 +268,67 @@ def test_backlog_bypass_hot_host_distributed(ray_session, tmp_path_factory, monk
         r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
     }
     assert eng_seen == dict(oracle.seen)
+
+
+def test_carried_seed_relinked_in_wave0_fetched_once(ray_session, tmp_path):
+    """End-to-end INVARIANT for the seed/wave-0 collision scenario: a host
+    with more seeds than wave-0 politeness slots carries a seed over, and
+    a wave-0 page links back to that carried seed. Each page must be
+    fetched exactly once with duplicate-free lineage. (The root cause —
+    the retry-idempotency rule re-admitting wave-0-registered seeds — is
+    pinned SENSITIVELY by the unit test in test_cuckoo.py; end-to-end the
+    downstream scheduling also self-heals the duplicate, so this test
+    guards the user-visible contract rather than the specific code path.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.crawl import run_crawl
+    from web_crawler_search_engine_ray.schema import DOCS_SCHEMA
+    from web_crawler_search_engine_ray.sources.synthetic_web import CrawlConfig
+
+    host = "h0.regress.org"
+    urls = [f"https://{host}/p{i}" for i in range(3)]
+
+    def doc(u, link_to=None):
+        spans = [
+            {"kind": "title", "text": "t", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "alpha beta gamma delta", "media_ref": "", "offset": 1},
+        ]
+        if link_to:
+            spans.append(
+                {"kind": "link", "text": "a", "media_ref": link_to, "offset": 2}
+            )
+        return {
+            "doc_id": u,
+            "spans": spans,
+            "status": 200,
+            "content_bytes": 100,
+            "is_html": True,
+        }
+
+    docs = pa.Table.from_pylist(
+        # p0 links BACK to seed p2 (which carries over from wave 0)
+        [doc(urls[0], link_to=urls[2]), doc(urls[1]), doc(urls[2])],
+        schema=DOCS_SCHEMA,
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, docs_path)
+
+    # wave_span 2.0 / politeness 1.0 -> ~2 slots per wave; the host's
+    # first wave burns slot 0 on the robots fetch, so wave 0 fetches ONE
+    # page and seeds p1/p2 carry over
+    out = run_crawl(
+        docs_path=docs_path,
+        robots_bodies={},
+        seed_urls=list(urls),
+        config=CrawlConfig(
+            root_domains=("regress.org",), politeness=1.0, wave_span=2.0,
+            num_seen_shards=2,
+        ),
+        workdir=str(tmp_path / "crawl"),
+    )
+    lin = out.lineage().to_pandas()
+    assert out.waves >= 2  # the carryover actually happened
+    assert len(lin) == 3  # each page fetched exactly once
+    assert lin["url"].is_unique
+    assert sorted(lin["url"]) == sorted(urls)
