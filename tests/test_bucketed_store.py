@@ -130,3 +130,38 @@ def test_crawl_bucketed_path_equals_broadcast(
     sa = {r["url"]: (r["downloaded"], r["length"]) for r in base.seen().to_pylist()}
     sb = {r["url"]: (r["downloaded"], r["length"]) for r in forced.seen().to_pylist()}
     assert sa == sb
+
+
+def test_bucketed_store_rebuilds_on_source_change(bucketed, tmp_path):
+    """The _COMPLETE gate validates WHAT was bucketed: regenerating the
+    docs store (different content/size/mtime) must trigger a rebuild, not
+    serve stale buckets that fabricate 404s for the new urls."""
+    docs_path, bdir = bucketed
+
+    # same source: the gate short-circuits (idempotent)
+    before = json.load(open(os.path.join(bdir, "manifest.json")))
+    again = F.ensure_bucketed_store(
+        docs_path, bdir, target_bucket_bytes=4096, row_group_rows=8
+    )
+    assert again == bdir
+    assert json.load(open(os.path.join(bdir, "manifest.json"))) == before
+
+    # regenerate the source with an extra doc -> fingerprint changes
+    tbl = pq.read_table(docs_path)
+    extra = tbl.slice(0, 1).to_pylist()
+    extra[0]["doc_id"] = "https://regen.example.org/new"
+    pq.write_table(
+        pa.concat_tables([tbl, pa.Table.from_pylist(extra, schema=tbl.schema)]),
+        docs_path,
+    )
+    F.ensure_bucketed_store(
+        docs_path, bdir, target_bucket_bytes=4096, row_group_rows=8
+    )
+    # the new url must be served from the rebuilt buckets (a stale store
+    # would fabricate a 404 miss)
+    bk = F.DocStore(docs_path, bucket_dir=bdir)
+    out = F._fetch_with_store(
+        bk, pa.table({"url": pa.array(["https://regen.example.org/new"])})
+    )
+    assert out.num_rows == 1
+    assert out.column("status")[0].as_py() == 200

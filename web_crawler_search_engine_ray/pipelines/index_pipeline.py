@@ -68,15 +68,17 @@ def _tokenize_partition_task(
     tok_batch: int,
     n_buckets: int,
 ):
-    """Fused map side of the index build: read a slice of the pages store,
-    gate + anti-join dups + catalog-write + tokenize in sub-batches, then
+    """Fused map side of the index build: read a slice of the pages store
+    (``paths`` = [(file, row-group ids | None)], so ONE oversized file —
+    an externally produced single-file store — still splits across
+    tasks), gate + anti-join dups + catalog-write + tokenize in
+    sub-batches, then
     hash-partition the postings into ``n_buckets`` return slices — one
     task generation instead of tokenize-materialize + re-read + partition.
     Fusing kills the barrier (reduce tasks start as soon as the first map
     finishes) and one full postings round-trip through the object store
     (the partitioned slices are the ONLY copy written to plasma), which
     measured ~2 GB of avoidable memory-bus traffic per 30k-page build."""
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     from ..stages.index import (
@@ -86,9 +88,16 @@ def _tokenize_partition_task(
         tokenize_batch,
     )
 
-    tbl = pads.dataset(paths, format="parquet").to_table(
-        columns=["spans", "seq", "url", "status", "is_html", "content_bytes"]
-    )
+    cols = ["spans", "seq", "url", "status", "is_html", "content_bytes"]
+    tables = []
+    for path, rgs in paths:
+        pf = pq.ParquetFile(path)
+        tables.append(
+            pf.read_row_groups(rgs, columns=cols)
+            if rgs is not None
+            else pf.read(columns=cols)
+        )
+    tbl = pa.concat_tables(tables)
     pieces = []
     for off in range(0, tbl.num_rows, tok_batch):
         b = _valid_pages(tbl.slice(off, tok_batch))
@@ -142,7 +151,13 @@ def build_index(
     min_ngram_df: int = 10,
 ) -> IndexPaths:
     """Build the inverted index from crawled pages. Ray must be initialised
-    by the caller."""
+    by the caller.
+
+    ``tokenize_concurrency`` bounds the tokenize stage's parallelism on
+    the Dataset legs (map_batches concurrency). The fused exchange path
+    submits one task per ~rows_per_task fragment group and relies on the
+    Ray scheduler's CPU cap instead — its per-task memory is bounded by
+    the group size, not the worker count."""
     import time as _time
 
     phases: dict = {}
@@ -259,14 +274,29 @@ def build_index(
         # unpartitioned postings never hit the object store. (Ray's
         # sort-based groupby shuffle was measured at ~460 s CPU on the
         # same postings — see stages/index.py module docstring.)
-        frags = [
-            (frag.path, frag.metadata.num_rows)
-            for frag in _pages_ds.get_fragments()
-        ]
         rows_per_task = max(tok_batch, n_pages_total // 256)
+        # read units: whole files, except oversized multi-row-group files
+        # (e.g. an externally produced SINGLE-file store), which split by
+        # row group so the tokenize phase still parallelizes
+        units = []  # (path, row-group ids | None, rows)
+        for frag in _pages_ds.get_fragments():
+            rows = frag.metadata.num_rows
+            n_rgs = frag.metadata.num_row_groups
+            if rows > 2 * rows_per_task and n_rgs > 1:
+                cur_ids, cur_rows_f = [], 0
+                for rg in range(n_rgs):
+                    cur_ids.append(rg)
+                    cur_rows_f += frag.metadata.row_group(rg).num_rows
+                    if cur_rows_f >= rows_per_task:
+                        units.append((frag.path, cur_ids, cur_rows_f))
+                        cur_ids, cur_rows_f = [], 0
+                if cur_ids:
+                    units.append((frag.path, cur_ids, cur_rows_f))
+            else:
+                units.append((frag.path, None, rows))
         groups, cur, cur_rows = [], [], 0
-        for path, rows in frags:
-            cur.append(path)
+        for path, rgs, rows in units:
+            cur.append((path, rgs))
             cur_rows += rows
             if cur_rows >= rows_per_task:
                 groups.append(cur)
@@ -301,6 +331,7 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=tok_batch,
                 num_cpus=1,
+                concurrency=tokenize_concurrency,
             )
             .map_batches(add_token_bucket, batch_format="pyarrow")
             .materialize()
@@ -318,6 +349,7 @@ def build_index(
             batch_format="pyarrow",
             batch_size=tok_batch,
             num_cpus=1,
+            concurrency=tokenize_concurrency,
         ).map_batches(add_token_bucket, batch_format="pyarrow")
         scored = postings_raw.groupby("tbucket").map_groups(
             make_score_fn(n_indexed, min_ngram_df), batch_format="pyarrow"

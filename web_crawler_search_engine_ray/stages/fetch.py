@@ -180,6 +180,11 @@ class DocStore:
             r = self._readers[b] = _BucketReader(
                 os.path.join(self._bucket_dir, f"bucket_{b:05d}.parquet")
             )
+        else:
+            # LRU, not FIFO: a hot bucket hit every wave must not be
+            # evicted just because 128 other buckets were touched since
+            # it was OPENED
+            self._readers[b] = self._readers.pop(b)
         return r
 
     def _take_bucketed(self, urls: list) -> tuple:
@@ -235,8 +240,12 @@ def cached_store(docs_path: str, table_ref=None, bucket_dir: Optional[str] = Non
     each wave (setup × waves), while Ray reuses worker processes across
     executions of the same job — so a module-level cache gives actor-style
     amortized setup across the whole crawl. Read-only state, so no
-    coherence concerns."""
-    key = (docs_path, bucket_dir)
+    coherence concerns (testdata/docs stores are immutable within a run;
+    a store regenerated IN PLACE mid-session would serve stale rows).
+    The broadcast-variant flag is part of the key: a store first built
+    WITHOUT the ray.put table (per-batch pushdown fallback) must not be
+    served to a caller that supplies the zero-copy broadcast ref."""
+    key = (docs_path, bucket_dir, table_ref is not None)
     store = _STORE_CACHE.get(key)
     if store is None:
         store = _STORE_CACHE[key] = DocStore(docs_path, table_ref, bucket_dir)
@@ -305,8 +314,37 @@ def ensure_bucketed_store(
 
     from .util import bucket_exchange
 
+    def _source_fingerprint() -> dict:
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(docs_path)
+            for f in fs
+            if f.endswith(".parquet")
+        ) or ([docs_path] if os.path.isfile(docs_path) else [])
+        return {
+            "source": docs_path,
+            "n_files": len(files),
+            "bytes": sum(os.path.getsize(p) for p in files),
+            "max_mtime": max((int(os.path.getmtime(p)) for p in files), default=0),
+        }
+
+    fp = _source_fingerprint()
+    manifest_path = os.path.join(cache_dir, "manifest.json")
     if os.path.exists(os.path.join(cache_dir, "_COMPLETE")):
-        return cache_dir
+        # the gate must validate WHAT was bucketed, not just that
+        # something was: a regenerated docs store (or a workdir reused
+        # with a different docs_path) would otherwise serve every fetch
+        # from stale buckets — urls in the new store silently 404
+        try:
+            with open(manifest_path) as f:
+                meta = _json.load(f)
+            if all(meta.get(k) == fp[k] for k in fp):
+                return cache_dir
+        except (FileNotFoundError, ValueError):
+            pass
+        import shutil
+
+        shutil.rmtree(cache_dir)  # stale or unverifiable: rebuild
     os.makedirs(cache_dir, exist_ok=True)
     ds = pads.dataset(docs_path, format="parquet")
     total_bytes = sum(
@@ -363,7 +401,7 @@ def ensure_bucketed_store(
         if not os.path.exists(p):
             _pq.write_table(schema.empty_table(), p)
     with open(os.path.join(cache_dir, "manifest.json"), "w") as f:
-        _json.dump({"nbuckets": int(nbuckets), "source": docs_path}, f)
+        _json.dump({"nbuckets": int(nbuckets), **fp}, f)
     with open(os.path.join(cache_dir, "_COMPLETE"), "w") as f:
         f.write("ok")
     return cache_dir

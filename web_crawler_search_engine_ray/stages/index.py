@@ -27,6 +27,8 @@ while still co-locating every posting of a token for exact df.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -49,6 +51,33 @@ def add_page_hash(batch: pa.Table) -> pa.Table:
 _DEDUP_BUCKETS = 256
 
 
+def _dup_rows(tbl: pa.Table) -> pa.Table:
+    """The ONE first-wins run-detection kernel (lexsort by (page_hash,
+    seq), first of each hash run kept, the rest emitted as dup rows) —
+    shared by dedup_decisions and write_dup_store so the D2 semantics
+    cannot drift between the Dataset-API and manual-exchange paths."""
+    h = tbl.column("page_hash").to_numpy(zero_copy_only=False)
+    s = tbl.column("seq").to_numpy(zero_copy_only=False)
+    order = np.lexsort((s, h))
+    hs, ss = h[order], s[order]
+    new_run = (
+        np.concatenate(([True], hs[1:] != hs[:-1]))
+        if len(hs)
+        else np.empty(0, bool)
+    )
+    run_idx = np.cumsum(new_run) - 1
+    kept = ss[np.flatnonzero(new_run)][run_idx] if len(hs) else ss
+    dup_mask = ~new_run
+    dup_idx = pa.array(order[dup_mask], pa.int64())
+    return pa.table(
+        {
+            "seq": pa.array(ss[dup_mask], pa.int64()),
+            "url": tbl.column("url").combine_chunks().take(dup_idx),
+            "dup_of": pa.array(kept[dup_mask], pa.int64()),
+        }
+    )
+
+
 def dedup_decisions(hashed):
     """Global first-wins dup decisions from the PROJECTED (page_hash, seq)
     columns: coarse-bucket shuffle (O(buckets) groups), vectorized run
@@ -66,22 +95,7 @@ def dedup_decisions(hashed):
         )
 
     def dups(tbl: pa.Table) -> pa.Table:
-        h = tbl.column("page_hash").to_numpy(zero_copy_only=False)
-        s = tbl.column("seq").to_numpy(zero_copy_only=False)
-        order = np.lexsort((s, h))
-        hs, ss = h[order], s[order]
-        new_run = np.concatenate(([True], hs[1:] != hs[:-1])) if len(hs) else np.empty(0, bool)
-        run_idx = np.cumsum(new_run) - 1
-        kept = ss[np.flatnonzero(new_run)][run_idx] if len(hs) else ss
-        dup_mask = ~new_run
-        dup_idx = pa.array(order[dup_mask], pa.int64())
-        return pa.table(
-            {
-                "seq": pa.array(ss[dup_mask], pa.int64()),
-                "url": tbl.column("url").combine_chunks().take(dup_idx),
-                "dup_of": pa.array(kept[dup_mask], pa.int64()),
-            }
-        )
+        return _dup_rows(tbl)
 
     return (
         proj.map_batches(bucket, batch_format="pyarrow")
@@ -125,32 +139,16 @@ def write_dup_store(proj, dup_dir: str, seq_hint: int) -> tuple:
         )
 
     def dups(tbl: pa.Table) -> pa.Table:
-        h = tbl.column("page_hash").to_numpy(zero_copy_only=False)
-        s = tbl.column("seq").to_numpy(zero_copy_only=False)
-        order = np.lexsort((s, h))
-        hs, ss = h[order], s[order]
-        new_run = (
-            np.concatenate(([True], hs[1:] != hs[:-1]))
-            if len(hs)
-            else np.empty(0, bool)
-        )
-        run_idx = np.cumsum(new_run) - 1
-        kept = ss[np.flatnonzero(new_run)][run_idx] if len(hs) else ss
-        dup_mask = ~new_run
-        dup_idx = pa.array(order[dup_mask], pa.int64())
-        dup_seqs = ss[dup_mask]
-        return pa.table(
-            {
-                "seq": pa.array(dup_seqs, pa.int64()),
-                "url": tbl.column("url").combine_chunks().take(dup_idx),
-                "dup_of": pa.array(kept[dup_mask], pa.int64()),
-                "sbucket": pa.array(
-                    np.minimum(
-                        dup_seqs * n_seq_buckets // hint, n_seq_buckets - 1
-                    ).astype(np.int64),
-                    pa.int64(),
-                ),
-            }
+        rows = _dup_rows(tbl)
+        dup_seqs = rows.column("seq").to_numpy(zero_copy_only=False)
+        return rows.append_column(
+            "sbucket",
+            pa.array(
+                np.minimum(
+                    dup_seqs * n_seq_buckets // hint, n_seq_buckets - 1
+                ).astype(np.int64),
+                pa.int64(),
+            ),
         )
 
     def write_range(tbl: pa.Table) -> pa.Table:
@@ -185,18 +183,33 @@ def dup_seqs_in_range(dup_dir: str, lo: int, hi: int) -> np.ndarray:
     """Worker-side range lookup into the seq-sorted duplicates store: the
     distributed anti-join's probe side. Row-group stats prune to the
     batch's seq range, so each tokenize task reads O(dups in range), never
-    the whole dup table (and never a driver broadcast)."""
+    the whole dup table (and never a driver broadcast).
+
+    The per-process cache keys on the dir's FILE LISTING, not just its
+    path: a second build_index into the same out_dir within one Ray
+    session rewrites the dup store, and a path-only key would keep
+    serving the previous build's dataset (or a sticky empty=True) —
+    silently skipping duplicate filtering. Listing a <=n_seq_buckets-file
+    dir is microseconds per BATCH, cheap insurance."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    entry = _DUP_DS_CACHE.get(dup_dir)
+    try:
+        listing = tuple(sorted(os.listdir(dup_dir)))
+    except FileNotFoundError:
+        listing = ()
+    key = (dup_dir, listing)
+    entry = _DUP_DS_CACHE.get(key)
     if entry is None:
+        # drop THIS dir's stale generations (other dirs' entries stay live)
+        for k in [k for k in _DUP_DS_CACHE if k[0] == dup_dir]:
+            del _DUP_DS_CACHE[k]
         try:
             ds = pads.dataset(dup_dir, format="parquet")
             empty = ds.count_rows() == 0
         except (FileNotFoundError, pa.ArrowInvalid):
             ds, empty = None, True
-        entry = _DUP_DS_CACHE[dup_dir] = (ds, empty)
+        entry = _DUP_DS_CACHE[key] = (ds, empty)
     ds, empty = entry
     if empty:
         return np.empty(0, dtype=np.int64)
@@ -205,20 +218,6 @@ def dup_seqs_in_range(dup_dir: str, lo: int, hi: int) -> np.ndarray:
         filter=(pc.field("seq") >= lo) & (pc.field("seq") <= hi),
     )
     return tbl.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
-
-
-def first_wins_dedup(tbl: pa.Table) -> pa.Table:
-    """Per page_hash group: keep the lowest doc id (single-process oracle
-    semantics); mark the rest with dup_of = kept doc id. Arrow in/out —
-    the nested spans column must not round-trip through pandas."""
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(tbl.column("seq"))
-    tbl = tbl.take(order)
-    kept = tbl.column("seq")[0].as_py()
-    dup_of = np.full(tbl.num_rows, kept, dtype=np.int64)
-    dup_of[0] = -1
-    return tbl.append_column("dup_of", pa.array(dup_of, pa.int64()))
 
 
 def tokenize_batch(batch: pa.Table) -> pa.Table:
@@ -267,22 +266,9 @@ class TokenizeStage:
         stem("initialization")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans_col = batch.column("spans").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        tokens, doc_ids, tfs = [], [], []
-        for seq, spans in zip(seqs, spans_col):
-            freqs = doc_term_frequencies(spans or [])
-            tokens.extend(freqs.keys())
-            doc_ids.extend([seq] * len(freqs))
-            tfs.extend(freqs.values())
-        return pa.Table.from_arrays(
-            [
-                pa.array(tokens, pa.string()),
-                pa.array(doc_ids, pa.int64()),
-                pa.array(tfs, pa.int64()),
-            ],
-            names=["token", "doc_id", "tf"],
-        )
+        # ONE kernel copy: the task-pool path (tokenize_batch) and this
+        # actor-pool wrapper must not drift
+        return tokenize_batch(batch)
 
 
 _TOKEN_BUCKETS = 256
