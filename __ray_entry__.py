@@ -440,13 +440,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return phash_pairs(ray.data.read_parquet(_conf_crawl(sf_dir)["docs"]))
 
     # ORDER MATTERS: the driver checks at most 50 queries, in dict order
-    # (CORRECTNESS_r02.json = exactly the first 50 entries of the r2 dict).
+    # (CORRECTNESS_r0N.json = exactly the first 50 entries of the dict).
     # The crawl/index/search/multimodal/sequence_pack queries — the flagship
-    # conformance surface — lead so they are guaranteed driver rows; the
-    # tail (positions 51+) holds redundant-coverage queries that were
-    # driver-green in round 2 (see CORRECTNESS_r02.json) and whose engine
-    # paths are unchanged: every query in this dict has a driver-green row
-    # in r02 ∪ r03.
+    # conformance surface — lead so they are guaranteed driver rows. Round 4
+    # rotates the 7 queries that had never held a driver row into the top-50
+    # window; the tail (positions 51+) holds redundant-coverage queries that
+    # were driver-green in r02/r03 and whose engine paths are unchanged:
+    # after this round every query in the dict has a driver-green row in
+    # r02 ∪ r03 ∪ r04.
     return {
         # --- crawl/index/search over the conformance web (each has an
         #     independent unrolled-SQL oracle; the RNG synthetic-web
@@ -465,23 +466,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
         "word_frequencies": C.word_frequencies,
         "postings_tfidf": C.postings_tfidf,
-        "keyword_topk": C.keyword_topk,
         "search_topk": C.search_topk,
         # --- text analysis ---
         "lang_profile": C.lang_profile,
-        "source_stats": C.source_stats,
+        # Gopher n-gram repetition gate (top-2-gram frac + dup-5-gram
+        # coverage; pipelines/textprep.py repetition_ngrams)
+        "repetition_ngrams": T.repetition_ngrams,
         # --- URL kernels (M1-M8) ---
         "url_normalize_validate": C.url_normalize_validate,
         # --- dedup family ---
         "dedup_exact": C.dedup_exact,
         "dedup_minhash_lsh": C.dedup_minhash_lsh,
         "dedup_components": C.dedup_components,
-        "dedup_keep_list": C.dedup_keep_list,
         "dedup_simhash": C.dedup_simhash,
         # --- link-graph rank (crawl frontier prioritization) ---
         "link_pagerank": _link_pagerank,
         "anchor_texts": _anchor_texts,
-        "link_triangles": _link_triangles,
         "embedding_neardup": C.embedding_neardup_pairs,
         # --- similarity search ---
         # IVF with a genuinely pruned probe (nprobe=4 of nlist=16): the
@@ -498,10 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": R.top_customers,
         "events_user_stats": R.events_user_stats,
         "events_sessions": R.events_sessions,
-        "event_transitions": R.event_transitions,
-        "events_funnel": R.events_funnel,
         "orders_no_returns": R.orders_no_returns,
-        "pricing_rollup": R.pricing_rollup,
         "events_orders_asof": R.events_orders_asof,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
         "shipping_priority": R.shipping_priority,
@@ -517,22 +514,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_mix": T.interleave_mix,
         # --- DSIR importance selection (hashed-bigram target weights) ---
         "dsir_select": T.dsir_select,
+        # --- round-4 rotation: the 6 queries below (plus repetition_ngrams
+        #     above) had never held a driver row through r3 (registered past
+        #     the 50-query cap); they are promoted into the checked window
+        #     this round, displacing 7 r3-green kernel-sharing queries
+        #     (see the tail note below) ---
+        "shuffle_order": T.shuffle_order,
+        "sequence_pack_shuffled": T.sequence_pack_shuffled,
+        # composed end-to-end corpus-filter retention funnel
+        # (lang -> gopher gate -> exact dedup -> decontaminate)
+        "corpus_funnel": T.corpus_funnel,
+        # the capstone composition: funnel survivors -> seeded shuffle
+        # -> fixed-capacity sequence packing (filter ∘ shuffle ∘ pack)
+        "train_stream_pack": T.train_stream_pack,
+        # per-host politeness-floor audit over the conformance crawl
+        "crawl_politeness": crawl_politeness,
+        # per-wave crawl telemetry (pages/hosts/virtual-time span)
+        "crawl_wave_stats": crawl_wave_stats,
         # ---- positions 51+ (beyond the driver's 50-query cap): all
-        #      driver-green in CORRECTNESS_r02.json, engine paths covered
-        #      by queries checked above (doc_token_counts ≡ longest_pages'
-        #      counts; quality_scores ⊂ quality_gopher; ann_topk shares
-        #      the cosine kernel with embedding_neardup/ann_topk_lsh;
-        #      events_rolling shares the window exchange with
+        #      driver-green in CORRECTNESS_r02.json or _r03.json, engine
+        #      paths covered by queries checked above (doc_token_counts ≡
+        #      longest_pages' counts; quality_scores ⊂ quality_gopher;
+        #      ann_topk shares the cosine kernel with embedding_neardup /
+        #      ann_topk_lsh; events_rolling shares the window exchange with
         #      order_shipments_window; search_topk_bm25 shares the
         #      postings + per-doc score-sum path with search_topk;
         #      stratified_sample shares the hash-threshold sampler with
-        #      sample_lineitem; shuffle_order shares the sort +
-        #      prefix-scan rank primitive with sequence_pack /
-        #      interleave_mix; pii_redact shares the streaming-regex-map
-        #      shape with quality_gopher) ----
+        #      sample_lineitem; pii_redact shares the streaming-regex-map
+        #      shape with quality_gopher. The 7 demoted-from-head-in-r4
+        #      queries — keyword_topk, source_stats, dedup_keep_list,
+        #      link_triangles, event_transitions, events_funnel,
+        #      pricing_rollup — are hash-green in CORRECTNESS_r03.json and
+        #      share kernels with head queries: keyword_topk ~
+        #      word_frequencies' exchange, source_stats ~ lang_profile,
+        #      dedup_keep_list ~ dedup_exact's anti-filter, link_triangles
+        #      ~ link_pagerank's edge partition, event_transitions /
+        #      events_funnel ~ events_sessions' per-user groupby,
+        #      pricing_rollup ~ pricing_summary) ----
         "pii_redact": T.pii_redact,
-        "shuffle_order": T.shuffle_order,
-        "sequence_pack_shuffled": T.sequence_pack_shuffled,
+        "keyword_topk": C.keyword_topk,
+        "source_stats": C.source_stats,
+        "dedup_keep_list": C.dedup_keep_list,
+        "link_triangles": _link_triangles,
+        "event_transitions": R.event_transitions,
+        "events_funnel": R.events_funnel,
+        "pricing_rollup": R.pricing_rollup,
         "stratified_sample": K.stratified_sample_events,
         "search_topk_bm25": C.search_topk_bm25,
         "doc_token_counts": C.doc_token_counts,
@@ -550,19 +576,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_lineitem": K.sample_lineitem,
         "supplier_topk": K.supplier_topk,
         "heavy_hitters_cms": K.heavy_hitters_cms,
-        # Gopher n-gram repetition gate (top-2-gram frac + dup-5-gram
-        # coverage; pipelines/textprep.py repetition_ngrams)
-        "repetition_ngrams": T.repetition_ngrams,
-        # composed end-to-end corpus-filter retention funnel
-        # (lang -> gopher gate -> exact dedup -> decontaminate)
-        "corpus_funnel": T.corpus_funnel,
-        # per-host politeness-floor audit over the conformance crawl
-        "crawl_politeness": crawl_politeness,
-        # the capstone composition: funnel survivors -> seeded shuffle
-        # -> fixed-capacity sequence packing (filter ∘ shuffle ∘ pack)
-        "train_stream_pack": T.train_stream_pack,
-        # per-wave crawl telemetry (pages/hosts/virtual-time span)
-        "crawl_wave_stats": crawl_wave_stats,
     }
 
 

@@ -165,3 +165,64 @@ def test_resume_through_compaction(ray_session, micro_web, tmp_path):
         r["url"]: (r["downloaded"], r["length"]) for r in outputs.seen().to_pylist()
     }
     assert eng_seen == dict(oracle.seen)
+
+
+def test_resume_refuses_foreign_hash_impl(ray_session, micro_web, tmp_path):
+    """A checkpoint whose meta carries a different url_hash_impl (e.g. the
+    round-3 polars-seeded era, or a future hash change) must REFUSE to
+    resume: its seen-shard routing and cuckoo fingerprints were computed
+    under the other hash and would silently mis-route every lookup."""
+    import json
+
+    from web_crawler_search_engine_ray.state.checkpoint import (
+        HashImplMismatch,
+        latest_checkpoint,
+    )
+
+    cfg = CrawlConfig()
+    seeds = micro_web["seeds"].column("url").to_pylist()
+    data_dir = str(tmp_path / "web")
+    write_web(micro_web, data_dir)
+    robots_bodies = {r["host"]: r["body"] for r in micro_web["robots"].to_pylist()}
+    workdir = str(tmp_path / "crawl")
+    kw = dict(
+        docs_path=os.path.join(data_dir, "docs.parquet"),
+        robots_bodies=robots_bodies,
+        seed_urls=seeds,
+        config=cfg,
+        workdir=workdir,
+    )
+    run_crawl(max_waves=2, **kw)
+
+    wave = latest_checkpoint(workdir)
+    meta_path = os.path.join(
+        workdir, "checkpoints", f"wave={wave:05d}", "meta.json"
+    )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # the stamp is present on every finalized checkpoint
+    assert meta["url_hash_impl"] == "fnv1a64/1"
+
+    # forge the polars-seeded-era stamp -> resume must refuse
+    meta["url_hash_impl"] = "polars-xxhash-seed0"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(HashImplMismatch):
+        run_crawl(resume=True, **kw)
+
+    # a pre-stamp meta (round <=3 checkpoint, no key at all) also refuses
+    del meta["url_hash_impl"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(HashImplMismatch):
+        run_crawl(resume=True, **kw)
+
+    # restore the true stamp -> resume completes and replays the oracle
+    meta["url_hash_impl"] = "fnv1a64/1"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    outputs = run_crawl(resume=True, **kw)
+    oracle = oracle_crawl(micro_web["docs"], micro_web["robots"], seeds, cfg)
+    eng = outputs.lineage().to_pandas()
+    got = list(zip(eng["seq"], eng["wave"], eng["url"], eng["host"]))
+    assert got == [(l[0], l[1], l[2], l[3]) for l in oracle.lineage]

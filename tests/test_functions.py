@@ -201,6 +201,50 @@ class TestHashing:
         b = U.hash64_batch(["x", "y", "x"])
         assert (a == b).all() and a[0] == a[2] and a[0] != a[1]
 
+    def test_hash64_is_fnv1a_spec(self):
+        """hash64_batch is pinned to the FNV-1a 64 spec (HASH_IMPL) — a
+        dependency upgrade must NOT be able to move checkpointed shard
+        keys. Known-answer vectors from the published FNV test suite."""
+        assert U.HASH_IMPL == "fnv1a64/1"
+        # canonical FNV-1a 64 vectors (Noll's reference test suite)
+        assert U.fnv1a64("") == 0xCBF29CE484222325
+        assert U.fnv1a64("a") == 0xAF63DC4C8601EC8C
+        assert U.fnv1a64("foobar") == 0x85944171F73967E8
+        vals = U.hash64_batch(["", "a", "foobar"])
+        assert [int(v) for v in vals] == [
+            0xCBF29CE484222325,
+            0xAF63DC4C8601EC8C,
+            0x85944171F73967E8,
+        ]
+
+    def test_hash64_batch_matches_scalar_reference(self):
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.text(max_size=64), max_size=40))
+        def check(strings):
+            got = U.hash64_batch(strings)
+            want = np.array(
+                [U.fnv1a64(s) for s in strings], dtype=np.uint64
+            ).reshape(len(strings))
+            assert got.dtype == np.uint64 and (got == want).all()
+
+        check()
+        # arrow-native inputs, including a sliced array (nonzero offset)
+        arr = pa.array(["aa", "bb", "ccc", None])
+        assert [int(v) for v in U.hash64_batch(arr)] == [
+            U.fnv1a64(s) for s in ["aa", "bb", "ccc", ""]
+        ]
+        assert [int(v) for v in U.hash64_batch(arr[1:])] == [
+            U.fnv1a64(s) for s in ["bb", "ccc", ""]
+        ]
+        chunked = pa.chunked_array([["x"], ["yy", "zzz"]])
+        assert [int(v) for v in U.hash64_batch(chunked)] == [
+            U.fnv1a64(s) for s in ["x", "yy", "zzz"]
+        ]
+
     def test_minhash_similarity_monotone(self):
         t1 = "the quick brown fox jumps over the lazy dog again and again".split()
         t2 = "the quick brown fox jumps over the lazy cat again and again".split()

@@ -69,29 +69,79 @@ def get_urlhash(url: str) -> str:
     ).hexdigest()
 
 
+# Identifies the URL/key hash implementation. Stamped into crawl checkpoint
+# meta and the bucketed-doc-store manifest so state written under one hash
+# function is never silently resumed/served under another (a seen-set shard
+# key or store bucket id computed with a different hash would mis-route).
+# Round-3 history: this used to ride polars' SEEDED xxhash ("stable within a
+# polars version" only) — now a spec-pinned FNV-1a 64 that no dependency
+# upgrade can move.
+HASH_IMPL = "fnv1a64/1"
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64(s: str) -> int:
+    """Scalar FNV-1a 64 reference (the spec for hash64_batch; test oracle)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def hash64_batch(urls: Sequence[str]) -> np.ndarray:
-    """Stable 64-bit hash per URL (seen-set shard key + fingerprint).
+    """Stable 64-bit hash per URL (seen-set shard key + routing fingerprint).
 
-    Stand-in for xxhash64 (not installed in this environment): FNV-1a 64-bit,
-    computed vectorized via polars when available, else a python loop.
-    Deterministic across processes and sessions (unlike builtin ``hash``).
+    FNV-1a 64 over the utf-8 bytes — a published, dependency-free spec, so
+    checkpointed seen-set shards and bucketed doc stores survive library
+    upgrades (HASH_IMPL pins it in persisted-state metadata). Vectorized
+    ACROSS rows: Arrow supplies the flat utf-8 buffer + offsets (no per-row
+    encode), rows are ordered by descending length, and one numpy
+    xor-multiply per byte POSITION updates the still-active prefix — total
+    work is sum(len) vectorized element ops, no per-byte Python. None
+    hashes as the empty string. uint64 arithmetic wraps mod 2^64 natively.
     """
-    try:
-        import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-        # polars' hash is a seeded xxhash-family hash — stable within a
-        # polars version, which covers a run + its checkpoints.
-        return (
-            pl.Series(list(urls), dtype=pl.String).hash(seed=0).to_numpy().astype(np.uint64)
-        )
-    except Exception:  # pragma: no cover - fallback path
-        out = np.empty(len(urls), dtype=np.uint64)
-        for i, u in enumerate(urls):
-            h = np.uint64(0xCBF29CE484222325)
-            for b in u.encode("utf-8"):
-                h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            out[i] = h
-        return out
+    n = len(urls)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        arr = pa.chunked_array([urls]).combine_chunks() if isinstance(
+            urls, pa.ChunkedArray
+        ) else urls
+        arr = arr.cast(pa.large_string())
+    else:
+        arr = pa.array(list(urls), type=pa.large_string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    buf_offsets, buf_data = arr.buffers()[1], arr.buffers()[2]
+    # slice-safety: a sliced array's logical offsets start arr.offset
+    # ELEMENTS into the shared offsets buffer (the values already point
+    # into the shared data buffer correctly)
+    offsets = np.frombuffer(
+        buf_offsets, dtype=np.int64, count=n + 1 + arr.offset
+    )[arr.offset :]
+    flat = (
+        np.frombuffer(buf_data, dtype=np.uint8)
+        if buf_data is not None
+        else np.empty(0, np.uint8)
+    )
+    starts, lens = offsets[:-1], np.diff(offsets)
+    order = np.argsort(-lens, kind="stable")
+    ss, neg_sl = starts[order], -lens[order]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(int(-neg_sl[0]) if n else 0):
+        k = int(np.searchsorted(neg_sl, -j, side="left"))  # rows with len > j
+        if k == 0:
+            break
+        b = flat[ss[:k] + j].astype(np.uint64)
+        h[:k] = (h[:k] ^ b) * _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
 
 
 def host_of(url: str) -> str:

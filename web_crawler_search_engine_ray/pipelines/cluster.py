@@ -384,8 +384,10 @@ def semantic_dedup(sf_dir: str, tau: float = SEMDEDUP_TAU) -> "ray.data.Dataset"
         )
         norm = np.linalg.norm(m, axis=1)
         norm[norm == 0] = 1.0
-        u = m / norm[:, None]
-        sims = u @ u.T
+        # dot/(|a||b|) — the EXACT double-precision expression the
+        # list_cosine_similarity oracle and embedding_neardup use, so a sim
+        # within 1 ulp of tau cannot flip keep/remove vs the oracle.
+        sims = (m @ m.T) / np.outer(norm, norm)
         # removed iff ANY strictly-lower-id cluster member has cos >= tau
         dup = np.triu(sims >= tau, k=1).any(axis=0)
         return pa.table({"vec_id": pa.array(ids[~dup], pa.int64())})

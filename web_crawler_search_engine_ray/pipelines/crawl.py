@@ -69,6 +69,7 @@ from ..stages.util import (
 )
 from ..state.checkpoint import (
     begin_checkpoint,
+    check_hash_impl,
     clear_wave_outputs,
     finalize_checkpoint,
     frontier_dir,
@@ -430,6 +431,9 @@ def run_crawl(
     ckpt_wave = latest_checkpoint(workdir) if resume else None
     if ckpt_wave is not None:
         meta = read_meta(workdir, ckpt_wave)
+        # refuse a checkpoint hashed under a different hash64 impl: its
+        # seen-shard routing/fingerprints would silently mis-route here
+        check_hash_impl(meta, source=f"checkpoint wave={ckpt_wave}")
         seen = SeenSet(num_shards=meta["num_seen_shards"])
         seen.restore_from_deltas(seen_delta_files(workdir, ckpt_wave))
         clear_wave_outputs(workdir, ckpt_wave)

@@ -315,6 +315,8 @@ def ensure_bucketed_store(
     from .util import bucket_exchange
 
     def _source_fingerprint() -> dict:
+        from ..functions.urls import HASH_IMPL
+
         files = sorted(
             os.path.join(r, f)
             for r, _, fs in os.walk(docs_path)
@@ -326,6 +328,10 @@ def ensure_bucketed_store(
             "n_files": len(files),
             "bytes": sum(os.path.getsize(p) for p in files),
             "max_mtime": max((int(os.path.getmtime(p)) for p in files), default=0),
+            # bucket ids are hash64(doc_id): a store bucketed under a
+            # different hash impl must be rebuilt, not served (lookups
+            # would probe the wrong buckets and spuriously 404)
+            "url_hash_impl": HASH_IMPL,
         }
 
     fp = _source_fingerprint()

@@ -311,13 +311,28 @@ def exchange_group_agg(
             if pa.types.is_string(typ) or pa.types.is_large_string(typ):
                 enc = pc.dictionary_encode(col.combine_chunks())
                 hu = hash64_batch(enc.dictionary.to_pylist())
-                hk = hu[enc.indices.to_numpy(zero_copy_only=False)]
+                # Null keys encode as null indices; fill with a sentinel so
+                # to_numpy stays integral and all nulls land in one bucket
+                # (pa group_by treats null as its own key, so this is exact).
+                idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+                hk = np.where(
+                    idx < 0,
+                    np.uint64(0xD6E8FEB86659FD93),
+                    hu[np.maximum(idx, 0)],
+                )
             else:
-                k = col.to_numpy(zero_copy_only=False)
+                cc = col.combine_chunks()
+                nulls = None
+                if cc.null_count:
+                    nulls = pc.is_null(cc).to_numpy(zero_copy_only=False)
+                    cc = pc.fill_null(cc, 0)
+                k = cc.to_numpy(zero_copy_only=False)
                 if k.dtype.kind in "mM":  # datetime/timedelta → epoch ints
                     k = k.astype(np.int64)
                 k = k.astype(np.uint64)
                 hk = k * np.uint64(0x9E3779B97F4A7C15)
+                if nulls is not None:
+                    hk = np.where(nulls, np.uint64(0xD6E8FEB86659FD93), hk)
             h = (h * np.uint64(0x100000001B3)) ^ hk
         return b.append_column(
             "__gbucket",

@@ -51,10 +51,42 @@ def begin_checkpoint(workdir: str, wave: int) -> str:
     return tmp
 
 
+class HashImplMismatch(RuntimeError):
+    """A checkpoint was written under a different URL-hash implementation.
+
+    Seen-set shard routing, cuckoo fingerprints and doc-store bucket ids
+    are all keyed on ``functions.urls.hash64_batch``; resuming state hashed
+    by a different implementation would silently mis-route every lookup.
+    Refusing is the only safe behavior — re-crawl or migrate offline.
+    """
+
+
+def check_hash_impl(meta: dict, source: str = "checkpoint") -> None:
+    """Refuse to consume persisted hash-keyed state under a different
+    hash implementation than the one that wrote it. Metas written before
+    the stamp existed (round ≤3, polars-seeded era) are also refused: the
+    current FNV-1a impl provably differs from the seeded xxhash they used.
+    """
+    from ..functions.urls import HASH_IMPL
+
+    written = meta.get("url_hash_impl")
+    if written != HASH_IMPL:
+        raise HashImplMismatch(
+            f"{source} was written with url_hash_impl={written!r} but this "
+            f"build uses {HASH_IMPL!r}; refusing to resume (seen-set shard "
+            "keys / bucket routing would mis-route). Start a fresh workdir "
+            "or migrate the state offline."
+        )
+
+
 def finalize_checkpoint(workdir: str, wave: int, meta: dict) -> str:
     """Stamp meta + _COMPLETE and atomically publish wave=K.tmp → wave=K."""
+    from ..functions.urls import HASH_IMPL
+
     final = ckpt_dir(workdir, wave)
     tmp = final + ".tmp"
+    meta = dict(meta)
+    meta.setdefault("url_hash_impl", HASH_IMPL)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
     open(os.path.join(tmp, "_COMPLETE"), "w").close()
