@@ -310,3 +310,117 @@ def test_docs_io_roundtrip(ray_session, micro_web, tmp_path):
     ds = docs_io.read_docs(path, columns=["doc_id", "status"])
     assert ds.count() == micro_web["docs"].num_rows
     assert set(ds.schema().names) == {"doc_id", "status"}
+
+
+class TestVectorizedUrlKernels:
+    """Property-tested equality of the Arrow/numpy fast-path URL kernels
+    against the scalar stdlib-parity reference implementations (VERDICT r3
+    item 4: vectorize the frontier hot path, keep urllib semantics as the
+    oracle)."""
+
+    @staticmethod
+    def _url_strategy():
+        from hypothesis import strategies as st
+
+        scheme = st.sampled_from(
+            ["https", "http", "HTTPS", "ftp", "a+b-c.d", "1bad", "", "é"]
+        )
+        host = st.sampled_from(
+            [
+                "example.org",
+                "sub.EXAMPLE.org",
+                "ics.uci.edu",
+                "other.com",
+                "",
+                "[::1]",
+                "[broken",
+                "host:8080",
+            ]
+        )
+        seg = st.sampled_from(
+            ["a", "b", "doku.php", "file.pdf", "x.CSS", "", "a;v=1", "a b",
+             "ü", "x.tar.gz", "%2e", "file.names", "q.z"]
+        )
+        path = st.lists(seg, max_size=5).map(lambda s: "/".join([""] + s) if s else "")
+        query = st.sampled_from(
+            ["", "ok=1", "share=1", "share=", "a=1&action=2", "afg9_page_id=3",
+             "myfilter=x", "%73hare=1", "a=%20", "ical", "x=1;y=2", "a b=c"]
+        )
+        frag = st.sampled_from(["", "frag", "?share=1"])
+        junk = st.text(max_size=20)  # fully adversarial raw strings
+
+        def build(parts):
+            sch, h, p, q, f = parts
+            u = ""
+            if sch:
+                u += sch + ":"
+            u += "//" + h if h else ""
+            u += p
+            if q:
+                u += "?" + q
+            if f:
+                u += "#" + f
+            return u
+
+        composed = st.tuples(scheme, host, path, query, frag).map(build)
+        return st.one_of(composed, junk)
+
+    def test_is_valid_batch_matches_scalar(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        roots = ("example.org", ".edu")
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(self._url_strategy(), max_size=30))
+        def check(urls):
+            try:
+                want = np.array([U.is_valid(u, roots) for u in urls], bool)
+            except ValueError:
+                return  # stdlib raises (IPv6 bracket) — raise-parity below
+            got = U.is_valid_batch(urls, roots)
+            assert got.dtype == bool and got.shape == (len(urls),)
+            assert (got == want.reshape(len(urls))).all()
+
+        check()
+
+    def test_host_batch_matches_scalar(self):
+        from urllib.parse import urlparse
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(self._url_strategy(), max_size=30))
+        def check(urls):
+            try:
+                want = [urlparse(u).netloc for u in urls]
+            except ValueError:
+                return
+            assert U.host_batch(urls) == want
+
+        check()
+
+    def test_normalize_batch_matches_scalar(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(st.one_of(self._url_strategy(), st.text(max_size=30)), max_size=30))
+        def check(urls):
+            assert U.normalize_batch(urls) == [U.normalize(u) for u in urls]
+
+        check()
+
+    def test_bracket_url_raise_parity(self):
+        """Unbalanced-IPv6-bracket URLs raise in stdlib urlparse; the batch
+        kernels route them to the stdlib fallback, so they raise too."""
+        import pytest as _pytest
+
+        bad = "https://[broken/x"
+        with _pytest.raises(ValueError):
+            U.is_valid(bad, ("example.org",))
+        with _pytest.raises(ValueError):
+            U.is_valid_batch([bad], ("example.org",))
+        with _pytest.raises(ValueError):
+            U.host_batch([bad])

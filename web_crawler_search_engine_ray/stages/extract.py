@@ -60,23 +60,27 @@ def extract_links_batch(batch: pa.Table, root_domains: tuple) -> pa.Table:
             # replicates the href tiebreak on equal offsets
             order = np.lexsort((media0, offs0, pages0))
             pages_s, offs_s, media_s = pages0[order], offs0[order], media0[order]
-            # group boundaries per page
+            # resolve stays per page (urljoin is base-relative); validity,
+            # normalize and host run ONCE over the whole batch's links —
+            # the vectorized Arrow kernels (functions/urls.py) amortize
+            # across pages instead of re-dispatching per page group
+            resolved_all: list = []
             starts = np.concatenate(
                 ([0], np.nonzero(pages_s[1:] != pages_s[:-1])[0] + 1, [len(pages_s)])
             )
             for gi in range(len(starts) - 1):
                 a, b = starts[gi], starts[gi + 1]
-                p = int(pages_s[a])
-                page_url, pseq, depth = page_urls[p], parent_seqs[p], depths[p]
-                resolved = U.resolve_links(page_url, list(media_s[a:b]))
-                mask = U.is_valid_batch(resolved, root_domains)
-                keep = [i for i in range(len(resolved)) if mask[i]]
-                normd = U.normalize_batch([resolved[i] for i in keep])
-                for j, i in enumerate(keep):
-                    out_url.append(normd[j])
-                    out_offset.append(int(offs_s[a + i]))
-                out_parent.extend([pseq] * len(keep))
-                out_depth.extend([depth + 1] * len(keep))
+                resolved_all.extend(
+                    U.resolve_links(page_urls[int(pages_s[a])], list(media_s[a:b]))
+                )
+            mask = U.is_valid_batch(resolved_all, root_domains)
+            keep = np.nonzero(mask)[0]
+            if len(keep):
+                out_url = U.normalize_batch([resolved_all[int(i)] for i in keep])
+                out_offset = offs_s[keep].tolist()
+                kept_pages = pages_s[keep]
+                out_parent = [parent_seqs[int(p)] for p in kept_pages]
+                out_depth = [depths[int(p)] + 1 for p in kept_pages]
     out_host.extend(U.host_batch(out_url))
 
     return pa.Table.from_arrays(
