@@ -61,3 +61,21 @@ def read_docs_table(path: str, columns: Optional[List[str]] = None) -> pa.Table:
     import pyarrow.parquet as pq
 
     return pq.read_table(path, columns=columns)
+
+
+def take_docs(
+    path: str, indices: List[int], columns: Optional[List[str]] = None
+) -> pa.Table:
+    """Random row access by position — the fetch join's keyed read.
+
+    On Lance this is the native ``dataset.take(indices, columns=...)``
+    (O(rows requested), the 100 TB path); the Parquet fallback reads the
+    pruned columns and takes in memory (small-store/test path only — the
+    production Parquet equivalent is the bucketed store in stages/fetch.py,
+    which prunes by row-group instead)."""
+    idx = list(indices)
+    if path.endswith(".lance"):
+        return lance.dataset(path).take(idx, columns=columns)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns).take(idx)
