@@ -41,6 +41,9 @@ WHITELIST = {
     # JavaScript Array.map inside the serve HTML template string — not a
     # Ray Dataset call
     ("__main__.py", "d.results.map(x=>"),
+    # ThreadPoolExecutor.map over per-HOST fetch groups (network I/O
+    # transport, gated off by default) — not a Ray Dataset call
+    ("stages/http_fetch.py", "list(ex.map(run_host, by_host.values()))"),
 }
 
 

@@ -58,8 +58,22 @@ def cmd_crawl(args) -> int:
     from .sources.synthetic_web import CrawlConfig
 
     _ensure_ray()
-    robots_tbl = pq.read_table(os.path.join(args.web_dir, "robots.parquet"))
-    robots = {r["host"]: r["body"] for r in robots_tbl.to_pylist()}
+    http_mode = args.transport == "http"
+    if http_mode:
+        # real-network transport: robots.txt fetched per host by the robots
+        # shards; seeds must come from --seeds; --root-domains scopes the
+        # crawl (reference config.ini ROOT_DOMAINS)
+        if not args.seeds:
+            print("crawl --transport http requires --seeds", file=sys.stderr)
+            return 2
+        robots, docs_path = {}, None
+    else:
+        if not args.web_dir:
+            print("crawl --transport store requires --web-dir", file=sys.stderr)
+            return 2
+        robots_tbl = pq.read_table(os.path.join(args.web_dir, "robots.parquet"))
+        robots = {r["host"]: r["body"] for r in robots_tbl.to_pylist()}
+        docs_path = os.path.join(args.web_dir, "docs.parquet")
     seeds = (
         args.seeds.split(",")
         if args.seeds
@@ -67,14 +81,19 @@ def cmd_crawl(args) -> int:
         .column("url")
         .to_pylist()
     )
-    config = CrawlConfig(wave_span=args.wave_span, politeness=args.politeness)
+    cfg_kw = dict(wave_span=args.wave_span, politeness=args.politeness)
+    if args.root_domains:
+        cfg_kw["root_domains"] = tuple(args.root_domains.split(","))
+    config = CrawlConfig(**cfg_kw)
     out = run_crawl(
-        docs_path=os.path.join(args.web_dir, "docs.parquet"),
+        docs_path=docs_path,
         robots_bodies=robots,
         seed_urls=seeds,
         config=config,
         workdir=args.workdir,
         resume=args.resume,
+        fetch_transport=args.transport,
+        http_options={"timeout": args.http_timeout},
     )
     print(
         json.dumps(
@@ -327,11 +346,24 @@ def main(argv=None) -> int:
     g.set_defaults(fn=cmd_genweb)
 
     c = sub.add_parser("crawl", help="run the frontier crawl to exhaustion")
-    c.add_argument("--web-dir", required=True, help="dir with docs/robots/seeds parquet")
+    c.add_argument(
+        "--web-dir",
+        default=None,
+        help="dir with docs/robots/seeds parquet (required for --transport store)",
+    )
     c.add_argument("--workdir", required=True)
     c.add_argument("--seeds", default=None, help="comma-separated override")
     c.add_argument("--wave-span", type=float, default=8.0)
     c.add_argument("--politeness", type=float, default=0.5)
+    c.add_argument(
+        "--transport",
+        choices=("store", "http"),
+        default="store",
+        help="fetch transport: synthetic-store join (default) or real "
+        "network via requests (stages/http_fetch.py)",
+    )
+    c.add_argument("--root-domains", default=None, help="comma-separated crawl scope")
+    c.add_argument("--http-timeout", type=float, default=5.0)
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
 

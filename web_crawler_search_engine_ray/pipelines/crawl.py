@@ -397,7 +397,7 @@ def _wave_dir(workdir: str, sub: str, wave: int) -> str:
 
 
 def run_crawl(
-    docs_path: str,
+    docs_path: Optional[str],
     robots_bodies: Dict[str, str],
     seed_urls: List[str],
     config: CrawlConfig,
@@ -408,6 +408,8 @@ def run_crawl(
     priority_fn=None,
     compact_every: int = 16,
     sink_mode: str = "parquet",
+    fetch_transport: str = "store",
+    http_options: Optional[dict] = None,
 ) -> CrawlOutputs:
     """Run the crawl to frontier exhaustion. Ray must already be initialised
     by the caller.
@@ -425,6 +427,14 @@ def run_crawl(
       frontier before politeness scheduling; lower values dispatch first
       within a host's wave budget, discovery order breaks ties (absent →
       reference FIFO).
+    - ``fetch_transport="http"`` swaps the synthetic-store fetch join for
+      the real-network adapter (stages/http_fetch.py: requests.get with the
+      reference download.py semantics, wall-clock same-host politeness,
+      robots.txt fetched once per host inside the robots shards when absent
+      from ``robots_bodies``). ``docs_path`` is ignored in http mode;
+      ``http_options`` passes {timeout, politeness, max_threads}. Default
+      stays "store" — this sandbox has no outbound network (loopback test
+      coverage only).
     """
     os.makedirs(workdir, exist_ok=True)
 
@@ -484,22 +494,30 @@ def run_crawl(
         discovery_counter = len(rows)
         seen_hosts: set = set()
 
-    robots = RobotsCache(robots_bodies, num_shards=max(2, config.num_seen_shards // 2))
+    http_mode = fetch_transport == "http"
+    robots = RobotsCache(
+        robots_bodies,
+        num_shards=max(2, config.num_seen_shards // 2),
+        fetch_http=http_mode,
+        timeout=float((http_options or {}).get("timeout", 5.0)),
+    )
     root_domains = tuple(config.root_domains)
     user_agent = config.user_agent
-    # broadcast the docs store once (shared-memory object store) — every
-    # fetch worker maps it zero-copy instead of materializing its own copy
-    from ..stages.fetch import broadcast_docs_ref, ensure_bucketed_store
+    docs_ref = docs_bucket_dir = None
+    if not http_mode:
+        # broadcast the docs store once (shared-memory object store) — every
+        # fetch worker maps it zero-copy instead of materializing its own copy
+        from ..stages.fetch import broadcast_docs_ref, ensure_bucketed_store
 
-    docs_ref = broadcast_docs_ref(docs_path)
-    # over-broadcast-bound store: one-time hash-bucket rewrite (resumable,
-    # _COMPLETE-gated) so per-wave fetch batches read only their buckets'
-    # hit row groups — never a whole-store predicate scan per batch
-    docs_bucket_dir = (
-        ensure_bucketed_store(docs_path, os.path.join(workdir, "docs_buckets"))
-        if docs_ref is None
-        else None
-    )
+        docs_ref = broadcast_docs_ref(docs_path)
+        # over-broadcast-bound store: one-time hash-bucket rewrite (resumable,
+        # _COMPLETE-gated) so per-wave fetch batches read only their buckets'
+        # hit row groups — never a whole-store predicate scan per batch
+        docs_bucket_dir = (
+            ensure_bucketed_store(docs_path, os.path.join(workdir, "docs_buckets"))
+            if docs_ref is None
+            else None
+        )
 
     import time as _time
 
@@ -676,7 +694,17 @@ def run_crawl(
             lineage_dir = _wave_dir(workdir, "lineage", wave)
             tokens_dir = _wave_dir(workdir, "tokens", wave)
             lengths_dir = _wave_dir(workdir, "page_lengths", wave)
-            fetch_fn = make_fetch_fn(docs_path, docs_ref, docs_bucket_dir)
+            if http_mode:
+                from ..stages.http_fetch import make_http_fetch_fn
+
+                ho = http_options or {}
+                fetch_fn = make_http_fetch_fn(
+                    timeout=float(ho.get("timeout", 5.0)),
+                    politeness=float(ho.get("politeness", config.politeness)),
+                    max_threads=int(ho.get("max_threads", 8)),
+                )
+            else:
+                fetch_fn = make_fetch_fn(docs_path, docs_ref, docs_bucket_dir)
             wv = wave
 
             # sink_mode="discard" is the BENCH-ONLY isolation leg: all

@@ -26,16 +26,31 @@ from ..functions.urls import hash64_batch
 
 @ray.remote(num_cpus=0)
 class RobotsShard:
-    def __init__(self, robots_bodies: Dict[str, str]):
+    def __init__(
+        self,
+        robots_bodies: Dict[str, str],
+        fetch_http: bool = False,
+        timeout: float = 5.0,
+    ):
         # the driver passes a ray.put ref; Ray dereferences it on delivery,
         # so the dict is stored once in the object store (broadcast), not
         # per-actor serialized.
         self.bodies: Dict[str, str] = robots_bodies
         self.parsers: Dict[str, Optional[RobotFileParser]] = {}
+        # http transport: a host missing from the fixture dict fetches its
+        # /robots.txt over the network ONCE (this shard owns the host, so
+        # the actor-serialized single-flight still holds); any failure →
+        # default-allow, create_robot's except path (frontier.py:80-82)
+        self.fetch_http = fetch_http
+        self.timeout = timeout
 
     def _parser(self, host: str) -> Optional[RobotFileParser]:
         if host not in self.parsers:
             body = self.bodies.get(host)
+            if body is None and self.fetch_http:
+                from ..stages.http_fetch import fetch_robots_body
+
+                body = fetch_robots_body(host, self.timeout)
             if body is None:
                 self.parsers[host] = None  # default allow, no crawl delay
             else:
@@ -82,10 +97,19 @@ class RobotsShard:
 class RobotsCache:
     """Handle over the shard pool; shard = hash64(host) % n."""
 
-    def __init__(self, robots_bodies: Dict[str, str], num_shards: int = 4):
-        ref = ray.put(robots_bodies)
+    def __init__(
+        self,
+        robots_bodies: Dict[str, str],
+        num_shards: int = 4,
+        fetch_http: bool = False,
+        timeout: float = 5.0,
+    ):
+        ref = ray.put(robots_bodies or {})
         self.num_shards = num_shards
-        self.shards = [RobotsShard.remote(ref) for _ in range(num_shards)]
+        self.shards = [
+            RobotsShard.remote(ref, fetch_http=fetch_http, timeout=timeout)
+            for _ in range(num_shards)
+        ]
 
     def shard_for(self, host: str):
         return self.shards[int(hash64_batch([host])[0] % np.uint64(self.num_shards))]
