@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import relational as R
     from web_crawler_search_engine_ray.pipelines import sketch as K
+    from web_crawler_search_engine_ray.pipelines import ragprep as G
     from web_crawler_search_engine_ray.pipelines import textprep as T
 
     def _link_pagerank(sf_dir: str) -> Any:
@@ -441,11 +442,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDER MATTERS: the driver checks at most 50 queries, in dict order
     # (CORRECTNESS_r0N.json = exactly the first 50 entries of the dict).
-    # The crawl/index/search/multimodal/sequence_pack queries — the flagship
-    # conformance surface — lead so they are guaranteed driver rows. Round 4
-    # rotates the 7 queries that had never held a driver row into the top-50
-    # window; the tail (positions 51+) holds redundant-coverage queries that
-    # were driver-green in r02/r03 and whose engine paths are unchanged:
+    # The crawl/index/search/multimodal queries — the flagship conformance
+    # surface — lead so they are guaranteed driver rows. Round 4 rotates the
+    # 7 queries that had never held a driver row into the top-50 window and
+    # adds the 4 new ragprep queries (doc_chunk / segment_dedup /
+    # text_normalize / embedding_quantize) there too; the tail (positions
+    # 51+) holds redundant-coverage queries that were driver-green in
+    # r02/r03 and whose engine paths are unchanged:
     # after this round every query in the dict has a driver-green row in
     # r02 ∪ r03 ∪ r04.
     return {
@@ -459,10 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_results": search_results,
         "search_contexts": search_contexts,
         "multimodal_features": multimodal_features,
-        "multimodal_resize": multimodal_resize,
-        "multimodal_frames": multimodal_frames,
         "multimodal_phash_pairs": multimodal_phash_pairs,
-        "sequence_pack": T.sequence_pack,
         # --- corpus analytics (A1/A2/T1/T3/A4/A5/O3/A6 over documents) ---
         "word_frequencies": C.word_frequencies,
         "postings_tfidf": C.postings_tfidf,
@@ -498,7 +498,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": R.top_customers,
         "events_user_stats": R.events_user_stats,
         "events_sessions": R.events_sessions,
-        "orders_no_returns": R.orders_no_returns,
         "events_orders_asof": R.events_orders_asof,
         "bloom_semijoin": R.lineitem_bloom_semijoin,
         "shipping_priority": R.shipping_priority,
@@ -514,6 +513,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_mix": T.interleave_mix,
         # --- DSIR importance selection (hashed-bigram target weights) ---
         "dsir_select": T.dsir_select,
+        # --- RAG / corpus-prep family (round 4, pipelines/ragprep.py) ---
+        # overlapping token-window chunking (RAG retrieval units)
+        "doc_chunk": G.doc_chunk,
+        # paragraph-analog segment-level exact dedup (global first-wins)
+        "segment_dedup": G.segment_dedup,
+        # NFC/lower/whitespace canonical form + md5 content digest
+        "text_normalize": G.text_normalize,
+        # symmetric per-vector int8 quantization stats
+        "embedding_quantize": G.embedding_quantize,
         # --- round-4 rotation: the 6 queries below (plus repetition_ngrams
         #     above) had never held a driver row through r3 (registered past
         #     the 50-query cap); they are promoted into the checked window
@@ -550,7 +558,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      dedup_keep_list ~ dedup_exact's anti-filter, link_triangles
         #      ~ link_pagerank's edge partition, event_transitions /
         #      events_funnel ~ events_sessions' per-user groupby,
-        #      pricing_rollup ~ pricing_summary) ----
+        #      pricing_rollup ~ pricing_summary). Four more demotions make
+        #      room for the new-in-r4 ragprep family above: multimodal_resize
+        #      / multimodal_frames (r3-green; same actor-pool + builtin-BMP
+        #      decode kernel as multimodal_features / multimodal_phash_pairs
+        #      which stay in the head), sequence_pack (r3-green; same
+        #      distributed prefix-scan pack kernel as sequence_pack_shuffled
+        #      in the head), orders_no_returns (r3-green; same pruned-scan +
+        #      anti-semi-join shape as shipping_priority / bloom_semijoin in
+        #      the head) ----
+        "multimodal_resize": multimodal_resize,
+        "multimodal_frames": multimodal_frames,
+        "sequence_pack": T.sequence_pack,
+        "orders_no_returns": R.orders_no_returns,
         "pii_redact": T.pii_redact,
         "keyword_topk": C.keyword_topk,
         "source_stats": C.source_stats,
@@ -1454,6 +1474,110 @@ FROM per p JOIN mr m USING (doc_id)
                     AND coalesce(per.score_milli, 0) >= 392 * coalesce(per.n_bigrams, 0)) AS selected
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """.replace("{_TOK}", _TOK).replace("{_PH_G}", _POLY_HASH.format(col="g")),
+        # RAG token-window chunking (pipelines/ragprep.py doc_chunk):
+        # whitespace tokens, window 32 / stride 24; window count is
+        # 1 for n<=32 else ceil((n-32)/24)+1 so the last window reaches
+        # the final token; DuckDB list slices are 1-based inclusive.
+        "doc_chunk": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+            ), sized AS (
+              SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                   CAST(least(32, n - k*24) AS BIGINT) AS n_tokens,
+                   array_to_string(tk[k*24+1 : k*24+32], ' ') AS chunk_text
+            FROM sized, unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                             ELSE (n - 32 + 23) // 24 + 1 END)) t(k)
+        """,
+        # paragraph-analog segment dedup (pipelines/ragprep.py
+        # segment_dedup): non-overlapping 16-token segments, global
+        # first-wins = row_number over (doc_id, seg_id) per distinct
+        # segment text (the engine's min((doc_id<<20)|seg_id) key is the
+        # same ordering); boilerplate header injected for doc_id%7==3
+        # exactly as _seg_augment does.
+        "segment_dedup": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3
+                          THEN 'all rights reserved this page is part of the example corpus please see terms for details ' || text
+                          ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM aug
+            ), sized AS (
+              SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+            ), segs AS (
+              SELECT doc_id, CAST(k AS BIGINT) AS seg_id,
+                     array_to_string(tk[k*16+1 : k*16+16], ' ') AS seg,
+                     CAST(least(16, n - k*16) AS BIGINT) AS n_toks
+              FROM sized, unnest(range(0, (n + 15) // 16)) t(k)
+            ), marked AS (
+              SELECT doc_id, n_toks,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, seg_id) AS rn
+              FROM segs
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_segments,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens_total,
+                   CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+                       AS n_tokens_kept
+            FROM marked GROUP BY 1
+        """,
+        # canonical text form (pipelines/ragprep.py text_normalize):
+        # collapse \\s+ -> trim -> lower -> NFC, md5 digest; decomposed
+        # 'Cafe'+chr(769) suffix injected for doc_id%5==0 exactly as
+        # _norm_augment does (chr(769) = U+0301 combining acute).
+        "text_normalize": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                             THEN ' Cafe' || chr(769) || '  TEST'
+                             ELSE '' END AS a
+              FROM documents
+            ), n AS (
+              SELECT doc_id, a,
+                     nfc_normalize(lower(trim(
+                         regexp_replace(a, '\\s+', ' ', 'g')))) AS norm
+              FROM aug
+            )
+            SELECT doc_id,
+                   CAST(length(norm) AS BIGINT) AS n_chars_norm,
+                   md5(norm) AS digest,
+                   (norm <> a) AS changed
+            FROM n
+        """,
+        # symmetric int8 quantization (pipelines/ragprep.py
+        # embedding_quantize): scale = max|v|/127 in DOUBLE, code =
+        # floor(v/scale + 0.5) (half-up) — every arithmetic step is the
+        # identical IEEE-double expression numpy evaluates, so the DOUBLE
+        # scale column hashes bit-equal.
+        "embedding_quantize": """
+            WITH u AS (
+              SELECT vec_id, CAST(x AS DOUBLE) AS v
+              FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+            ), s AS (
+              SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+                     max(abs(v)) / 127 AS scale
+              FROM u GROUP BY 1
+            ), q AS (
+              SELECT u.vec_id,
+                     CASE WHEN s.scale = 0 THEN 0
+                          ELSE CAST(floor(u.v / s.scale + 0.5) AS BIGINT)
+                     END AS c
+              FROM u JOIN s USING (vec_id)
+            )
+            SELECT s.vec_id, any_value(s.n_dims) AS n_dims,
+                   any_value(s.scale) AS scale,
+                   CAST(sum(q.c) AS BIGINT) AS sum_codes,
+                   CAST(sum(abs(q.c)) AS BIGINT) AS sum_abs_codes,
+                   CAST(sum(CASE WHEN abs(q.c) = 127 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_saturated
+            FROM q JOIN s ON q.vec_id = s.vec_id GROUP BY 1
+        """,
         # deterministic seeded global shuffle: rank under mix32(doc_id)
         # (pipelines/textprep.py shuffle_order; engine = narrow sort +
         # per-block prefix scan, bit-stable across any partitioning)

@@ -156,6 +156,7 @@ def _bench_queries(sf_dir: str) -> dict:
     from web_crawler_search_engine_ray.pipelines import cluster as CL
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import graph as G
+    from web_crawler_search_engine_ray.pipelines import ragprep as RG
     from web_crawler_search_engine_ray.pipelines import relational as R
     from web_crawler_search_engine_ray.pipelines import sketch as K
     from web_crawler_search_engine_ray.pipelines import textprep as T
@@ -230,6 +231,10 @@ def _bench_queries(sf_dir: str) -> dict:
         ("repetition_ngrams", T.repetition_ngrams),
         ("corpus_funnel", T.corpus_funnel),
         ("train_stream_pack", T.train_stream_pack),
+        ("doc_chunk", RG.doc_chunk),
+        ("segment_dedup", RG.segment_dedup),
+        ("text_normalize", RG.text_normalize),
+        ("embedding_quantize", RG.embedding_quantize),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
