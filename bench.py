@@ -242,9 +242,34 @@ def _bench_queries(sf_dir: str) -> dict:
     return out
 
 
+def _host_stamp() -> dict:
+    """Cheap host-condition fingerprint recorded into every headline bench
+    JSON: an 8-worker run of the 512 MB memory-stream probe (~3 s quiet,
+    longer exactly when it matters) plus the 1-min loadavg. The sandbox VM
+    shares its memory bus with other tenants and the quiet↔loud swing is
+    >4x (BASELINE.md quiet reference: 8-worker agg ≈ 3.9 GB/s; readings
+    far below mean every memory-bound phase in this record — shuffle
+    concat, parquet decode, object-store copies — ran on a saturated bus
+    and the wall-times are inflated by roughly quiet_ref/stream8 vs a
+    quiet box). Run BEFORE ray.init so the probe never contends with the
+    engine itself."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(8) as p:
+        p.map(_stream_probe, range(8))
+    dt = time.perf_counter() - t0
+    return {
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "stream8_agg_gbps": round(8 * 0.512 * 7 / dt, 2),
+        "quiet_ref_gbps": 3.91,
+    }
+
+
 def run_once(num_cpus: int, with_queries: bool = True, with_index: bool = True) -> dict:
     import ray
 
+    host = _host_stamp()
     _init_ray(num_cpus)
     crawl = None
     try:
@@ -266,6 +291,7 @@ def run_once(num_cpus: int, with_queries: bool = True, with_index: bool = True) 
         "crawl": crawl,
         "sf": SF_DIR,
         "num_cpus": num_cpus,
+        "host": host,
     }
 
 
