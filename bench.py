@@ -347,6 +347,7 @@ def _scaling_sweep(
     try:
         loadavg = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
         raw_runs: dict = {lo: [], hi: []}
+        retry_gates: list = []
 
         def leg(n: int) -> dict:
             r = _run_leg(n, mode, web_dir, num_docs)
@@ -374,6 +375,10 @@ def _scaling_sweep(
 
             while retries < max_retries and noisy():
                 retries += 1
+                # a sub-bar ratio usually means the bus was saturated
+                # mid-leg: re-gate (bounded) before burning the retry, and
+                # record the gate so the escalation is auditable
+                retry_gates.append(_wait_quiet())
                 for n in (lo, hi):
                     rerun = leg(n)
                     for k in _tp_keys:
@@ -410,6 +415,7 @@ def _scaling_sweep(
         "lo": {"num_cpus": lo, **{k: results[lo]["crawl"][k] for k in keys}},
         "hi": {"num_cpus": hi, **{k: results[hi]["crawl"][k] for k in keys}},
         "retries": retries if retry_below is not None else 0,
+        "retry_gates": retry_gates,
         "loadavg_start": loadavg,
         "raw_runs": {str(n): raw_runs[n] for n in (lo, hi)},
     }
@@ -619,23 +625,38 @@ def run_busprobe(lo: int = 8, hi: int = 32) -> dict:
     }
 
 
-def _wait_quiet(thresh: float = 3.0, max_wait: float = 420.0) -> dict:
-    """Block (bounded) until the 1-min loadavg drops below ``thresh``.
+def _wait_quiet(
+    thresh: float = 3.0, bw_thresh: float = 2.8, max_wait: float = 420.0
+) -> dict:
+    """Block (bounded) until the box looks quiet on BOTH signals: 1-min
+    loadavg < ``thresh`` (guest-local work) AND the 8-worker stream probe
+    ≥ ``bw_thresh`` GB/s (host-level bus saturation by neighbor tenants,
+    which guest loadavg CANNOT see — quiet reference 3.91 GB/s, observed
+    as low as 0.56 under neighbor load with this guest fully idle).
 
     The 4→16 sweep carries the ≥0.8 bar claim; running it seconds after
     the 32-CPU headline phases (or under another tenant's burst) measures
     the CONTENTION, not the engine — r3's shipped record read 0.721 for
-    exactly this reason while six quiet-box runs read 0.809–1.002. The
-    wait is recorded in the output so the gate is auditable."""
+    exactly this reason while six quiet-box runs read 0.809–1.002. Both
+    readings and the wait are recorded in the output so the gate is
+    auditable; on timeout the sweep proceeds with the last readings
+    visible (a reader can discount the ratio accordingly)."""
     t0 = time.perf_counter()
     load = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
-    while load > thresh and (time.perf_counter() - t0) < max_wait:
-        time.sleep(15.0)
-        load = os.getloadavg()[0]
+    bw = None
+    while (time.perf_counter() - t0) < max_wait:
+        load = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+        if load <= thresh:
+            bw = _host_stamp()["stream8_agg_gbps"]
+            if bw >= bw_thresh:
+                break
+        time.sleep(20.0)
     return {
         "waited_sec": round(time.perf_counter() - t0, 1),
         "loadavg_after_wait": round(load, 2),
+        "stream8_gbps_after_wait": bw,
         "quiet_thresh": thresh,
+        "bw_thresh": bw_thresh,
     }
 
 

@@ -78,7 +78,7 @@ def test_text_normalize_digest_and_flags(ray_session):
 
     df = text_normalize(SF).to_pandas().set_index("doc_id")
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\f\r]+")  # the RE2 \s class the oracle uses
     for d, t in list(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))[:50]:
         aug = _norm_augment(d, t)
         norm = unicodedata.normalize("NFC", ws.sub(" ", aug).strip(" ").lower())
@@ -89,6 +89,63 @@ def test_text_normalize_digest_and_flags(ray_session):
     # the injected decomposed suffix makes exactly the %5 docs change
     # (base corpus is already canonical lowercase single-space ascii)
     assert (df["changed"] == (df.index % 5 == 0)).all()
+
+
+ADVERSARIAL_TEXTS = [
+    "",  # empty -> zero chunks/segments
+    "   ",  # whitespace-only
+    "one",
+    "a\vb c",  # \v is NOT whitespace to RE2 -> 'a\vb' is ONE token
+    "x\xa0y z",  # NBSP is NOT whitespace to RE2 either
+    "tab\tsep\nline\rcr\fff",  # the four real RE2 whitespace chars
+    "  lead and trail  ",
+    "double  space   runs",
+    "café composed and Café decomposed",  # NFC has work
+    "MiXeD CaSe Éclair",
+    " ".join(f"w{i}" for i in range(100)),  # multi-chunk doc
+]
+
+
+def test_ragprep_adversarial_oracle_parity(ray_session, tmp_path):
+    """Engine ≡ DuckDB oracle on adversarial inputs (RE2-vs-Python
+    whitespace classes, NBSP/\\v non-whitespace, NFC-relevant unicode,
+    empty/whitespace-only docs) — the parity the sf fixture's single-space
+    ASCII corpus cannot exercise."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+
+    sf = str(tmp_path)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(ADVERSARIAL_TEXTS)), pa.int64()),
+            "text": pa.array(ADVERSARIAL_TEXTS, pa.string()),
+            "lang": pa.array(["en"] * len(ADVERSARIAL_TEXTS)),
+            "source": pa.array(["t"] * len(ADVERSARIAL_TEXTS)),
+            "n_chars": pa.array([len(t) for t in ADVERSARIAL_TEXTS], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    qs, oracles = E.queries(), E.oracle_sql()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name in ("doc_chunk", "segment_dedup", "text_normalize"):
+        got = canon(qs[name](sf).to_pandas())
+        want = canon(con.sql(oracles[name]).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
 
 
 def test_embedding_quantize_invariants(ray_session):

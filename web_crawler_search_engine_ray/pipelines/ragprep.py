@@ -20,8 +20,8 @@ All four are beyond-reference first-class pipeline operators (SURVEY.md
   Nothing driver-side; the exchanged rows are (digest, ids, counts).
 - ``text_normalize``: NFC + lowercase + whitespace-collapse canonical
   form with an md5 content digest — single streaming pass, no shuffle.
-  The canonicalization order (trim -> collapse \\s+ -> lower -> NFC) is
-  mirrored token-for-token by the SQL oracle.
+  The canonicalization order (collapse RE2-\\s+ -> trim -> lower -> NFC)
+  is mirrored step-for-step by the SQL oracle.
 - ``embedding_quantize``: symmetric per-vector int8 quantization
   (scale = max|v| / 127, code = floor(v/scale + 0.5)) — the standard
   scalar-quantization kernel used to shrink ANN indexes 4x. Vectorized
@@ -61,6 +61,19 @@ __all__ = [
     "embedding_quantize",
 ]
 
+# RE2 (DuckDB) whitespace is exactly [ \t\n\f\r] — narrower than both
+# Python's \s under re.ASCII (adds \v) and str.split() (all Unicode
+# whitespace incl. \xa0). The kernels tokenize with the RE2 class so
+# engine ≡ oracle holds on ARBITRARY bytes, not just the space-separated
+# ASCII fixture (pinned by tests/test_ragprep_ops.py adversarial parity).
+_RS_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+_RS_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def _rs_tokens(text: str) -> list:
+    return _RS_TOKEN_RE.findall(text)
+
+
 # --- doc_chunk ---------------------------------------------------------------
 
 CHUNK_SIZE = 32  # tokens per window
@@ -89,7 +102,7 @@ def doc_chunk(sf_dir: str) -> "ray.data.Dataset":
         texts = batch.column("text").to_pylist()
         o_id, o_ck, o_nt, o_tx = [], [], [], []
         for d, t in zip(ids, texts):
-            tk = t.split()
+            tk = _rs_tokens(t)
             n = len(tk)
             if n == 0:
                 continue
@@ -159,7 +172,7 @@ def segment_dedup(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
         texts = batch.column("text").to_pylist()
         segs, o_key, o_nt = [], [], []
         for d, t in zip(ids, texts):
-            tk = _seg_augment(d, t).split()
+            tk = _rs_tokens(_seg_augment(d, t))
             n = len(tk)
             for k in range((n + SEG_SIZE - 1) // SEG_SIZE):
                 w = tk[k * SEG_SIZE : (k + 1) * SEG_SIZE]
@@ -244,7 +257,6 @@ def segment_dedup(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
 # collapse / lower steps each have real work; oracle mirrors with
 # chr(769) (combining acute).
 _NORM_SUFFIX = " Cafe\u0301  TEST"  # decomposed e + combining acute
-_WS_RE = re.compile(r"\s+")
 
 
 def _norm_augment(doc_id: int, text: str) -> str:
@@ -272,7 +284,7 @@ def text_normalize(sf_dir: str) -> "ray.data.Dataset":
         n_chars, digests, changed = [], [], []
         for d, t in zip(ids, texts):
             aug = _norm_augment(d, t)
-            s = unicodedata.normalize("NFC", _WS_RE.sub(" ", aug).strip(" ").lower())
+            s = unicodedata.normalize("NFC", _RS_WS_RE.sub(" ", aug).strip(" ").lower())
             n_chars.append(len(s))
             digests.append(hashlib.md5(s.encode("utf-8")).hexdigest())
             changed.append(s != aug)
