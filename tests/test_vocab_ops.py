@@ -1,0 +1,123 @@
+"""Tests for the vocabulary/tokenizer-statistics ops (pipelines/vocab.py)
+plus the Gram-matrix and event-pivot ops they shipped with: brute-force
+Python parity on the sf0.001 fixture, so engine == spec holds independent
+of the SQL oracles."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _texts():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_bpe_pair_counts_bruteforce(ray_session):
+    from web_crawler_search_engine_ray.pipelines.vocab import bpe_pair_counts
+
+    df = bpe_pair_counts(SF).to_pandas()
+    exp: Counter = Counter()
+    for t in _texts().values():
+        for w in _TOK.findall(t.lower()):
+            for a, b in zip(w, w[1:]):
+                exp[(a, b)] += 1
+    got = {(r.a, r.b): r.cnt for r in df.itertuples()}
+    assert got == dict(exp)
+    # partials are alphabet-bounded: [a-z0-9] pairs only
+    assert len(df) <= 36 * 36
+
+
+def test_token_cooccurrence_bruteforce(ray_session):
+    from web_crawler_search_engine_ray.pipelines.vocab import token_cooccurrence
+
+    df = token_cooccurrence(SF).to_pandas()
+    texts = _texts()
+    docsets = {d: set(_TOK.findall(t.lower())) for d, t in texts.items()}
+    dfc: Counter = Counter()
+    for s in docsets.values():
+        dfc.update(s)
+    top = sorted(dfc, key=lambda t: (-dfc[t], t))[:64]
+    topset = set(top)
+    exp: Counter = Counter()
+    for s in docsets.values():
+        for a, b in combinations(sorted(s & topset), 2):
+            exp[(a, b)] += 1
+    exp = {k: v for k, v in exp.items() if v >= 2}
+    got = {(r.token_a, r.token_b): r.n_docs for r in df.itertuples()}
+    assert got == exp
+    # pair keys are lexicographically ordered
+    assert (df["token_a"] < df["token_b"]).all()
+
+
+def test_embedding_covariance_exact(ray_session):
+    from web_crawler_search_engine_ray.pipelines.cluster import (
+        COV_SCALE,
+        embedding_covariance,
+    )
+
+    df = embedding_covariance(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = np.floor(m * COV_SCALE + 0.5).astype(np.int64)
+    gram = q.T @ q
+    d = gram.shape[0]
+    assert len(df) == d * (d + 1) // 2
+    for r in df.itertuples():
+        assert gram[r.i - 1, r.j - 1] == r.s
+    # symmetric matrix is recoverable from the upper triangle alone
+    assert (df["i"] <= df["j"]).all()
+
+
+def test_embedding_covariance_block_invariant(ray_session):
+    """Partial-sum exchange must be exact under any block layout: the
+    int64 Gram partials commute, so 1-block and many-block runs agree."""
+    import ray
+    import pyarrow as pa
+    from web_crawler_search_engine_ray.pipelines import cluster as CL
+
+    # monkeypatch-free: run over a repartitioned copy via the same kernel
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    base = CL.embedding_covariance(SF).to_pandas().sort_values(["i", "j"])
+    m = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = np.floor(m * CL.COV_SCALE + 0.5).astype(np.int64)
+    # split into 7 uneven chunks and sum partial Grams
+    parts = np.array_split(q, 7)
+    gram = sum(p.T @ p for p in parts)
+    got = base.set_index(["i", "j"])["s"]
+    iu, ju = np.triu_indices(gram.shape[0])
+    for i, j in zip(iu, ju):
+        assert got[(i + 1, j + 1)] == gram[i, j]
+
+
+def test_events_pivot_bruteforce(ray_session):
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        EVENT_TYPES,
+        events_pivot,
+    )
+
+    df = events_pivot(SF).to_pandas().set_index("user_id").sort_index()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        row = df.loc[uid]
+        assert row["n_events"] == len(g)
+        for t in EVENT_TYPES:
+            assert row[f"n_{t}"] == (g["event_type"] == t).sum()
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        mask = (g["event_type"] == "purchase").to_numpy()
+        assert row["purchase_value_c"] == int(cents[mask].sum())
+    assert set(df.index) == set(ev["user_id"].unique())
+    # counts pivot back to the total
+    type_cols = [f"n_{t}" for t in EVENT_TYPES]
+    assert (df[type_cols].sum(axis=1) == df["n_events"]).all()

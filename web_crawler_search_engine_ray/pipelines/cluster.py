@@ -49,6 +49,7 @@ __all__ = [
     "semantic_dedup",
     "ann_topk_lsh",
     "lsh_planned_sim_fraction",
+    "embedding_covariance",
 ]
 
 FP_SCALE = 1_000_000  # embedding fixed-point scale (floor(x*1e6 + 0.5))
@@ -398,3 +399,57 @@ def semantic_dedup(sf_dir: str, tau: float = SEMDEDUP_TAU) -> "ray.data.Dataset"
         .materialize()
     )
     return bucket_exchange(mat, "cluster_id", KMEANS_K, dedup_cluster)
+
+
+# --- embedding_covariance ----------------------------------------------------
+
+COV_SCALE = 1_000  # covariance fixed-point scale (floor(x*1e3 + 0.5))
+
+
+@empty_guard("embeddings", i=pa.int64(), j=pa.int64(), s=pa.int64())
+def embedding_covariance(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed second-moment (Gram) matrix over the embedding column —
+    the one-pass statistic under PCA / whitening / covariance-shrinkage:
+    S[i, j] = sum_v q_v[i] * q_v[j] with q = floor(emb * 1e3 + 0.5) in
+    int64 (exact under any summation order, so the DuckDB replay is
+    bit-identical). Output is the upper triangle in long form
+    (i, j, s), 1-based to match SQL list indexing.
+
+    100 TB design: each batch contributes ONE d x d partial (a single
+    int64 matmul over the batch matrix — the d(d+1)/2 = 2,080 rows at
+    d=64 are independent of batch row count), and the only exchange
+    carries those constant-size partials. Eigen-decomposition of the
+    resulting d x d matrix is a driver-side O(d^3) epilogue a caller
+    runs on the collected table; nothing per-vector leaves the workers.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _list_col_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * COV_SCALE + 0.5).astype(np.int64)
+        gram = q.T @ q  # (d, d) int64 — exact
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+                "j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+                "s": pa.array(gram[iu, ju], pa.int64()),
+            }
+        )
+
+    from ..stages.util import exchange_group_agg
+
+    return exchange_group_agg(
+        _emb(sf_dir, ["embedding"]).map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        [("s", "sum")],
+        nbuck=8,
+    )

@@ -1336,3 +1336,58 @@ def event_transitions(sf_dir: str) -> pa.Table:
         per_bucket, ["prev_type", "next_type"], [("n_transitions", "sum")], nbuck=1
     )
     return collect_table(merged)
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@empty_guard(
+    "events",
+    user_id=pa.int64(),
+    n_events=pa.int64(),
+    n_click=pa.int64(),
+    n_view=pa.int64(),
+    n_purchase=pa.int64(),
+    n_signup=pa.int64(),
+    n_error=pa.int64(),
+    purchase_value_c=pa.int64(),
+)
+def events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot: per-user event counts widened to one column per event type
+    plus purchase value in exact cents (the classic long->wide reshape
+    Ray Data has no native operator for). Each type's indicator is a
+    vectorized Arrow mask; a batch-local group_by collapses the batch to
+    one partial row per user seen in it, and ONE integer-keyed exchange
+    sums the partials — the wire carries (users-per-batch) x 8 ints, no
+    sort AllToAll, nothing driver-side. The cents column uses the shared
+    floor(x*100 + 0.5) fixed-point expression so the oracle's SUM is
+    bit-identical."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cents = np.floor(
+            np.asarray(batch.column("value"), dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        cols = {"user_id": batch.column("user_id")}
+        for t in EVENT_TYPES:
+            cols[f"is_{t}"] = pc.cast(pc.equal(et, pa.scalar(t)), pa.int64())
+        is_purchase = np.asarray(cols["is_purchase"], dtype=np.int64)
+        cols["purchase_value_c"] = pa.array(cents * is_purchase, pa.int64())
+        t = pa.table(cols)
+        return _partial(
+            t,
+            ["user_id"],
+            [(f"is_{ty}", f"n_{ty}") for ty in EVENT_TYPES]
+            + [("purchase_value_c", "purchase_value_c")],
+            "n_events",
+        )
+
+    from ..stages.util import exchange_sum_by_key
+
+    return exchange_sum_by_key(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        "user_id",
+        nbuck=4,
+    )

@@ -1,0 +1,208 @@
+"""Vocabulary / tokenizer-training statistics over the document corpus:
+the BPE merge-step pair count and distinct-document token co-occurrence.
+
+Both are beyond-reference first-class operators in the LLM-data family
+(the reference's tokenizers T1-T5 stop at word/n-gram counting; training
+a subword tokenizer or building a co-occurrence graph are the next two
+passes a corpus owner runs on the same text). Design for 100 TB:
+
+- ``bpe_pair_counts``: the inner statistic of one BPE training
+  iteration — for every corpus word occurrence, count adjacent symbol
+  pairs (here: the character-bigram base case, i.e. iteration 0 of the
+  merge loop). One streaming ``map_batches`` pass; the per-batch kernel
+  is a single numpy pass over the codepoints of all words joined with a
+  separator (no per-word Python loop), and the partial each batch emits
+  is bounded by the alphabet squared (36² = 1,296 rows for the [a-z0-9]
+  tokenizer) regardless of batch size. The only exchange carries those
+  constant-size partials.
+- ``token_cooccurrence``: document-level co-occurrence counts for the
+  top-K df tokens (the statistic under PMI / word-vector windows and
+  topic co-occurrence graphs). Pass 1 computes document frequencies
+  (per-batch Counter partials -> one token exchange, the
+  word_frequencies shape) and takes the global top-K (df desc, token
+  asc) — K rows to the driver, broadcast back. Pass 2 streams the
+  corpus once more, intersects each document's token set with the
+  broadcast top-K, and accumulates pairs into a K×K upper-triangle
+  int64 grid per batch — the emitted partial is ≤ K(K-1)/2 rows per
+  batch (2,016 at K=64) no matter how many documents the batch holds,
+  so the pair exchange is constant-size too. Never all-pairs over the
+  vocabulary, never a row per (doc, token) on the wire.
+
+Both oracles replay the exact expression in SQL (same [a-z0-9]+
+tokenizer as T1, same top-K tie-break), so the driver hash-checks
+values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.util import empty_guard, exchange_group_agg
+from .corpus import _TOK_RE, _docs, collect_table
+
+__all__ = ["bpe_pair_counts", "token_cooccurrence"]
+
+# '\n' (codepoint 10) can never appear inside a [a-z0-9]+ token, so it is
+# a safe word separator for the fused codepoint scan.
+_SEP = 10
+
+
+@empty_guard("documents", a=pa.string(), b=pa.string(), cnt=pa.int64())
+def bpe_pair_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Adjacent-symbol pair frequencies over all corpus word occurrences
+    (the argmax input of a BPE merge step, at the character base case).
+
+    Words are the T1 tokens (lowercase [a-z0-9]+); words shorter than 2
+    symbols contribute nothing. Counting every occurrence is identical
+    to the textbook formulation (unique words weighted by frequency).
+    Output: (a, b, cnt), one row per distinct adjacent pair.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in batch.column("text").to_pylist():
+            words.extend(w for w in _TOK_RE.findall(t.lower()) if len(w) >= 2)
+        if not words:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        # one numpy pass over the codepoints of every word at once:
+        # join with a separator, pair (c[i], c[i+1]) counts where neither
+        # side is the separator
+        cp = np.frombuffer("\n".join(words).encode("utf-32-le"), dtype=np.uint32)
+        lo, hi = cp[:-1], cp[1:]
+        keep = (lo != _SEP) & (hi != _SEP)
+        keys = (lo[keep].astype(np.uint64) << np.uint64(32)) | hi[keep].astype(
+            np.uint64
+        )
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array([chr(int(k >> np.uint64(32))) for k in uniq]),
+                "b": pa.array([chr(int(k & np.uint64(0xFFFFFFFF))) for k in uniq]),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return exchange_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["a", "b"],
+        [("cnt", "sum")],
+        nbuck=8,
+    )
+
+
+@empty_guard(
+    "documents", token_a=pa.string(), token_b=pa.string(), n_docs=pa.int64()
+)
+def token_cooccurrence(
+    sf_dir: str, top: int = 64, min_docs: int = 2
+) -> "ray.data.Dataset":
+    """Distinct-document co-occurrence counts for the top-``top`` df
+    tokens: n_docs(a, b) = |{d : a ∈ d ∧ b ∈ d}| for a < b, kept when
+    n_docs >= ``min_docs``. The PMI / co-occurrence-graph base statistic.
+
+    The top-K gate is what keeps this off the all-pairs cliff at scale:
+    pass 1's df aggregate shrinks the corpus to unique tokens before the
+    (small) sort, and pass 2's per-batch partial is a K×K triangle of
+    int64 counters regardless of corpus size. Ties in the top-K cut are
+    broken df desc then token asc — the identical ORDER BY in the oracle.
+    """
+    # pass 1: document frequencies (each document is one row, so per-row
+    # distinct tokens == per-document distinct tokens)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(_TOK_RE.findall(t.lower())))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "dfc": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df = exchange_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(df_partial, batch_format="pyarrow"),
+        ["token"],
+        [("dfc", "sum")],
+        nbuck=8,
+    )
+    top_tbl = collect_table(
+        df.sort(["dfc", "token"], descending=[True, False]).limit(top)
+    )
+    vocab = top_tbl.column("token").to_pylist()
+    if not vocab:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "token_a": pa.array([], pa.string()),
+                    "token_b": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        )
+    index = {t: i for i, t in enumerate(vocab)}
+    k = len(vocab)
+
+    # pass 2: per-batch K×K upper-triangle pair accumulation
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        grid = np.zeros((k, k), np.int64)
+        for t in batch.column("text").to_pylist():
+            idxs = sorted(
+                {index[w] for w in _TOK_RE.findall(t.lower()) if w in index}
+            )
+            if len(idxs) < 2:
+                continue
+            iv = np.asarray(idxs, np.int64)
+            ii, jj = np.meshgrid(iv, iv, indexing="ij")
+            m = ii < jj
+            np.add.at(grid, (ii[m], jj[m]), 1)
+        ia, ja = np.nonzero(grid)
+        return pa.table(
+            {
+                "ia": pa.array(ia.astype(np.int64), pa.int64()),
+                "ja": pa.array(ja.astype(np.int64), pa.int64()),
+                "n_docs": pa.array(grid[ia, ja], pa.int64()),
+            }
+        )
+
+    pairs = exchange_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(pair_partial, batch_format="pyarrow"),
+        ["ia", "ja"],
+        [("n_docs", "sum")],
+        nbuck=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs")
+        ia = batch.column("ia").to_pylist()
+        ja = batch.column("ja").to_pylist()
+        ta = [vocab[i] for i in ia]
+        tb = [vocab[j] for j in ja]
+        # token_a < token_b lexicographically, as the oracle's join
+        # condition demands (index order is df order, not lex order)
+        lo = [min(x, y) for x, y in zip(ta, tb)]
+        hi = [max(x, y) for x, y in zip(ta, tb)]
+        out = pa.table(
+            {
+                "token_a": pa.array(lo, pa.string()),
+                "token_b": pa.array(hi, pa.string()),
+                "n_docs": n,
+            }
+        )
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out.column("n_docs"), min_docs))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
