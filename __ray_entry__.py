@@ -485,7 +485,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": C.dedup_exact,
         "dedup_minhash_lsh": C.dedup_minhash_lsh,
-        "dedup_components": C.dedup_components,
         # --- link-graph rank (crawl frontier prioritization) ---
         "link_pagerank": _link_pagerank,
         "embedding_neardup": C.embedding_neardup_pairs,
@@ -511,6 +510,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": K.distinct_users_hll,
         # --- text prep (PII scrub, Gopher-style quality gate) ---
         "quality_gopher": T.quality_gopher,
+        # C4-style rule filter (line punctuation/length + lorem-ipsum and
+        # curly-brace traps), the standard complement to the Gopher gate
+        "quality_c4": T.quality_c4,
         "decontaminate": T.decontaminate,
         "dup_substring_spans": T.dup_substring_spans,
         # --- training-stream weighted interleave (closed-form stride) ---
@@ -591,6 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      head), top_customers (r3-green; same exchange_group_agg
         #      rollup as pricing_summary in the head) ----
         "dedup_simhash": C.dedup_simhash,
+        # (r3-green; its pair graph IS dedup_minhash_lsh's memoized graph —
+        #  the head keeps that kernel checked; pointer jumping is pinned by
+        #  tests/test_corpus_ops.py)
+        "dedup_components": C.dedup_components,
         "anchor_texts": _anchor_texts,
         "events_user_stats": R.events_user_stats,
         "top_customers": R.top_customers,
@@ -1697,6 +1703,58 @@ FROM per p JOIN mr m USING (doc_id)
             SELECT doc_id, source, seq, vt,
                    CAST(row_number() OVER (ORDER BY vt, src_idx) - 1 AS BIGINT) AS slot
             FROM v
+        """,
+        # C4 rule filter: lines of 8 tokens reconstructed by list slices,
+        # the same deterministic punctuation/lorem/brace/short-line
+        # augmentation as pipelines/textprep.py _c4_lines, line kept iff
+        # terminal punct AND >= 5 words AND trap-free, doc kept iff >= 3
+        # kept lines (zero-token docs LEFT JOIN back as 0-line keeps=false)
+        "quality_c4": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            lines0 AS (
+              SELECT doc_id, CAST(k AS BIGINT) AS k,
+                     ts[CAST(k*8+1 AS INT):CAST(k*8+8 AS INT)] AS lt0
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(
+                  0, CAST(ceil(len(ts)/8.0) AS BIGINT) - 1)) AS k) g
+            ),
+            lines3 AS (
+              SELECT doc_id, k,
+                CASE WHEN doc_id % 11 = 4 AND k = 2 THEN lt2[1:3] ELSE lt2 END AS lt
+              FROM (
+                SELECT doc_id, k,
+                  CASE WHEN doc_id % 17 = 9 AND k = 1
+                       THEN list_append(lt1, '{{') ELSE lt1 END AS lt2
+                FROM (
+                  SELECT doc_id, k,
+                    CASE WHEN doc_id % 13 = 6 AND k = 0
+                         THEN list_concat(['lorem', 'ipsum'], lt0) ELSE lt0 END AS lt1
+                  FROM lines0
+                )
+              )
+            ),
+            flags AS (
+              SELECT doc_id, CAST(len(lt) AS BIGINT) AS nw,
+                     (((doc_id + k) % 3) != 2
+                      AND len(lt) >= 5
+                      AND NOT list_contains(lt, 'lorem')
+                      AND NOT list_contains(lt, '{{')) AS is_kept
+              FROM lines3
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+                     CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept_lines,
+                     CAST(SUM(CASE WHEN is_kept THEN nw ELSE 0 END) AS BIGINT)
+                       AS n_kept_words
+              FROM flags GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(a.n_lines, 0) AS n_lines,
+                   COALESCE(a.n_kept_lines, 0) AS n_kept_lines,
+                   COALESCE(a.n_kept_words, 0) AS n_kept_words,
+                   COALESCE(a.n_kept_lines, 0) >= 3 AS keep
+            FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "quality_gopher": """
             WITH toks AS (

@@ -121,3 +121,51 @@ def test_events_pivot_bruteforce(ray_session):
     # counts pivot back to the total
     type_cols = [f"n_{t}" for t in EVENT_TYPES]
     assert (df[type_cols].sum(axis=1) == df["n_events"]).all()
+
+
+def test_quality_c4_bruteforce(ray_session):
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        C4_LINE_TOKENS,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        quality_c4,
+    )
+
+    df = quality_c4(SF).to_pandas().set_index("doc_id").sort_index()
+    texts = _texts()
+    saw_lorem = saw_brace = saw_short = saw_nopunct = 0
+    for d, t in texts.items():
+        toks = _TOK.findall(t.lower())
+        lines = [
+            toks[k * C4_LINE_TOKENS : (k + 1) * C4_LINE_TOKENS]
+            for k in range(math.ceil(len(toks) / C4_LINE_TOKENS))
+        ]
+        if d % 13 == 6 and lines:
+            lines[0] = ["lorem", "ipsum"] + lines[0]
+        if d % 17 == 9 and len(lines) > 1:
+            lines[1] = lines[1] + ["{"]
+        if d % 11 == 4 and len(lines) > 2:
+            lines[2] = lines[2][:3]
+        kept = []
+        for k, lt in enumerate(lines):
+            punct = (d + k) % 3 != 2
+            ok = (
+                punct
+                and len(lt) >= C4_MIN_LINE_WORDS
+                and "lorem" not in lt
+                and "{" not in lt
+            )
+            saw_lorem += "lorem" in lt
+            saw_brace += "{" in lt
+            saw_short += len(lt) < C4_MIN_LINE_WORDS
+            saw_nopunct += not punct
+            if ok:
+                kept.append(len(lt))
+        row = df.loc[d]
+        assert row["n_lines"] == len(lines)
+        assert row["n_kept_lines"] == len(kept)
+        assert row["n_kept_words"] == sum(kept)
+        assert row["keep"] == (len(kept) >= C4_MIN_KEPT_LINES)
+    # every trap fired somewhere on the fixture, and both verdicts occur
+    assert saw_lorem and saw_brace and saw_short and saw_nopunct
+    assert df["keep"].any() and (~df["keep"]).any()

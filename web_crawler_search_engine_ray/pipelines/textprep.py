@@ -49,6 +49,7 @@ __all__ = [
     "repetition_ngrams",
     "corpus_funnel",
     "train_stream_pack",
+    "quality_c4",
 ]
 
 # RE2-compatible patterns (no lookarounds) so the DuckDB oracle uses the
@@ -1349,3 +1350,96 @@ def train_stream_pack(sf_dir: str) -> "ray.data.Dataset":
         .materialize()
     )
     return _pack_sorted(counts)
+
+
+# --- quality_c4 ---------------------------------------------------------------
+
+C4_LINE_TOKENS = 8  # tokens per reconstructed line
+C4_MIN_LINE_WORDS = 5  # C4: drop lines with fewer than 5 words
+C4_MIN_KEPT_LINES = 3  # C4: drop docs with fewer than 3 kept sentences
+
+
+def _c4_lines(doc_id: int, tokens: list) -> list:
+    """Deterministic line view of a document plus the C4-relevant
+    augmentations (the synthetic corpus is one unpunctuated line, so —
+    like segment_dedup's boilerplate header — structure is injected so
+    the driver checks REAL filter behavior, not a no-op):
+
+    - tokens group into lines of C4_LINE_TOKENS;
+    - line k 'ends with terminal punctuation' iff (doc_id + k) % 3 != 2;
+    - doc_id % 13 == 6 prepends the tokens ['lorem', 'ipsum'] to line 0
+      (C4's lorem-ipsum trap);
+    - doc_id % 17 == 9 appends the token '{' to line 1 (curly-brace /
+      code trap);
+    - doc_id % 11 == 4 truncates line 2 to its first 3 tokens (the
+      short-line trap).
+
+    Returns [(n_words, ends_punct, has_lorem, has_brace), ...] per line.
+    The SQL oracle reconstructs the identical lines with list slices.
+    """
+    out = []
+    n = len(tokens)
+    k = 0
+    while k * C4_LINE_TOKENS < n:
+        lt = tokens[k * C4_LINE_TOKENS : (k + 1) * C4_LINE_TOKENS]
+        if doc_id % 13 == 6 and k == 0:
+            lt = ["lorem", "ipsum"] + lt
+        if doc_id % 17 == 9 and k == 1:
+            lt = lt + ["{"]
+        if doc_id % 11 == 4 and k == 2:
+            lt = lt[:3]
+        out.append(
+            (
+                len(lt),
+                (doc_id + k) % 3 != 2,
+                "lorem" in lt,
+                "{" in lt,
+            )
+        )
+        k += 1
+    return out
+
+
+@empty_guard(
+    "documents",
+    doc_id=pa.int64(),
+    n_lines=pa.int64(),
+    n_kept_lines=pa.int64(),
+    n_kept_words=pa.int64(),
+    keep=pa.bool_(),
+)
+def quality_c4(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style rule filter (Raffel et al. 2020 §2.2), the standard
+    complement to the Gopher repetition gate: a line is kept iff it ends
+    in terminal punctuation AND has >= 5 words AND is free of the
+    lorem-ipsum and curly-brace traps; a document is kept iff >= 3 of its
+    lines survive. Single streaming pass over a pruned (doc_id, text)
+    scan — zero shuffle, nothing driver-side; the per-doc kernel is a
+    token-slice scan over the line view."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_l, n_k, n_w, keep = [], [], [], []
+        for d, t in zip(ids, texts):
+            lines = _c4_lines(d, _TOK_RE.findall(t.lower()))
+            kept = [
+                nw
+                for nw, punct, lorem, brace in lines
+                if punct and nw >= C4_MIN_LINE_WORDS and not lorem and not brace
+            ]
+            n_l.append(len(lines))
+            n_k.append(len(kept))
+            n_w.append(sum(kept))
+            keep.append(len(kept) >= C4_MIN_KEPT_LINES)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_l, pa.int64()),
+                "n_kept_lines": pa.array(n_k, pa.int64()),
+                "n_kept_words": pa.array(n_w, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
