@@ -160,6 +160,7 @@ def _bench_queries(sf_dir: str) -> dict:
     from web_crawler_search_engine_ray.pipelines import relational as R
     from web_crawler_search_engine_ray.pipelines import sketch as K
     from web_crawler_search_engine_ray.pipelines import textprep as T
+    from web_crawler_search_engine_ray.pipelines import vocab as V
 
     def consume(res):
         if isinstance(res, ray.data.Dataset):
@@ -235,6 +236,11 @@ def _bench_queries(sf_dir: str) -> dict:
         ("segment_dedup", RG.segment_dedup),
         ("text_normalize", RG.text_normalize),
         ("embedding_quantize", RG.embedding_quantize),
+        ("bpe_pair_counts", V.bpe_pair_counts),
+        ("token_cooccurrence", V.token_cooccurrence),
+        ("embedding_covariance", CL.embedding_covariance),
+        ("events_pivot", R.events_pivot),
+        ("quality_c4", T.quality_c4),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
