@@ -480,8 +480,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher n-gram repetition gate (top-2-gram frac + dup-5-gram
         # coverage; pipelines/textprep.py repetition_ngrams)
         "repetition_ngrams": T.repetition_ngrams,
-        # --- URL kernels (M1-M8) ---
-        "url_normalize_validate": C.url_normalize_validate,
         # --- dedup family ---
         "dedup_exact": C.dedup_exact,
         "dedup_minhash_lsh": C.dedup_minhash_lsh,
@@ -534,6 +532,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": V.bpe_pair_counts,
         # top-64-df document co-occurrence counts (K x K triangle partials)
         "token_cooccurrence": V.token_cooccurrence,
+        # CCNet-shaped unigram-LM surprisal (perplexity-bucketing proxy):
+        # token-hash exchange computes global counts in-bucket, doc-keyed
+        # exchange sums milli parts — no vocabulary broadcast
+        "doc_surprisal": V.doc_surprisal,
         # distributed fixed-point Gram/second-moment matrix (PCA base
         # statistic; d x d partial per batch, one constant-size exchange)
         "embedding_covariance": _embedding_covariance,
@@ -592,6 +594,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      exchange_sum_by_key shape as the new events_pivot in the
         #      head), top_customers (r3-green; same exchange_group_agg
         #      rollup as pricing_summary in the head) ----
+        # (r3-green; its normalize/is_valid batch kernels run end-to-end
+        #  inside crawl_lineage in the head on every crawled link, and the
+        #  hypothesis suite pins batch==scalar parity)
+        "url_normalize_validate": C.url_normalize_validate,
         "dedup_simhash": C.dedup_simhash,
         # (r3-green; its pair graph IS dedup_minhash_lsh's memoized graph —
         #  the head keeps that kernel checked; pointer jumping is pinned by
@@ -1638,6 +1644,31 @@ FROM per p JOIN mr m USING (doc_id)
                    COUNT(*)::BIGINT AS n_docs
             FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
             GROUP BY token_a, token_b HAVING COUNT(*) >= 2
+        """,
+        # unigram-LM surprisal per document (corpus as its own LM): the
+        # shared milli contract floor(tf * ln(N/cnt) * 1000 + 0.5), int64
+        # sums, integer // for the average — zero-token docs are absent on
+        # both sides (pipelines/vocab.py doc_surprisal)
+        "doc_surprisal": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            tf AS (
+              SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+            n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM tf),
+            cnt AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+            parts AS (
+              SELECT tf.doc_id,
+                     CAST(floor(CAST(tf.tf AS DOUBLE)
+                                * ln(CAST(n.n AS DOUBLE) / CAST(cnt.c AS DOUBLE))
+                                * 1000.0 + 0.5) AS BIGINT) AS p
+              FROM tf JOIN cnt ON tf.t = cnt.t CROSS JOIN n
+            )
+            SELECT d.doc_id, d.dl AS n_tokens,
+                   CAST(SUM(p) AS BIGINT) AS surprisal_milli,
+                   CAST(SUM(p) // d.dl AS BIGINT) AS avg_surprisal_milli
+            FROM parts JOIN dl d USING (doc_id) GROUP BY 1, 2
         """,
         # fixed-point Gram/second-moment matrix, upper triangle in long
         # form, 1-based indices (pipelines/cluster.py embedding_covariance;

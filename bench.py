@@ -241,6 +241,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("embedding_covariance", CL.embedding_covariance),
         ("events_pivot", R.events_pivot),
         ("quality_c4", T.quality_c4),
+        ("doc_surprisal", V.doc_surprisal),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

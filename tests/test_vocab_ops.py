@@ -169,3 +169,33 @@ def test_quality_c4_bruteforce(ray_session):
     # every trap fired somewhere on the fixture, and both verdicts occur
     assert saw_lorem and saw_brace and saw_short and saw_nopunct
     assert df["keep"].any() and (~df["keep"]).any()
+
+
+def test_doc_surprisal_bruteforce(ray_session):
+    from web_crawler_search_engine_ray.pipelines.vocab import doc_surprisal
+
+    df = doc_surprisal(SF).to_pandas().set_index("doc_id").sort_index()
+    texts = _texts()
+    tf_all = Counter()
+    per_doc = {}
+    for d, t in texts.items():
+        c = Counter(_TOK.findall(t.lower()))
+        per_doc[d] = c
+        tf_all.update(c)
+    n_total = sum(tf_all.values())
+    for d, c in per_doc.items():
+        dl = sum(c.values())
+        if dl == 0:
+            assert d not in df.index
+            continue
+        p = sum(
+            int(math.floor(f * math.log(n_total / tf_all[w]) * 1000.0 + 0.5))
+            for w, f in c.items()
+        )
+        row = df.loc[d]
+        assert row["n_tokens"] == dl
+        assert row["surprisal_milli"] == p
+        assert row["avg_surprisal_milli"] == p // dl
+    assert set(df.index) == {d for d, c in per_doc.items() if sum(c.values())}
+    # rarer vocabularies must read as more surprising than common ones
+    assert df["avg_surprisal_milli"].nunique() > 1

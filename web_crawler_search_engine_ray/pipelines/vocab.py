@@ -47,7 +47,7 @@ import ray.data
 from ..stages.util import empty_guard, exchange_group_agg
 from .corpus import _TOK_RE, _docs, collect_table
 
-__all__ = ["bpe_pair_counts", "token_cooccurrence"]
+__all__ = ["bpe_pair_counts", "token_cooccurrence", "doc_surprisal"]
 
 # '\n' (codepoint 10) can never appear inside a [a-z0-9]+ token, so it is
 # a safe word separator for the fused codepoint scan.
@@ -206,3 +206,145 @@ def token_cooccurrence(
         return out.filter(pc.greater_equal(out.column("n_docs"), min_docs))
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# --- doc_surprisal ------------------------------------------------------------
+
+
+@empty_guard(
+    "documents",
+    doc_id=pa.int64(),
+    n_tokens=pa.int64(),
+    surprisal_milli=pa.int64(),
+    avg_surprisal_milli=pa.int64(),
+)
+def doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
+    """Unigram-LM surprisal per document — the perplexity-bucketing
+    statistic of CCNet-style corpus filtering, with the corpus itself as
+    the language model: surprisal(d) = Σ_t tf(d,t) · ln(N / cnt(t)), in
+    exact milli fixed point (ln is IEEE double on both sides, the same
+    contract as tf-idf/BM25; all sums and the final // are int64, so the
+    result is identical under any block layout). Documents with zero
+    tokens have no defined surprisal and are absent from the output
+    (mirrored by the oracle's tf-derived join).
+
+    100 TB design: this is deliberately NOT a broadcast-vocabulary join
+    (the vocabulary of a web corpus does not fit a worker heap). Pass 1
+    computes the global token count N as a driver scalar (one int per
+    block). Pass 2 emits (doc_id, token, tf, dl) postings and
+    hash-routes them by TOKEN, so each reduce bucket holds every row of
+    its tokens and computes cnt(t) locally — the same-shape exchange the
+    index build uses; the per-row surprisal part is then re-keyed by
+    DOC on a second (narrow int) exchange that carries one int64 per
+    (doc, token). Two exchanges, both over shrunk columns; nothing
+    vocabulary-sized is ever collected or broadcast."""
+    import pyarrow.compute as pc
+
+    from ..functions.urls import hash64_batch
+    from ..stages.util import bucket_exchange
+
+    # pass 1: global token count (one scalar per block to the driver)
+    def block_count(batch: pa.Table) -> pa.Table:
+        n = sum(len(_TOK_RE.findall(t.lower())) for t in batch.column("text").to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_tbl = collect_table(
+        _docs(sf_dir, ["text"]).map_batches(block_count, batch_format="pyarrow")
+    )
+    n_total = int(pc.sum(n_tbl.column("n")).as_py() or 0)
+    if n_total == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "surprisal_milli": pa.array([], pa.int64()),
+                    "avg_surprisal_milli": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    nbuck = 8
+
+    # pass 2a: postings partials, routed by token hash
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        doc, tok, tfs, dls = [], [], [], []
+        for d, t in zip(ids, texts):
+            c = Counter(_TOK_RE.findall(t.lower()))
+            dl = sum(c.values())
+            for w, f in c.items():
+                doc.append(d)
+                tok.append(w)
+                tfs.append(f)
+                dls.append(dl)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "token": pa.array(tok, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return t.append_column("tbucket", pa.array([], pa.int64()))
+        enc = pc.dictionary_encode(t.column("token").combine_chunks())
+        hu = hash64_batch(enc.dictionary.to_pylist())
+        h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column(
+            "tbucket", pa.array((h % np.uint64(nbuck)).astype(np.int64), pa.int64())
+        )
+
+    def token_reduce(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("p", pa.int64()), ("dl", pa.int64())]
+        )
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        # a token's rows are all in this bucket: local sum IS the global cnt
+        g = tbl.group_by(["token"]).aggregate([("tf", "sum")])
+        toks = np.asarray(g.column("token").to_pylist())
+        cnts = g.column("tf_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(toks)
+        row_tok = np.asarray(tbl.column("token").to_pylist())
+        cnt_row = cnts[order[np.searchsorted(toks[order], row_tok)]]
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        # the shared milli contract: floor(tf * ln(N/cnt) * 1000.0 + 0.5),
+        # every factor the same double expression the oracle evaluates
+        p = np.floor(
+            tf * np.log(float(n_total) / cnt_row.astype(np.float64)) * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "p": pa.array(p, pa.int64()),
+                "dl": tbl.column("dl"),
+            }
+        )
+
+    mat = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    parts = bucket_exchange(mat, "tbucket", nbuck, token_reduce)
+
+    # pass 2b: re-key by doc (narrow int columns only)
+    summed = exchange_group_agg(
+        parts, ["doc_id"], [("p", "sum"), ("dl", "max")], nbuck=nbuck
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(dl, pa.int64()),
+                "surprisal_milli": pa.array(p, pa.int64()),
+                "avg_surprisal_milli": pa.array(p // dl, pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
