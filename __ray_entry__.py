@@ -635,6 +635,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_lineitem": K.sample_lineitem,
         "supplier_topk": K.supplier_topk,
         "heavy_hitters_cms": K.heavy_hitters_cms,
+        # iterative BPE tokenizer training (8 merge rounds over the
+        # distributed unique-word table). Deliberately NO oracle_sql entry:
+        # a stateful left-to-right string rewrite per round is not
+        # SQL-expressible — correctness is pinned by the pure-Python
+        # reference trainer in tests/test_vocab_ops.py; a driver row would
+        # be rows-only, so the head keeps hash-checked queries instead
+        "bpe_train": V.bpe_train,
     }
 
 

@@ -242,6 +242,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("events_pivot", R.events_pivot),
         ("quality_c4", T.quality_c4),
         ("doc_surprisal", V.doc_surprisal),
+        ("bpe_train", V.bpe_train),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -199,3 +199,41 @@ def test_doc_surprisal_bruteforce(ray_session):
     assert set(df.index) == {d for d, c in per_doc.items() if sum(c.values())}
     # rarer vocabularies must read as more surprising than common ones
     assert df["avg_surprisal_milli"].nunique() > 1
+
+
+def test_bpe_train_reference_trainer(ray_session):
+    from web_crawler_search_engine_ray.pipelines.vocab import BPE_ROUNDS, bpe_train
+
+    got = bpe_train(SF).to_pandas()
+
+    # pure-Python reference BPE (Sennrich et al.): unique-word freqs,
+    # overlapping pair counts, argmax (count desc, pair asc),
+    # left-to-right non-overlapping merge
+    freqs = Counter()
+    for t in _texts().values():
+        freqs.update(w for w in _TOK.findall(t.lower()) if len(w) >= 2)
+    seqs = {w: list(w) for w in freqs}
+    exp = []
+    for r in range(BPE_ROUNDS):
+        pc_ = Counter()
+        for w, sym in seqs.items():
+            f = freqs[w]
+            for x, y in zip(sym, sym[1:]):
+                pc_[(x, y)] += f
+        if not pc_:
+            break
+        (a, b), cnt = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((r + 1, a, b, cnt))
+        for w, sym in seqs.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            seqs[w] = merged
+    assert [tuple(r) for r in got[["rank", "a", "b", "count"]].itertuples(index=False)] == exp
+    # merges actually compound: some later merge uses a multi-char symbol
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in exp)

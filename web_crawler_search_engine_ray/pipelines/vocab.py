@@ -47,7 +47,7 @@ import ray.data
 from ..stages.util import empty_guard, exchange_group_agg
 from .corpus import _TOK_RE, _docs, collect_table
 
-__all__ = ["bpe_pair_counts", "token_cooccurrence", "doc_surprisal"]
+__all__ = ["bpe_pair_counts", "token_cooccurrence", "doc_surprisal", "bpe_train"]
 
 # '\n' (codepoint 10) can never appear inside a [a-z0-9]+ token, so it is
 # a safe word separator for the fused codepoint scan.
@@ -348,3 +348,132 @@ def doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# --- bpe_train ----------------------------------------------------------------
+
+BPE_ROUNDS = 8
+
+
+@empty_guard(
+    "documents",
+    rank=pa.int64(),
+    a=pa.string(),
+    b=pa.string(),
+    count=pa.int64(),
+)
+def bpe_train(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): ``rounds``
+    merge steps over the corpus, returning (rank, a, b, count) per merge
+    with count = the pair's pre-merge occurrence total. Argmax ties break
+    count desc, then (a, b) lexicographically — fully deterministic.
+
+    Not SQL-expressible (a stateful left-to-right string rewrite per
+    iteration), so correctness is pinned by the pure-Python reference
+    trainer in tests/test_vocab_ops.py instead of a DuckDB oracle.
+
+    100 TB design: classic BPE trains on the UNIQUE-WORD frequency table,
+    not the corpus — one corpus-scale exchange builds (word, freq) and
+    every later pass is vocabulary-scale (~10^8 rows at web scale, a
+    small Dataset). Each round is: one map_batches pair-count partial
+    (rows bounded by the batch's distinct adjacent pairs) + one pair
+    exchange + a 1-row driver argmax + one broadcast merge applied
+    map_batches-side; the evolving word table is re-materialized per
+    round so round k+1 reads blocks, not a k-stage recompute chain. The
+    per-word scan inside a batch is the same per-unique-word loop every
+    BPE implementation runs; it touches vocabulary rows only.
+    """
+    # corpus-scale pass: unique (word, freq)
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(w for w in _TOK_RE.findall(t.lower()) if len(w) >= 2)
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "freq": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    words = exchange_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(word_partial, batch_format="pyarrow"),
+        ["word"],
+        [("freq", "sum")],
+        nbuck=8,
+    )
+
+    # symbol sequences start as characters; '\x00' joins multi-char symbols
+    def to_seqs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seq": pa.array(
+                    ["\x00".join(w) for w in batch.column("word").to_pylist()],
+                    pa.string(),
+                ),
+                "freq": batch.column("freq"),
+            }
+        )
+
+    ds = words.map_batches(to_seqs, batch_format="pyarrow").materialize()
+    merges = []
+
+    for r in range(rounds):
+        def pair_counts(batch: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            seqs = batch.column("seq").to_pylist()
+            freqs = batch.column("freq").to_pylist()
+            for s, f in zip(seqs, freqs):
+                sym = s.split("\x00")
+                for x, y in zip(sym, sym[1:]):
+                    c[(x, y)] += f
+            ks = list(c.keys())
+            return pa.table(
+                {
+                    "a": pa.array([k[0] for k in ks], pa.string()),
+                    "b": pa.array([k[1] for k in ks], pa.string()),
+                    "count": pa.array([c[k] for k in ks], pa.int64()),
+                }
+            )
+
+        agg = exchange_group_agg(
+            ds.map_batches(pair_counts, batch_format="pyarrow"),
+            ["a", "b"],
+            [("count", "sum")],
+            nbuck=8,
+        )
+        best = collect_table(
+            agg.sort(["count", "a", "b"], descending=[True, False, False]).limit(1)
+        )
+        if best.num_rows == 0:
+            break
+        a = best.column("a")[0].as_py()
+        b = best.column("b")[0].as_py()
+        cnt = int(best.column("count")[0].as_py())
+        merges.append((r + 1, a, b, cnt))
+
+        def apply_merge(batch: pa.Table, _a=a, _b=b) -> pa.Table:
+            out = []
+            for s in batch.column("seq").to_pylist():
+                sym = s.split("\x00")
+                merged, i = [], 0
+                # left-to-right non-overlapping replacement
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == _a and sym[i + 1] == _b:
+                        merged.append(_a + _b)
+                        i += 2
+                    else:
+                        merged.append(sym[i])
+                        i += 1
+                out.append("\x00".join(merged))
+            return pa.table({"seq": pa.array(out, pa.string()), "freq": batch.column("freq")})
+
+        ds = ds.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "a": pa.array([m[1] for m in merges], pa.string()),
+            "b": pa.array([m[2] for m in merges], pa.string()),
+            "count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
