@@ -194,3 +194,30 @@ def test_serve_http_surface(ray_session, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_cli_query_surface(ray_session, tmp_path, capsys):
+    """The `query` subcommand exposes the driver registry: --list prints
+    names, a named run prints a head or writes parquet."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "events_pivot" in names and "doc_surprisal" in names and len(names) >= 80
+
+    assert main(["query", "events_pivot", "--sf-dir", "/root/testdata/sf0.001",
+                 "--head", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "purchase_value_c" in out
+
+    dest = str(tmp_path / "q_out")
+    assert main(["query", "doc_surprisal", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", dest]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == pq.read_table(dest).num_rows > 0
+
+    assert main(["query", "definitely_not_a_query"]) == 2

@@ -6,6 +6,7 @@ as subcommands:
     python -m web_crawler_search_engine_ray index  --pages D/pages --out I
     python -m web_crawler_search_engine_ray search --index I --query "..." [-k 5]
     python -m web_crawler_search_engine_ray genweb --out W --docs 1000 --hosts 8
+    python -m web_crawler_search_engine_ray query  doc_surprisal --sf-dir SF [--out P]
 
 This script OWNS its Ray session (ray.init guard) — library code never does.
 """
@@ -124,6 +125,48 @@ def cmd_index(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run any registered pipeline operator by name over an sf-table dir
+    (the same registry the driver contract exposes via __ray_entry__.py's
+    queries()); write parquet with --out, else print the head."""
+    import importlib.util
+
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__ray_entry__.py",
+    )
+    if not os.path.exists(entry_path):
+        print("error: __ray_entry__.py not found next to the package", file=sys.stderr)
+        return 2
+    _ensure_ray()
+    spec = importlib.util.spec_from_file_location("__wcse_entry__", entry_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry = mod.queries()
+    if args.list or args.name is None:
+        for n in registry:
+            print(n)
+        return 0
+    if args.name not in registry:
+        print(f"error: unknown query {args.name!r} (use --list)", file=sys.stderr)
+        return 2
+    import ray.data
+
+    res = registry[args.name](args.sf_dir)
+    if not isinstance(res, ray.data.Dataset):
+        import pyarrow as pa
+
+        tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+        res = ray.data.from_arrow(tbl)
+    if args.out:
+        res.write_parquet(args.out)
+        print(json.dumps({"query": args.name, "rows": res.count(), "out": args.out}))
+    else:
+        df = res.limit(args.head).to_pandas()
+        print(df.to_string(index=False))
     return 0
 
 
@@ -409,6 +452,16 @@ def main(argv=None) -> int:
         help="HTTP bind address (default loopback; 0.0.0.0 to expose)",
     )
     v.set_defaults(fn=cmd_serve)
+
+    q = sub.add_parser(
+        "query", help="run a registered pipeline operator over an sf-table dir"
+    )
+    q.add_argument("name", nargs="?", default=None, help="query name (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None, help="write result parquet here")
+    q.add_argument("--head", type=int, default=20, help="rows to print without --out")
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)
