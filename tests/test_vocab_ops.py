@@ -237,3 +237,38 @@ def test_bpe_train_reference_trainer(ray_session):
     assert [tuple(r) for r in got[["rank", "a", "b", "count"]].itertuples(index=False)] == exp
     # merges actually compound: some later merge uses a multi-char symbol
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in exp)
+
+
+def test_char_pair_counts_property():
+    """Hypothesis parity: the fused codepoint scan == the per-word loop,
+    on arbitrary words (any unicode except the '\\n' separator), without
+    needing a Ray session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_crawler_search_engine_ray.pipelines.vocab import char_pair_counts
+
+    words_st = st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\n"),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(words_st)
+    def check(words):
+        got = {
+            (r.a, r.b): r.cnt
+            for r in char_pair_counts(words).to_pandas().itertuples()
+        }
+        exp = Counter()
+        for w in words:
+            for a, b in zip(w, w[1:]):
+                exp[(a, b)] += 1
+        assert got == dict(exp)
+
+    check()

@@ -54,6 +54,34 @@ __all__ = ["bpe_pair_counts", "token_cooccurrence", "doc_surprisal", "bpe_train"
 _SEP = 10
 
 
+def char_pair_counts(words: List[str]) -> pa.Table:
+    """Adjacent character-pair counts over ``words`` in one numpy pass:
+    join with a separator, pair (c[i], c[i+1]) counts where neither side
+    is the separator. Words must not contain '\\n' (the [a-z0-9]+
+    tokenizer guarantees it); property-tested equal to the per-word
+    Python loop in tests/test_vocab_ops.py."""
+    if not words:
+        return pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    cp = np.frombuffer("\n".join(words).encode("utf-32-le"), dtype=np.uint32)
+    lo, hi = cp[:-1], cp[1:]
+    keep = (lo != _SEP) & (hi != _SEP)
+    keys = (lo[keep].astype(np.uint64) << np.uint64(32)) | hi[keep].astype(np.uint64)
+    uniq, counts = np.unique(keys, return_counts=True)
+    return pa.table(
+        {
+            "a": pa.array([chr(int(k >> np.uint64(32))) for k in uniq]),
+            "b": pa.array([chr(int(k & np.uint64(0xFFFFFFFF))) for k in uniq]),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 @empty_guard("documents", a=pa.string(), b=pa.string(), cnt=pa.int64())
 def bpe_pair_counts(sf_dir: str) -> "ray.data.Dataset":
     """Adjacent-symbol pair frequencies over all corpus word occurrences
@@ -69,31 +97,7 @@ def bpe_pair_counts(sf_dir: str) -> "ray.data.Dataset":
         words: List[str] = []
         for t in batch.column("text").to_pylist():
             words.extend(w for w in _TOK_RE.findall(t.lower()) if len(w) >= 2)
-        if not words:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.string()),
-                    "b": pa.array([], pa.string()),
-                    "cnt": pa.array([], pa.int64()),
-                }
-            )
-        # one numpy pass over the codepoints of every word at once:
-        # join with a separator, pair (c[i], c[i+1]) counts where neither
-        # side is the separator
-        cp = np.frombuffer("\n".join(words).encode("utf-32-le"), dtype=np.uint32)
-        lo, hi = cp[:-1], cp[1:]
-        keep = (lo != _SEP) & (hi != _SEP)
-        keys = (lo[keep].astype(np.uint64) << np.uint64(32)) | hi[keep].astype(
-            np.uint64
-        )
-        uniq, counts = np.unique(keys, return_counts=True)
-        return pa.table(
-            {
-                "a": pa.array([chr(int(k >> np.uint64(32))) for k in uniq]),
-                "b": pa.array([chr(int(k & np.uint64(0xFFFFFFFF))) for k in uniq]),
-                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
+        return char_pair_counts(words)
 
     return exchange_group_agg(
         _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
