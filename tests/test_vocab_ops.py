@@ -241,7 +241,9 @@ def test_bpe_train_reference_trainer(ray_session):
 
 def test_char_pair_counts_property():
     """Hypothesis parity: the fused codepoint scan == the per-word loop,
-    on arbitrary words (any unicode except the '\\n' separator), without
+    on arbitrary words (any unicode except the '\\n' separator and lone
+    surrogates — category Cs can't round-trip utf-32 and can't be held
+    by pa.string() either, so it is outside the kernel's domain), without
     needing a Ray session."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -250,7 +252,9 @@ def test_char_pair_counts_property():
 
     words_st = st.lists(
         st.text(
-            alphabet=st.characters(blacklist_characters="\n"),
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\n"
+            ),
             min_size=0,
             max_size=12,
         ),

@@ -163,11 +163,43 @@ def cmd_query(args) -> int:
         res = ray.data.from_arrow(tbl)
     if args.out:
         res.write_parquet(args.out)
-        print(json.dumps({"query": args.name, "rows": res.count(), "out": args.out}))
+        # Row count from the written parquet footers: counting via
+        # res.count() would re-execute the whole (lazy) pipeline a
+        # second time — doubly expensive for multi-pass operators.
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(args.out):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(root, f)).num_rows
+        print(json.dumps({"query": args.name, "rows": n, "out": args.out}))
     else:
-        df = res.limit(args.head).to_pandas()
-        print(df.to_string(index=False))
+        # take(head) pulls only the displayed rows to the driver; no
+        # pandas materialization of the dataset.
+        print(_format_rows(res.take(args.head)))
     return 0
+
+
+def _format_rows(rows: list[dict]) -> str:
+    """Column-aligned text table for a small list of row dicts (CLI
+    display only — rows is already head-bounded by take())."""
+    if not rows:
+        return "(empty)"
+    cols = list(rows[0].keys())
+    cells = [[_cell(r.get(c)) for c in cols] for r in rows]
+    widths = [
+        max(len(c), max(len(row[i]) for row in cells)) for i, c in enumerate(cols)
+    ]
+    out = [" ".join(c.rjust(w) for c, w in zip(cols, widths))]
+    for row in cells:
+        out.append(" ".join(v.rjust(w) for v, w in zip(row, widths)))
+    return "\n".join(out)
+
+
+def _cell(v) -> str:
+    s = str(v.tolist() if hasattr(v, "tolist") else v)
+    return s if len(s) <= 60 else s[:57] + "..."
 
 
 def _run_query(svc, presenter, query: str, k: int, as_json: bool) -> None:

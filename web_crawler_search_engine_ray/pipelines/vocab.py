@@ -58,8 +58,10 @@ def char_pair_counts(words: List[str]) -> pa.Table:
     """Adjacent character-pair counts over ``words`` in one numpy pass:
     join with a separator, pair (c[i], c[i+1]) counts where neither side
     is the separator. Words must not contain '\\n' (the [a-z0-9]+
-    tokenizer guarantees it); property-tested equal to the per-word
-    Python loop in tests/test_vocab_ops.py."""
+    tokenizer guarantees it) nor lone surrogates (category Cs — they
+    cannot round-trip utf-32, and pa.string() cannot hold them either,
+    so they are outside the kernel's domain); property-tested equal to
+    the per-word Python loop in tests/test_vocab_ops.py."""
     if not words:
         return pa.table(
             {
@@ -73,10 +75,16 @@ def char_pair_counts(words: List[str]) -> pa.Table:
     keep = (lo != _SEP) & (hi != _SEP)
     keys = (lo[keep].astype(np.uint64) << np.uint64(32)) | hi[keep].astype(np.uint64)
     uniq, counts = np.unique(keys, return_counts=True)
+    # codepoint → 1-char string, vectorized: one utf-32 decode per side
+    # then a C-level list(str) split (no per-element chr() loop).
+    a_chars = list((uniq >> np.uint64(32)).astype("<u4").tobytes().decode("utf-32-le"))
+    b_chars = list(
+        (uniq & np.uint64(0xFFFFFFFF)).astype("<u4").tobytes().decode("utf-32-le")
+    )
     return pa.table(
         {
-            "a": pa.array([chr(int(k >> np.uint64(32))) for k in uniq]),
-            "b": pa.array([chr(int(k & np.uint64(0xFFFFFFFF))) for k in uniq]),
+            "a": pa.array(a_chars, pa.string()),
+            "b": pa.array(b_chars, pa.string()),
             "cnt": pa.array(counts.astype(np.int64), pa.int64()),
         }
     )
