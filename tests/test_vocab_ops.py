@@ -123,6 +123,28 @@ def test_events_pivot_bruteforce(ray_session):
     assert (df[type_cols].sum(axis=1) == df["n_events"]).all()
 
 
+def test_events_pivot_null_values(ray_session, tmp_path):
+    """A NULL purchase value contributes 0 to purchase_value_c (the
+    oracle's SUM ... FILTER skips NULLs) — not INT64_MIN garbage from
+    floor(NaN)."""
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.pipelines.relational import events_pivot
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["purchase", "purchase", "purchase", "click"]),
+            "value": pa.array([None, 2.505, None, None], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    df = events_pivot(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+    assert df.loc[1, "purchase_value_c"] == 251  # floor(2.505*100 + 0.5)
+    assert df.loc[2, "purchase_value_c"] == 0
+    assert df.loc[1, "n_purchase"] == 2 and df.loc[2, "n_purchase"] == 1
+
+
 def test_quality_c4_bruteforce(ray_session):
     from web_crawler_search_engine_ray.pipelines.textprep import (
         C4_LINE_TOKENS,

@@ -1365,8 +1365,12 @@ def events_pivot(sf_dir: str) -> "ray.data.Dataset":
 
     def prep(batch: pa.Table) -> pa.Table:
         et = batch.column("event_type")
+        # fill_null(0.0): a NULL value must contribute 0 to the sum, like
+        # the oracle's NULL-skipping SUM ... FILTER — without it NaN*100
+        # floors to INT64_MIN garbage.
+        vals = pc.fill_null(pc.cast(batch.column("value"), pa.float64()), 0.0)
         cents = np.floor(
-            np.asarray(batch.column("value"), dtype=np.float64) * 100.0 + 0.5
+            np.asarray(vals, dtype=np.float64) * 100.0 + 0.5
         ).astype(np.int64)
         cols = {"user_id": batch.column("user_id")}
         for t in EVENT_TYPES:
