@@ -443,3 +443,60 @@ def test_train_stream_pack_composition(ray_session):
     n = packs["n_tokens"].to_numpy()[order]
     assert start[0] == 0
     assert (start[1:] == start[:-1] + n[:-1]).all()
+
+
+def test_tokenizer_seam_unicode_parity():
+    """Adversarial pin of the engine-tokenizer vs DuckDB-oracle seam:
+    `_TOK_RE.findall(t.lower())` (Python) must tokenize identically to
+    `regexp_extract_all(lower(text), '[a-z0-9]+')` (DuckDB/RE2+utf8proc)
+    on arbitrary unicode text. The SINGLE known divergence is U+0130
+    (LATIN CAPITAL LETTER I WITH DOT ABOVE): Python's SpecialCasing
+    lower() expands it to 'i'+U+0307 (combining dot splits the [a-z0-9]
+    run: 'AİB' -> ['ai','b']) while utf8proc folds it to plain 'i'
+    ('aib'). It is excluded from the strategy here, and
+    test_fixture_text_is_ascii below proves the fixture generator can
+    never emit it — together these close the seam. (Lone surrogates are
+    excluded because parquet/pa.string() cannot carry them at all.)"""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_crawler_search_engine_ray.pipelines.corpus import _TOK_RE
+
+    con = duckdb.connect()
+    text_st = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="İ"
+        ),
+        max_size=60,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(text_st)
+    def check(t):
+        engine = _TOK_RE.findall(t.lower())
+        oracle = con.execute(
+            "SELECT regexp_extract_all(lower(?), '[a-z0-9]+')", [t]
+        ).fetchone()[0]
+        assert engine == oracle, (t, engine, oracle)
+
+    check()
+
+
+def test_fixture_text_is_ascii():
+    """Executable fixture contract: every text-bearing column the
+    synthetic generators emit is pure ASCII, so the U+0130 divergence
+    documented above is unreachable from any fixture-driven pipeline."""
+    from web_crawler_search_engine_ray.sources.synthetic_web import generate_web
+
+    web = generate_web(seed=42, num_hosts=4, num_docs=60)
+    for r in web["docs"].to_pylist():
+        for s in r["spans"]:
+            assert (s["text"] or "").isascii()
+            assert (s["media_ref"] or "").isascii()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    for chunk in t.column("text").chunks:
+        arr = chunk.to_pylist()
+        assert all(s.isascii() for s in arr if s is not None)
