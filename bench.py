@@ -717,6 +717,11 @@ def _compact(result: dict) -> dict:
             # how many best-of retries fired (raw legs in BENCH_FULL.json)
             "retries": s4.get("retries"),
         }
+        if s4.get("ceiling"):
+            # same-run 4/16 busprobe ceiling + each metric read against
+            # its cap (crawl/membw, index+tokenize/cpu)
+            out["scaling_4_16"]["ceiling"] = s4["ceiling"]
+            out["scaling_4_16"]["vs_ceiling"] = s4.get("vs_ceiling")
     return out
 
 
@@ -797,11 +802,44 @@ def main():
         # every raw leg + the wait is recorded so the policy is auditable
         # (ADVICE r3).
         quiet = _wait_quiet()
+        # Same-run shared-resource ceiling at the SAME cpu pair (4->16):
+        # the crawl phase is memory-bandwidth-bound on this box, so its
+        # raw 4->16 efficiency must be read against the bus ceiling the
+        # probe measures seconds before the sweep — `vs_ceiling` states
+        # "at ceiling" quantitatively per metric (VERDICT r4 item 4).
+        probe_4_16 = run_busprobe(4, 16)
+        sweep_4_16 = _scaling_sweep(
+            4, 16, "--child", num_docs=60_000, retry_below=0.8, max_retries=2
+        )
+        ceiling = {
+            "membw_eff": probe_4_16["membw"]["efficiency"],
+            "cpu_eff": probe_4_16["cpu"]["efficiency"],
+        }
+
+        def _vs_ceiling(eff_val, cap):
+            if eff_val is None or not cap:
+                return None
+            return round(eff_val / cap, 3)
+
         result["scaling_4_16"] = {
-            **_scaling_sweep(
-                4, 16, "--child", num_docs=60_000, retry_below=0.8, max_retries=2
-            ),
+            **sweep_4_16,
             "quiet_gate": quiet,
+            "ceiling": ceiling,
+            "busprobe_4_16": probe_4_16,
+            "vs_ceiling": {
+                # crawl is membw-bound (fetch join + store copies); index
+                # and tokenize are compute-bound, so their cap is the CPU
+                # ceiling
+                "crawl": _vs_ceiling(
+                    sweep_4_16["crawl_efficiency"], ceiling["membw_eff"]
+                ),
+                "index": _vs_ceiling(
+                    sweep_4_16["index_efficiency"], ceiling["cpu_eff"]
+                ),
+                "tokenize": _vs_ceiling(
+                    sweep_4_16["tokenize_efficiency"], ceiling["cpu_eff"]
+                ),
+            },
         }
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
             json.dump(result, f, indent=1)
