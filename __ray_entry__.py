@@ -638,6 +638,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plain replace() is exactly the kernel's left-to-right
         # non-overlapping whole-symbol merge.
         "bpe_train": V.bpe_train,
+        # --- round-5 additions ---
+        # range join (interval sibling of the as-of join): per purchase,
+        # count/value of the user's events in the preceding 1 h window —
+        # prefix-rank sort-merge, one user-hash exchange
+        "purchase_attribution": R.purchase_attribution,
+        # vocabulary-coverage / OOV curve via distributed top-K
+        "vocab_coverage": V.vocab_coverage,
+        # tokenizer APPLY: encode the corpus with the trained BPE merges
+        # (train -> broadcast merges -> one streaming pass, no exchange)
+        "bpe_encode_stats": V.bpe_encode_stats,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -660,8 +670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_postings", "search_results", "search_contexts",
         "multimodal_features", "multimodal_phash_pairs",
         "bpe_train",
+        # round-5 NEW operators — first driver rows (displacing the three
+        # noted in the tail comment below)
+        "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
-        "events_pivot", "embedding_covariance", "corpus_funnel",
+        "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
         "anchor_texts", "events_user_stats", "top_customers",
         "multimodal_resize", "multimodal_frames", "sequence_pack",
@@ -669,11 +682,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list", "link_triangles", "event_transitions",
         "events_funnel", "pricing_rollup", "stratified_sample",
         "search_topk_bm25", "doc_token_counts", "quality_scores",
-        "ann_topk", "events_rolling", "top_words", "longest_pages",
+        "ann_topk", "events_rolling", "longest_pages",
         "subdomain_counts", "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
         "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
-        # ---- positions 51+ (r4-green; kernels unchanged in r5) ----
+        # ---- positions 51+ (r4-green; kernels unchanged in r5).
+        #      embedding_covariance / corpus_funnel moved here to make
+        #      room for the three new-in-r5 ops above: both hold r4
+        #      driver-green rows on code untouched this round.
+        #      top_words also moved: r4 judge-verified HASH-OK and
+        #      re-verified by the r5 pre-rotation sf0.01 sweep on current
+        #      code; its kernel is word_frequencies' exchange. ----
+        "embedding_covariance", "corpus_funnel", "top_words",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -805,14 +825,28 @@ r{k} AS (
     )
 
 
-def _bpe_train_sql(rounds: int = 8) -> str:
-    """Unrolled BPE-training replay (pipelines/vocab.py bpe_train): the
-    merge loop becomes ``rounds`` CTE rounds, each = pair-count →
-    (count DESC, a, b) argmax → merge. Symbol sequences are stored
-    FULLY NUL-delimited — every symbol wrapped as chr(0)||sym||chr(0),
-    so adjacent symbols are separated by a double NUL. On that
-    representation plain replace(seq, NUL||a||NUL||NUL||b||NUL,
-    NUL||a||b||NUL) is EXACTLY the kernel's left-to-right non-overlapping
+_Z = "chr(0)"
+
+
+def _merge_replace(src_col: str, r: int) -> str:
+    """One BPE merge as SQL: replace(NUL‖a‖NUL‖NUL‖b‖NUL → NUL‖ab‖NUL)
+    over the fully-NUL-delimited symbol string, guarded no-op when round
+    ``r`` produced no merge (m{r} empty ⇒ scalar subqueries are NULL and
+    replace would NULL the column)."""
+    return f"""CASE WHEN (SELECT a FROM m{r}) IS NULL THEN {src_col}
+       ELSE replace({src_col},
+                    {_Z} || (SELECT a FROM m{r}) || {_Z}
+                        || {_Z} || (SELECT b FROM m{r}) || {_Z},
+                    {_Z} || (SELECT a || b FROM m{r}) || {_Z}) END"""
+
+
+def _bpe_ctes(rounds: int = 8) -> str:
+    """The shared unrolled BPE-training CTE chain (pipelines/vocab.py
+    bpe_train): ``rounds`` rounds of pair-count → (count DESC, a, b)
+    argmax → merge. Symbol sequences are stored FULLY NUL-delimited —
+    every symbol wrapped as chr(0)||sym||chr(0), so adjacent symbols are
+    separated by a double NUL. On that representation plain replace (see
+    _merge_replace) is EXACTLY the kernel's left-to-right non-overlapping
     whole-symbol merge: a match requires both full symbols (no
     suffix/prefix false matches — NUL cannot occur inside a symbol), the
     un-consumed outer NULs keep runs like [b,b,b,b]→[bb,bb] intact, and
@@ -820,7 +854,6 @@ def _bpe_train_sql(rounds: int = 8) -> str:
     scan. CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and each
     round references the previous one 4×, which would expand the scan
     tree 4^rounds-fold."""
-    Z = "chr(0)"
     parts = [
         f"""WITH words AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS freq
@@ -829,7 +862,7 @@ def _bpe_train_sql(rounds: int = 8) -> str:
   GROUP BY word
 ),
 seq0 AS MATERIALIZED (
-  SELECT {Z} || array_to_string(string_split(word, ''), {Z}||{Z}) || {Z} AS seq,
+  SELECT {_Z} || array_to_string(string_split(word, ''), {_Z}||{_Z}) || {_Z} AS seq,
          freq
   FROM words
 )"""
@@ -841,7 +874,7 @@ seq0 AS MATERIALIZED (
   SELECT z[1] AS a, z[2] AS b, sum(freq)::BIGINT AS count
   FROM (
     SELECT unnest(list_zip(sym, sym[2:])) AS z, freq
-    FROM (SELECT string_split(trim(seq, {Z}), {Z}||{Z}) AS sym, freq
+    FROM (SELECT string_split(trim(seq, {_Z}), {_Z}||{_Z}) AS sym, freq
           FROM seq{p})
   )
   WHERE z[2] IS NOT NULL
@@ -851,19 +884,67 @@ m{r} AS MATERIALIZED (
   SELECT a, b, count FROM pc{r} ORDER BY count DESC, a, b LIMIT 1
 ),
 seq{r} AS MATERIALIZED (
-  SELECT replace(seq,
-                 {Z} || (SELECT a FROM m{r}) || {Z}
-                     || {Z} || (SELECT b FROM m{r}) || {Z},
-                 {Z} || (SELECT a || b FROM m{r}) || {Z}) AS seq,
+  SELECT {_merge_replace('seq', r)} AS seq,
          freq
   FROM seq{p}
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(rounds: int = 8) -> str:
+    """bpe_train oracle: the merge table (rank, a, b, count) from the
+    shared CTE chain."""
     unions = "\nUNION ALL ".join(
         f"SELECT {r}::BIGINT AS rank, a, b, count FROM m{r}"
         for r in range(1, rounds + 1)
     )
-    return ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
+    return _bpe_ctes(rounds) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
+
+
+def _bpe_encode_sql(rounds: int = 8) -> str:
+    """bpe_encode_stats oracle (pipelines/vocab.py): train via the shared
+    CTE chain, then encode EVERY distinct word (no len>=2 filter — short
+    words are 1 symbol, merges can't touch them) by applying the rounds'
+    merges in rank order with the same NUL-delimited replace, and roll
+    symbol counts up per document with the shared milli fixed point.
+    Zero-token documents are absent on both sides."""
+    enc = [
+        f"""encw0 AS MATERIALIZED (
+  SELECT word,
+         {_Z} || array_to_string(string_split(word, ''), {_Z}||{_Z}) || {_Z} AS seq
+  FROM (SELECT DISTINCT unnest({_TOK}) AS word FROM documents)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        enc.append(
+            f"""encw{r} AS MATERIALIZED (
+  SELECT word, {_merge_replace('seq', r)} AS seq FROM encw{r - 1}
+)"""
+        )
+    return (
+        _bpe_ctes(rounds)
+        + ",\n"
+        + ",\n".join(enc)
+        + f""",
+nsym AS MATERIALIZED (
+  SELECT word,
+         CAST(len(string_split(trim(seq, {_Z}), {_Z}||{_Z})) AS BIGINT) AS ns
+  FROM encw{rounds}
+),
+docw AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_tokens,
+       CAST(sum(d.c * n.ns) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * sum(d.c * n.ns) + sum(d.c) // 2) // sum(d.c) AS BIGINT)
+         AS avg_symbols_milli
+FROM docw d JOIN nsym n ON d.t = n.word
+GROUP BY 1"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1793,6 +1874,49 @@ FROM per p JOIN mr m USING (doc_id)
         # kernel's whole-symbol left-to-right non-overlapping merge (see
         # _bpe_train_sql; pipelines/vocab.py bpe_train)
         "bpe_train": _bpe_train_sql(),
+        # tokenizer apply: the same trained merges encode every distinct
+        # word; per-doc rollup in the shared milli fixed point
+        # (pipelines/vocab.py bpe_encode_stats)
+        "bpe_encode_stats": _bpe_encode_sql(),
+        # vocabulary-coverage curve: top-V cut ordered count DESC, token
+        # ASC — identical to the engine's distributed top-K tie-break
+        # (pipelines/vocab.py vocab_coverage)
+        "vocab_coverage": f"""
+            WITH tf AS (
+              SELECT t, count(*)::BIGINT AS c
+              FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+            ),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM tf
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM tf)
+            SELECT CAST(v AS BIGINT) AS vocab_size,
+                   CAST(COALESCE(sum(c) FILTER (WHERE rn <= v), 0) AS BIGINT)
+                     AS covered,
+                   (SELECT s FROM tot) AS total,
+                   CAST((1000 * COALESCE(sum(c) FILTER (WHERE rn <= v), 0)
+                         + (SELECT s FROM tot) // 2) // (SELECT s FROM tot)
+                        AS BIGINT) AS coverage_milli
+            FROM ranked
+            CROSS JOIN (VALUES (256), (1024), (4096), (16384)) AS vs(v)
+            GROUP BY v
+        """,
+        # range join: per purchase, the same user's events in
+        # [ts - 1h, ts) — count + NULL-skipping milli-value sum
+        # (pipelines/relational.py purchase_attribution)
+        "purchase_attribution": """
+            SELECT p.event_id, p.user_id,
+                   COUNT(e.event_id)::BIGINT AS n_prior_1h,
+                   CAST(COALESCE(
+                     SUM(CAST(floor(e.value * 1000.0 + 0.5) AS BIGINT)), 0)
+                     AS BIGINT) AS sum_value_milli
+            FROM events p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 1 HOUR
+             AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
         # fixed-point Gram/second-moment matrix, upper triangle in long
         # form, 1-based indices (pipelines/cluster.py embedding_covariance;
         # int64 sums are exact under any summation order)

@@ -243,6 +243,9 @@ def _bench_queries(sf_dir: str) -> dict:
         ("quality_c4", T.quality_c4),
         ("doc_surprisal", V.doc_surprisal),
         ("bpe_train", V.bpe_train),
+        ("purchase_attribution", R.purchase_attribution),
+        ("vocab_coverage", V.vocab_coverage),
+        ("bpe_encode_stats", V.bpe_encode_stats),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

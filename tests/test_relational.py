@@ -398,3 +398,38 @@ def test_event_transitions_matches_pandas(ray_session):
     # transitions conserve: total = sum over users of (n_events - 1)
     per_user = ev.groupby("user_id").size()
     assert got["n_transitions"].sum() == int((per_user - 1).clip(lower=0).sum())
+
+
+def test_purchase_attribution_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        ATTRIB_WINDOW_US,
+        purchase_attribution,
+    )
+
+    got = {
+        r["event_id"]: r for r in purchase_attribution(SF).take_all()
+    }
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).to_pandas()
+    t_us = ev["ts"].astype("int64")
+    milli = np.floor(ev["value"].fillna(0.0).to_numpy() * 1000.0 + 0.5).astype(
+        "int64"
+    )
+    purchases = ev[ev["event_type"] == "purchase"]
+    assert set(got) == set(purchases["event_id"])
+    for _, p in purchases.iterrows():
+        pt = int(t_us[p.name])
+        mask = (
+            (ev["user_id"] == p["user_id"])
+            & (t_us >= pt - ATTRIB_WINDOW_US)
+            & (t_us < pt)
+        )
+        r = got[p["event_id"]]
+        assert r["user_id"] == p["user_id"]
+        assert r["n_prior_1h"] == int(mask.sum())
+        assert r["sum_value_milli"] == int(milli[mask.to_numpy()].sum())

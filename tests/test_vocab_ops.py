@@ -298,3 +298,89 @@ def test_char_pair_counts_property():
         assert got == dict(exp)
 
     check()
+
+
+def test_vocab_coverage_bruteforce(ray_session):
+    from web_crawler_search_engine_ray.pipelines.corpus import _TOK_RE
+    from web_crawler_search_engine_ray.pipelines.vocab import (
+        VOCAB_SIZES,
+        vocab_coverage,
+    )
+
+    got = {r["vocab_size"]: r for r in vocab_coverage(SF).to_pylist()}
+    c = Counter()
+    for t in _texts().values():
+        c.update(_TOK_RE.findall(t.lower()))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    assert set(got) == set(VOCAB_SIZES)
+    for v in VOCAB_SIZES:
+        covered = sum(cnt for _, cnt in ordered[:v])
+        r = got[v]
+        assert r["covered"] == covered and r["total"] == total
+        assert r["coverage_milli"] == (1000 * covered + total // 2) // total
+    # curve is monotone and ends at full coverage iff vocab fits
+    vals = [got[v]["covered"] for v in sorted(VOCAB_SIZES)]
+    assert vals == sorted(vals)
+    if len(ordered) <= max(VOCAB_SIZES):
+        assert got[max(VOCAB_SIZES)]["covered"] == total
+
+
+def test_bpe_encode_stats_bruteforce(ray_session):
+    """Encode matches a pure-python apply of the trained merges (in rank
+    order, left-to-right non-overlapping), per document."""
+    from web_crawler_search_engine_ray.pipelines.corpus import _TOK_RE
+    from web_crawler_search_engine_ray.pipelines.vocab import (
+        bpe_encode_stats,
+        bpe_train,
+        merge_pair,
+    )
+
+    merges_tbl = bpe_train(SF)
+    merges = list(
+        zip(merges_tbl.column("a").to_pylist(), merges_tbl.column("b").to_pylist())
+    )
+    assert len(merges) == 8
+
+    def nsym(w):
+        sym = list(w)
+        for a, b in merges:
+            sym = merge_pair(sym, a, b)
+        return len(sym)
+
+    got = {r["doc_id"]: r for r in bpe_encode_stats(SF).take_all()}
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_checked = 0
+    for did, txt in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = _TOK_RE.findall(txt.lower())
+        if not toks:
+            assert did not in got
+            continue
+        n, nb = len(toks), sum(nsym(w) for w in toks)
+        r = got[did]
+        assert r["n_tokens"] == n and r["n_bpe_tokens"] == nb
+        assert r["avg_symbols_milli"] == (1000 * nb + n // 2) // n
+        n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
+    # merging strictly compresses somewhere in a real corpus
+    assert any(got[d]["n_bpe_tokens"] < sum(len(w) for w in
+               _TOK_RE.findall(t.lower()))
+               for d, t in zip(docs.column("doc_id").to_pylist()[:50],
+                               docs.column("text").to_pylist()[:50])
+               if _TOK_RE.findall(t.lower()))
+
+
+def test_merge_pair_semantics():
+    from web_crawler_search_engine_ray.pipelines.vocab import merge_pair
+
+    # left-to-right non-overlapping on runs
+    assert merge_pair(list("bbbb"), "b", "b") == ["bb", "bb"]
+    assert merge_pair(list("bbbbb"), "b", "b") == ["bb", "bb", "b"]
+    assert merge_pair(list("bbb"), "b", "b") == ["bb", "b"]
+    # whole-symbol matching only (no substring merges)
+    assert merge_pair(["yx", "a"], "x", "a") == ["yx", "a"]
+    assert merge_pair(["a", "ab"], "a", "a") == ["a", "ab"]
+    # merged symbol is not rescanned within the round
+    assert merge_pair(["a", "b", "b"], "a", "b") == ["ab", "b"]

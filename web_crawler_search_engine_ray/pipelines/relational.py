@@ -560,6 +560,124 @@ def events_orders_asof(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+ATTRIB_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@empty_guard(
+    "events",
+    event_id=pa.int64(),
+    user_id=pa.int64(),
+    n_prior_1h=pa.int64(),
+    sum_value_milli=pa.int64(),
+)
+def purchase_attribution(
+    sf_dir: str, window_us: int = ATTRIB_WINDOW_US
+) -> "ray.data.Dataset":
+    """Range join (custom operator — the interval sibling of the as-of
+    join): for every purchase event, the count and milli-value sum of the
+    SAME user's events in the preceding attribution window
+    ``[ts - window, ts)`` (end-exclusive, so the purchase itself and any
+    same-microsecond event are out; start-inclusive).
+
+    Algorithm — prefix-rank sort-merge, one exchange, no per-row loops:
+    count(user, [s, e)) = #(t < e) − #(t < s), so each anchor becomes TWO
+    rank queries. Events and queries union into one array lexsorted by
+    (user, t, is_event) — queries sort BEFORE events at an equal (user,
+    t), which makes the exclusive prefix sum exactly #(t < x) — and the
+    per-user prefix base cancels in the end−start difference, so no
+    segment bookkeeping is needed. Rows route on a user-hash bucket
+    exchange (the same partitioning the as-of join uses); skew splits at
+    most one bucket. NULL event values count as 0 milli, matching the
+    oracle's NULL-skipping SUM."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        vals = pc.fill_null(pc.cast(b.column("value"), pa.float64()), 0.0)
+        milli = np.floor(
+            np.asarray(vals, dtype=np.float64) * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "t_us": pc.cast(b.column("ts"), pa.int64()),
+                "milli": pa.array(milli, pa.int64()),
+                "is_anchor": pc.equal(b.column("event_type"), pa.scalar("purchase")),
+            }
+        )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column(
+            "bucket",
+            pa.array((h % np.uint64(_ASOF_BUCKETS)).astype(np.int32), pa.int32()),
+        )
+
+    def attrib(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_prior_1h": pa.array([], pa.int64()),
+                "sum_value_milli": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        t = group.column("t_us").to_numpy(zero_copy_only=False)
+        v = group.column("milli").to_numpy(zero_copy_only=False)
+        anc = group.column("is_anchor").to_numpy(zero_copy_only=False).astype(bool)
+        qi = np.flatnonzero(anc)
+        nq, ne = len(qi), len(u)
+        if nq == 0:
+            return empty
+        # union: every event once + two rank queries per anchor
+        K = np.concatenate([u, u[qi], u[qi]])
+        T = np.concatenate([t, t[qi] - np.int64(window_us), t[qi]])
+        IS_EV = np.zeros(ne + 2 * nq, bool)
+        IS_EV[:ne] = True
+        CNT = IS_EV.astype(np.int64)
+        VAL = np.concatenate([v, np.zeros(2 * nq, np.int64)])
+        QID = np.concatenate(
+            [np.full(ne, -1, np.int64), np.arange(nq), np.arange(nq)]
+        )
+        QROLE = np.concatenate(
+            [np.zeros(ne, np.int64), np.zeros(nq, np.int64), np.ones(nq, np.int64)]
+        )
+        srt = np.lexsort((IS_EV, T, K))
+        cnt_s, val_s = CNT[srt], VAL[srt]
+        pre_cnt = np.cumsum(cnt_s) - cnt_s  # exclusive prefix = #(t < x)
+        pre_val = np.cumsum(val_s) - val_s
+        qrows = np.flatnonzero(QID[srt] >= 0)
+        qid_s, qrole_s = QID[srt][qrows], QROLE[srt][qrows]
+        rc = np.zeros((nq, 2), np.int64)
+        rv = np.zeros((nq, 2), np.int64)
+        rc[qid_s, qrole_s] = pre_cnt[qrows]
+        rv[qid_s, qrole_s] = pre_val[qrows]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[qi], pa.int64()),
+                "user_id": pa.array(u[qi], pa.int64()),
+                "n_prior_1h": pa.array(rc[:, 1] - rc[:, 0], pa.int64()),
+                "sum_value_milli": pa.array(rv[:, 1] - rv[:, 0], pa.int64()),
+            }
+        )
+
+    from ..stages.util import bucket_exchange
+
+    return bucket_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .materialize(),
+        "bucket",
+        _ASOF_BUCKETS,
+        attrib,
+    )
+
+
 ROLL_WINDOW = 5  # current event + 4 preceding
 
 

@@ -47,7 +47,14 @@ import ray.data
 from ..stages.util import empty_guard, exchange_group_agg
 from .corpus import _TOK_RE, _docs, collect_table
 
-__all__ = ["bpe_pair_counts", "token_cooccurrence", "doc_surprisal", "bpe_train"]
+__all__ = [
+    "bpe_pair_counts",
+    "token_cooccurrence",
+    "doc_surprisal",
+    "bpe_train",
+    "bpe_encode_stats",
+    "vocab_coverage",
+]
 
 # '\n' (codepoint 10) can never appear inside a [a-z0-9]+ token, so it is
 # a safe word separator for the fused codepoint scan.
@@ -367,6 +374,24 @@ def doc_surprisal(sf_dir: str) -> "ray.data.Dataset":
 BPE_ROUNDS = 8
 
 
+def merge_pair(sym: List[str], a: str, b: str) -> List[str]:
+    """One BPE merge over a symbol sequence: left-to-right non-overlapping
+    replacement of adjacent (a, b) with a+b — the textbook scan (Sennrich
+    et al. 2016) shared by training (apply_merge) and encoding
+    (bpe_encode_stats), and replayed in SQL by plain replace() over the
+    fully-NUL-delimited representation (__ray_entry__._bpe_train_sql)."""
+    merged, i = [], 0
+    n = len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+            merged.append(a + b)
+            i += 2
+        else:
+            merged.append(sym[i])
+            i += 1
+    return merged
+
+
 @empty_guard(
     "documents",
     rank=pa.int64(),
@@ -464,19 +489,10 @@ def bpe_train(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
         merges.append((r + 1, a, b, cnt))
 
         def apply_merge(batch: pa.Table, _a=a, _b=b) -> pa.Table:
-            out = []
-            for s in batch.column("seq").to_pylist():
-                sym = s.split("\x00")
-                merged, i = [], 0
-                # left-to-right non-overlapping replacement
-                while i < len(sym):
-                    if i + 1 < len(sym) and sym[i] == _a and sym[i + 1] == _b:
-                        merged.append(_a + _b)
-                        i += 2
-                    else:
-                        merged.append(sym[i])
-                        i += 1
-                out.append("\x00".join(merged))
+            out = [
+                "\x00".join(merge_pair(s.split("\x00"), _a, _b))
+                for s in batch.column("seq").to_pylist()
+            ]
             return pa.table({"seq": pa.array(out, pa.string()), "freq": batch.column("freq")})
 
         ds = ds.map_batches(apply_merge, batch_format="pyarrow").materialize()
@@ -489,3 +505,200 @@ def bpe_train(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
             "count": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+# --- bpe_encode_stats ---------------------------------------------------------
+
+
+@empty_guard(
+    "documents",
+    doc_id=pa.int64(),
+    n_tokens=pa.int64(),
+    n_bpe_tokens=pa.int64(),
+    avg_symbols_milli=pa.int64(),
+)
+def bpe_encode_stats(sf_dir: str, rounds: int = BPE_ROUNDS) -> "ray.data.Dataset":
+    """Tokenizer APPLY at corpus scale: train the ``rounds``-merge BPE
+    vocabulary with :func:`bpe_train`, then encode every document and
+    report its token count before and after merging plus the average
+    symbols-per-word in the shared milli fixed point (zero-token docs are
+    absent, the doc_surprisal convention).
+
+    100 TB design: the trained merge list is TINY (``rounds`` rows) — it
+    rides into every map task as a closure (one object-store put), and
+    encoding is a single streaming ``map_batches`` pass with NO exchange
+    at all: each doc's stats depend only on its own text. Per-batch
+    unique words are memoized so a word is encoded once per batch, not
+    once per occurrence — the same unique-word economics the trainer
+    uses. The per-word merge scan is the same bounded text loop every
+    BPE implementation runs (no vectorized equivalent).
+    """
+    merges_tbl = bpe_train(sf_dir, rounds)
+    merges = list(
+        zip(merges_tbl.column("a").to_pylist(), merges_tbl.column("b").to_pylist())
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+
+        def nsym(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                sym = list(w)
+                for a, b in merges:
+                    if len(sym) < 2:
+                        break
+                    sym = merge_pair(sym, a, b)
+                n = memo[w] = len(sym)
+            return n
+
+        ids, ntok, nbpe, avg = [], [], [], []
+        for did, txt in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOK_RE.findall((txt or "").lower())
+            if not toks:
+                continue
+            n = len(toks)
+            nb = sum(nsym(w) for w in toks)
+            ids.append(did)
+            ntok.append(n)
+            nbpe.append(nb)
+            avg.append((1000 * nb + n // 2) // n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_bpe_tokens": pa.array(nbpe, pa.int64()),
+                "avg_symbols_milli": pa.array(avg, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(enc, batch_format="pyarrow")
+
+
+# --- vocab_coverage -----------------------------------------------------------
+
+VOCAB_SIZES = (256, 1024, 4096, 16384)
+
+
+@empty_guard(
+    "documents",
+    vocab_size=pa.int64(),
+    covered=pa.int64(),
+    total=pa.int64(),
+    coverage_milli=pa.int64(),
+)
+def vocab_coverage(sf_dir: str, sizes=VOCAB_SIZES) -> pa.Table:
+    """Vocabulary-coverage / OOV curve (the statistic behind vocab-size
+    selection): for each candidate vocabulary size V, what fraction of
+    corpus token OCCURRENCES the top-V types cover (cut by count desc,
+    token asc — fully deterministic). Output one row per V:
+    (vocab_size, covered, total, coverage_milli) with the shared
+    (1000*covered + total//2)//total fixed point.
+
+    100 TB design: classic distributed top-K. One token exchange builds
+    the (token, cnt) table (vocabulary-scale); each batch then emits its
+    LOCAL top-max(V) — correct pruning, since a global-top token beaten
+    by max(V) tokens inside its own batch would be beaten globally too —
+    and a single-bucket second-level truncate reduces those partials to
+    one max(V)-row table before the driver sees anything. The grand
+    total rides the same materialized counts as a constant-size sum
+    partial. Driver work is O(max(V)) — never the vocabulary.
+    """
+    vmax = max(sizes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_TOK_RE.findall((t or "").lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = exchange_group_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("cnt", "sum")],
+        nbuck=8,
+    ).materialize()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= vmax:
+            return batch.select(["token", "cnt"])
+        toks = np.array(batch.column("token").to_pylist())
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        keep = np.lexsort((toks, -cnt))[:vmax]
+        return pa.table(
+            {
+                "token": pa.array(toks[keep], pa.string()),
+                "cnt": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    def add_zero_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__tbucket", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+
+    from ..stages.util import bucket_exchange
+
+    tops = collect_table(
+        bucket_exchange(
+            counts.map_batches(local_top, batch_format="pyarrow")
+            .map_batches(add_zero_bucket, batch_format="pyarrow")
+            .materialize(),
+            "__tbucket",
+            1,
+            local_top,
+        )
+    )
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t": pa.array(
+                    [int(batch.column("cnt").to_numpy(zero_copy_only=False).sum())]
+                    if batch.num_rows
+                    else [0],
+                    pa.int64(),
+                )
+            }
+        )
+
+    total = int(
+        sum(
+            collect_table(counts.map_batches(total_partial, batch_format="pyarrow"))
+            .column("t")
+            .to_pylist()
+        )
+    )
+    schema = pa.schema(
+        [
+            ("vocab_size", pa.int64()),
+            ("covered", pa.int64()),
+            ("total", pa.int64()),
+            ("coverage_milli", pa.int64()),
+        ]
+    )
+    if total == 0 or tops.num_rows == 0:
+        return schema.empty_table()
+    toks = np.array(tops.column("token").to_pylist())
+    cnt = tops.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.lexsort((toks, -cnt))
+    csum = np.cumsum(cnt[order])
+    rows = []
+    for v in sizes:
+        covered = int(csum[min(v, len(csum)) - 1])
+        rows.append(
+            {
+                "vocab_size": int(v),
+                "covered": covered,
+                "total": total,
+                "coverage_milli": (1000 * covered + total // 2) // total,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=schema)
