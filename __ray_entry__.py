@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_crawler_search_engine_ray.pipelines import sketch as K
     from web_crawler_search_engine_ray.pipelines import ragprep as G
     from web_crawler_search_engine_ray.pipelines import textprep as T
+    from web_crawler_search_engine_ray.pipelines import infer as IN
     from web_crawler_search_engine_ray.pipelines import vocab as V
 
     def _embedding_covariance(sf_dir: str) -> Any:
@@ -648,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer APPLY: encode the corpus with the trained BPE merges
         # (train -> broadcast merges -> one streaming pass, no exchange)
         "bpe_encode_stats": V.bpe_encode_stats,
+        # model inference via the actor-pool pattern: hashed linear
+        # quality classifier, weights built once per actor in __init__
+        "quality_classifier": IN.quality_classifier,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -670,9 +674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_postings", "search_results", "search_contexts",
         "multimodal_features", "multimodal_phash_pairs",
         "bpe_train",
-        # round-5 NEW operators — first driver rows (displacing the three
+        # round-5 NEW operators — first driver rows (displacing the four
         # noted in the tail comment below)
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
+        "quality_classifier",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -682,7 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list", "link_triangles", "event_transitions",
         "events_funnel", "pricing_rollup", "stratified_sample",
         "search_topk_bm25", "doc_token_counts", "quality_scores",
-        "ann_topk", "events_rolling", "longest_pages",
+        "ann_topk", "events_rolling",
         "subdomain_counts", "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
         "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
@@ -690,10 +695,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      embedding_covariance / corpus_funnel moved here to make
         #      room for the three new-in-r5 ops above: both hold r4
         #      driver-green rows on code untouched this round.
-        #      top_words also moved: r4 judge-verified HASH-OK and
-        #      re-verified by the r5 pre-rotation sf0.01 sweep on current
-        #      code; its kernel is word_frequencies' exchange. ----
+        #      top_words and longest_pages also moved: both r4
+        #      judge-verified HASH-OK and re-verified by the r5
+        #      pre-rotation sf0.01 sweep on current code; kernels are
+        #      word_frequencies' exchange / the corpus top-k sort. ----
         "embedding_covariance", "corpus_funnel", "top_words",
+        "longest_pages",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -1900,6 +1907,28 @@ FROM per p JOIN mr m USING (doc_id)
             FROM ranked
             CROSS JOIN (VALUES (256), (1024), (4096), (16384)) AS vs(v)
             GROUP BY v
+        """,
+        # hashed bag-of-words linear classifier: poly32 token buckets,
+        # mix32-derived integer milli weights, logit sum, keep at >= 0 —
+        # every step integer-exact (pipelines/infer.py quality_classifier)
+        "quality_classifier": f"""
+            WITH wt0 AS (SELECT unnest(generate_series(0, 1023)) AS b),
+            {_mix_sql("wt0", "b", "77", sfx="w")},
+            wts AS (
+              SELECT b, CAST((mixh % 2001) - 1000 AS BIGINT) AS w FROM s5w
+            ),
+            tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+            tb AS (
+              SELECT doc_id, {_POLY_HASH.format(col="t")} % 1024 AS b FROM tok
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     CAST(sum(w.w) AS BIGINT) AS logit_milli
+              FROM tb JOIN wts w USING (b) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, logit_milli,
+                   (logit_milli >= 0) AS keep
+            FROM agg
         """,
         # range join: per purchase, the same user's events in
         # [ts - 1h, ts) — count + NULL-skipping milli-value sum

@@ -156,6 +156,7 @@ def _bench_queries(sf_dir: str) -> dict:
     from web_crawler_search_engine_ray.pipelines import cluster as CL
     from web_crawler_search_engine_ray.pipelines import corpus as C
     from web_crawler_search_engine_ray.pipelines import graph as G
+    from web_crawler_search_engine_ray.pipelines import infer as IN
     from web_crawler_search_engine_ray.pipelines import ragprep as RG
     from web_crawler_search_engine_ray.pipelines import relational as R
     from web_crawler_search_engine_ray.pipelines import sketch as K
@@ -246,6 +247,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("purchase_attribution", R.purchase_attribution),
         ("vocab_coverage", V.vocab_coverage),
         ("bpe_encode_stats", V.bpe_encode_stats),
+        ("quality_classifier", IN.quality_classifier),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
