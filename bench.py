@@ -248,6 +248,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("vocab_coverage", V.vocab_coverage),
         ("bpe_encode_stats", V.bpe_encode_stats),
         ("quality_classifier", IN.quality_classifier),
+        ("winnow_fingerprints", C.winnow_fingerprints),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

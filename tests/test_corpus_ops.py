@@ -593,3 +593,82 @@ def test_source_stats_matches_pandas(ray_session):
     assert len(m) == len(want) == len(got)
     for c in ("n_docs", "sum_chars", "max_chars"):
         assert (m[c] == m[f"{c}_w"]).all()
+
+
+def test_winnow_fingerprints_bruteforce(ray_session):
+    """Engine == per-doc pure-python winnowing (rightmost window min),
+    plus the two winnowing guarantees: every w-window contributes a
+    selection, and consecutive selections are <= w apart."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.functions.hashing import poly_hash
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    import re
+
+    TOK_RE = re.compile(r"[a-z0-9]+")
+    got = {}
+    for r in winnow_fingerprints(SF).take_all():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_docs_checked = 0
+    for did, txt in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = TOK_RE.findall(txt.lower())
+        m = len(toks) - WINNOW_K + 1
+        if m < 1:
+            assert did not in got
+            continue
+        h = [
+            poly_hash(" ".join(toks[i : i + WINNOW_K])) for i in range(m)
+        ]
+        sel = set()
+        if m <= WINNOW_W:
+            mn = min(h)
+            sel.add(max(i for i in range(m) if h[i] == mn))
+        else:
+            for j in range(WINNOW_W - 1, m):
+                lo = j - WINNOW_W + 1
+                mn = min(h[lo : j + 1])
+                sel.add(max(i for i in range(lo, j + 1) if h[i] == mn))
+        exp = sorted((i + 1, h[i]) for i in sel)
+        assert sorted(got[did]) == exp, did
+        # density guarantee: gaps between selections <= w
+        pos = sorted(p for p, _ in exp)
+        assert pos[0] <= WINNOW_W
+        assert all(b - a <= WINNOW_W for a, b in zip(pos, pos[1:]))
+        n_docs_checked += 1
+    assert n_docs_checked == len(got) > 0
+
+
+def test_winnow_shared_substring_guarantee(ray_session, tmp_path):
+    """Two docs sharing a >= w+k-1 token substring share a fingerprint
+    VALUE (the property substring matching builds on)."""
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= 4+3-1 tokens
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two three " + shared + " four five",
+                    "nine eight " + shared + " seven six umpteen",
+                ]
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    fps = {}
+    for r in winnow_fingerprints(str(tmp_path)).take_all():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"

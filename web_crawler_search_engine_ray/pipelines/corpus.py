@@ -43,6 +43,7 @@ from ..functions.hashing import (
     minhash_band_keys,
     minhash_signature,
     poly_hash,
+    poly_hash_batch,
     shingle_hashes,
     stable_text_digest,
 )
@@ -742,6 +743,71 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+WINNOW_K = 3  # tokens per gram
+WINNOW_W = 4  # grams per selection window
+
+
+@empty_guard("documents", doc_id=pa.int64(), pos=pa.int64(), fp=pa.int64())
+def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS selection rule): hash every ``WINNOW_K``-token gram, then
+    for each window of ``WINNOW_W`` consecutive gram hashes select the
+    RIGHTMOST minimum; the distinct selected (pos, fp) pairs are the
+    document's fingerprint set. Guarantees: any shared substring of
+    ≥ w+k−1 tokens yields a shared fingerprint, and consecutive
+    selections are ≤ w positions apart — the local-fingerprint sketch
+    robust substring matching builds on (vs ``doc_fingerprints``' single
+    whole-document rolling hash).
+
+    Docs with < k tokens are absent; docs with fewer grams than w form
+    one window over all their grams. Positions are 1-based gram indices.
+
+    100 TB design: ONE streaming ``map_batches`` pass, zero shuffle —
+    each doc's fingerprints depend only on its own text, and output rows
+    are bounded by ~n_grams/w per doc (the winnowing density guarantee),
+    a strict reduction of the input. The per-doc kernel is numpy:
+    sliding-window view + argmin over reversed rows (rightmost-tie) +
+    unique; gram hashing reuses the vectorized poly32."""
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        out_doc: List[int] = []
+        out_pos: List[int] = []
+        out_fp: List[int] = []
+        for did, txt in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOK_RE.findall((txt or "").lower())
+            m = len(toks) - WINNOW_K + 1
+            if m < 1:
+                continue
+            grams = [
+                " ".join(toks[i : i + WINNOW_K]) for i in range(m)
+            ]
+            h = poly_hash_batch(grams).astype(np.int64)
+            if m <= WINNOW_W:
+                # single window over all grams: rightmost min
+                sel = np.array([m - 1 - int(np.argmin(h[::-1]))], np.int64)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                # argmin on the reversed rows = rightmost minimum
+                idx = WINNOW_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+                sel = np.unique(np.arange(len(sw), dtype=np.int64) + idx)
+            out_doc.extend([did] * len(sel))
+            out_pos.extend((sel + 1).tolist())  # 1-based gram positions
+            out_fp.extend(h[sel].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "fp": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
