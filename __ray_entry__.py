@@ -655,6 +655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprints (Schleimer et al. MOSS selection rule):
         # rightmost window minima over 3-token-gram poly32 hashes
         "winnow_fingerprints": C.winnow_fingerprints,
+        # MOSS match step: near-dup pairs sharing >= 3 winnow fingerprints
+        "winnow_pairs": C.winnow_pairs,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -677,10 +679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_postings", "search_results", "search_contexts",
         "multimodal_features", "multimodal_phash_pairs",
         "bpe_train",
-        # round-5 NEW operators — first driver rows (displacing the five
+        # round-5 NEW operators — first driver rows (displacing the six
         # noted in the tail comment below)
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
-        "quality_classifier", "winnow_fingerprints",
+        "quality_classifier", "winnow_fingerprints", "winnow_pairs",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -690,7 +692,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list", "link_triangles", "event_transitions",
         "events_funnel", "pricing_rollup", "stratified_sample",
         "search_topk_bm25", "doc_token_counts", "quality_scores",
-        "ann_topk",
         "subdomain_counts", "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
         "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
@@ -705,7 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      oracle-checks at sf0.001 on every pytest run
         #      (tests/test_tail_conformance.py). ----
         "embedding_covariance", "corpus_funnel", "top_words",
-        "longest_pages", "events_rolling",
+        "longest_pages", "events_rolling", "ann_topk",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -957,6 +958,40 @@ SELECT d.doc_id,
 FROM docw d JOIN nsym n ON d.t = n.word
 GROUP BY 1"""
     )
+
+
+# Winnowing selection (pipelines/corpus.py winnow_fingerprints): poly32
+# per 3-token gram, rightmost min per 4-window; docs with fewer grams
+# than a window form one window (least(4, mx)). Shared by the
+# winnow_fingerprints and winnow_pairs oracles.
+_WINNOW_CTES = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+            || ' ' || ts[CAST(i AS INT)+2] AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i)
+  WHERE len(ts) >= 3
+),
+h AS (SELECT doc_id, pos, {_POLY_HASH.format(col="gram")} AS fp FROM g),
+m AS (SELECT doc_id, max(pos) AS mx FROM h GROUP BY doc_id),
+win AS (
+  SELECT doc_id, pos, fp,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM h
+),
+sel AS (
+  SELECT w.doc_id, max(h2.pos) AS selpos
+  FROM win w
+  JOIN m USING (doc_id)
+  JOIN h h2 ON h2.doc_id = w.doc_id
+           AND h2.pos BETWEEN w.pos - 3 AND w.pos
+           AND h2.fp = w.wmin
+  WHERE w.pos >= least(4, m.mx)
+  GROUP BY w.doc_id, w.pos
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1913,43 +1948,32 @@ FROM per p JOIN mr m USING (doc_id)
             CROSS JOIN (VALUES (256), (1024), (4096), (16384)) AS vs(v)
             GROUP BY v
         """,
-        # winnowing (MOSS): rightmost min per 4-window over 3-token-gram
-        # poly32 hashes; docs with fewer grams than a window form one
-        # window (the least(4, mx) end-condition)
+        # winnowing (MOSS) selection — shared CTE chain (_WINNOW_CTES)
         # (pipelines/corpus.py winnow_fingerprints)
-        "winnow_fingerprints": f"""
-            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
-            g AS (
-              SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                     ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
-                        || ' ' || ts[CAST(i AS INT)+2] AS gram
-              FROM toks,
-                   LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i)
-              WHERE len(ts) >= 3
-            ),
-            h AS (SELECT doc_id, pos, {_POLY_HASH.format(col="gram")} AS fp
-                  FROM g),
-            m AS (SELECT doc_id, max(pos) AS mx FROM h GROUP BY doc_id),
-            win AS (
-              SELECT doc_id, pos, fp,
-                     min(fp) OVER (PARTITION BY doc_id ORDER BY pos
-                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                       AS wmin
-              FROM h
-            ),
-            sel AS (
-              SELECT w.doc_id, max(h2.pos) AS selpos
-              FROM win w
-              JOIN m USING (doc_id)
-              JOIN h h2 ON h2.doc_id = w.doc_id
-                       AND h2.pos BETWEEN w.pos - 3 AND w.pos
-                       AND h2.fp = w.wmin
-              WHERE w.pos >= least(4, m.mx)
-              GROUP BY w.doc_id, w.pos
-            )
+        "winnow_fingerprints": _WINNOW_CTES
+        + """
             SELECT DISTINCT s.doc_id, s.selpos AS pos, h3.fp
             FROM sel s
             JOIN h h3 ON h3.doc_id = s.doc_id AND h3.pos = s.selpos
+        """,
+        # MOSS match step: pairs sharing >= 3 distinct selected
+        # fingerprints, hot fps (> 64 docs) excluded on BOTH sides —
+        # exact, not approximate (pipelines/corpus.py winnow_pairs)
+        "winnow_pairs": _WINNOW_CTES
+        + """,
+            wfp AS (
+              SELECT DISTINCT s.doc_id, h3.fp
+              FROM sel s
+              JOIN h h3 ON h3.doc_id = s.doc_id AND h3.pos = s.selpos
+            ),
+            okf AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 64)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM wfp a
+            JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            JOIN okf ON okf.fp = a.fp
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         # hashed bag-of-words linear classifier: poly32 token buckets,
         # mix32-derived integer milli weights, logit sum, keep at >= 0 —

@@ -249,6 +249,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("bpe_encode_stats", V.bpe_encode_stats),
         ("quality_classifier", IN.quality_classifier),
         ("winnow_fingerprints", C.winnow_fingerprints),
+        ("winnow_pairs", C.winnow_pairs),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

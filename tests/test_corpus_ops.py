@@ -672,3 +672,36 @@ def test_winnow_shared_substring_guarantee(ray_session, tmp_path):
     for r in winnow_fingerprints(str(tmp_path)).take_all():
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+
+
+def test_winnow_pairs_bruteforce(ray_session):
+    """Pairs = docs sharing >= MIN distinct selected fingerprints, with
+    hot fps (> cap docs) excluded — recomputed from the (already
+    brute-force-verified) winnow_fingerprints output."""
+    from collections import Counter, defaultdict
+
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        WINNOW_MIN_SHARED,
+        WINNOW_PAIR_CAP,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    by_fp = defaultdict(set)
+    for r in winnow_fingerprints(SF).take_all():
+        by_fp[r["fp"]].add(r["doc_id"])
+    exp: Counter = Counter()
+    for fp, docs in by_fp.items():
+        if len(docs) > WINNOW_PAIR_CAP:
+            continue
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                exp[(ds[i], ds[j])] += 1
+    exp = {k: v for k, v in exp.items() if v >= WINNOW_MIN_SHARED}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_pairs(SF).take_all()
+    }
+    assert got == exp and len(got) > 0
+    assert all(a < b for a, b in got)

@@ -810,6 +810,116 @@ def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+WINNOW_PAIR_CAP = 64  # hot-fingerprint guard: skip fps in > cap docs
+WINNOW_MIN_SHARED = 3
+
+
+@empty_guard(
+    "documents", doc_a=pa.int64(), doc_b=pa.int64(), n_shared=pa.int64()
+)
+def winnow_pairs(
+    sf_dir: str,
+    cap: int = WINNOW_PAIR_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> "ray.data.Dataset":
+    """MOSS match step on top of :func:`winnow_fingerprints`: candidate
+    near-dup pairs = documents sharing ≥ ``min_shared`` distinct selected
+    fingerprints, with the count as the match score. Fingerprints
+    selected by > ``cap`` documents are skipped (the df-cap guard every
+    banded/bucketed dedup op in this repo uses — a boilerplate gram
+    shared by everything generates O(n²) pairs and zero signal; the
+    oracle applies the identical HAVING cap, so the cut is exact, not
+    approximate).
+
+    100 TB design: two narrow exchanges, never all-pairs over the corpus
+    — (1) fingerprint rows route by fp-hash; each bucket's per-fp
+    segments emit pairs only for 2..cap-doc segments (≤ C(cap,2) pairs
+    per fingerprint); (2) the (doc_a, doc_b, 1) partials sum in a pair
+    exchange and gate at ``min_shared``. Per-doc fingerprint sets are
+    already distinct within a batch because a document never splits
+    across batches."""
+
+    fps = winnow_fingerprints(sf_dir)
+
+    def distinct_per_doc(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        f = batch.column("fp").to_numpy(zero_copy_only=False)
+        keys = (d.astype(np.uint64) << np.uint64(32)) | f.astype(np.uint64)
+        _, idx = np.unique(keys, return_index=True)
+        bucket = (f[idx].astype(np.uint64) % np.uint64(32)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[idx], pa.int64()),
+                "fp": pa.array(f[idx], pa.int64()),
+                "__fbucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        f = group.column("fp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, f))
+        fs, ds = f[order], d[order]
+        first = np.concatenate(([True], fs[1:] != fs[:-1]))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(fs))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > cap:
+                continue
+            docs = ds[s:e]  # ascending (lexsort secondary key)
+            iu, ju = np.triu_indices(n, k=1)
+            a_out.append(docs[iu])
+            b_out.append(docs[ju])
+        if not a_out:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "n_shared": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    from ..stages.util import bucket_exchange, exchange_group_agg
+
+    pair_partials = bucket_exchange(
+        fps.map_batches(distinct_per_doc, batch_format="pyarrow").materialize(),
+        "__fbucket",
+        32,
+        emit_pairs,
+    )
+    summed = exchange_group_agg(
+        pair_partials, ["doc_a", "doc_b"], [("n_shared", "sum")], nbuck=8
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), pa.scalar(min_shared))
+        )
+
+    return summed.map_batches(gate, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
