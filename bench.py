@@ -729,6 +729,20 @@ def _compact(result: dict) -> dict:
             # its cap (crawl/membw, index+tokenize/cpu)
             out["scaling_4_16"]["ceiling"] = s4["ceiling"]
             out["scaling_4_16"]["vs_ceiling"] = s4.get("vs_ceiling")
+    # Overflow guard: the driver parses the last stdout line whole (r4's
+    # 2.2 KB line parsed fine; r2's multi-KB non-compact line did not).
+    # If the query list ever grows the line past 3.5 KB, fold the fastest
+    # queries into one aggregate entry rather than risk parsed=null —
+    # per-query times always remain in BENCH_FULL.json.
+    while (
+        len(json.dumps(out, separators=(",", ":"))) > 3500
+        and len(out["queries"]) > 10
+    ):
+        items = sorted(out["queries"].items(), key=lambda kv: kv[1])
+        folded = dict(items[len(items) // 2 :])
+        fast = items[: len(items) // 2]
+        folded["_fast_queries_total"] = round(sum(v for _, v in fast), 1)
+        out["queries"] = folded
     return out
 
 
