@@ -657,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": C.winnow_fingerprints,
         # MOSS match step: near-dup pairs sharing >= 3 winnow fingerprints
         "winnow_pairs": C.winnow_pairs,
+        # temperature-based source rebalancing (N_s^0.7, largest-remainder
+        # apportionment, seeded-shuffle-order selection)
+        "source_temperature_mix": T.source_temperature_mix,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -683,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # noted in the tail comment below)
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "quality_classifier", "winnow_fingerprints", "winnow_pairs",
+        "source_temperature_mix",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -691,7 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_returns", "pii_redact", "keyword_topk", "source_stats",
         "dedup_keep_list", "link_triangles", "event_transitions",
         "events_funnel", "pricing_rollup", "stratified_sample",
-        "search_topk_bm25", "doc_token_counts", "quality_scores",
+        "search_topk_bm25", "quality_scores",
         "subdomain_counts", "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
         "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
@@ -706,7 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      oracle-checks at sf0.001 on every pytest run
         #      (tests/test_tail_conformance.py). ----
         "embedding_covariance", "corpus_funnel", "top_words",
-        "longest_pages", "events_rolling", "ann_topk",
+        "longest_pages", "events_rolling", "ann_topk", "doc_token_counts",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -1947,6 +1951,56 @@ FROM per p JOIN mr m USING (doc_id)
             FROM ranked
             CROSS JOIN (VALUES (256), (1024), (4096), (16384)) AS vs(v)
             GROUP BY v
+        """,
+        # temperature rebalancing: per-source budget ∝ floor(pow(n,0.7)
+        # *1000+0.5) (the one float step — libm pow, platform-verified
+        # bit-equal), largest-remainder apportionment capped at n, then
+        # the first alloc docs per source in mix32 shuffle order
+        # (pipelines/textprep.py source_temperature_mix)
+        "source_temperature_mix": f"""
+            WITH c AS (
+              SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+            ),
+            w AS (
+              SELECT source, n,
+                     CAST(floor(pow(n, 0.7) * 1000 + 0.5) AS BIGINT) AS wm
+              FROM c
+            ),
+            tot AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM w),
+            bb AS (
+              SELECT CAST(2 * count(*) // 5 AS BIGINT) AS b FROM documents
+            ),
+            a0 AS (
+              SELECT source, n, wm,
+                     (SELECT b FROM bb) * wm // (SELECT tw FROM tot) AS base,
+                     ((SELECT b FROM bb) * wm) % (SELECT tw FROM tot) AS rem
+              FROM w
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+              FROM a0
+            ),
+            ex AS (
+              SELECT (SELECT b FROM bb) - CAST(sum(base) AS BIGINT) AS k FROM rk
+            ),
+            alloc AS (
+              SELECT source,
+                     least(CAST(base + CASE WHEN rr <= (SELECT k FROM ex)
+                                            THEN 1 ELSE 0 END AS BIGINT),
+                           n) AS a
+              FROM rk
+            ),
+            src AS (SELECT doc_id, source FROM documents),{_mix_sql("src", "doc_id", "20177")},
+            rkd AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY mixh, doc_id) - 1
+                          AS BIGINT) AS sel_rank
+              FROM s5
+            )
+            SELECT r.doc_id, r.source, r.sel_rank
+            FROM rkd r JOIN alloc a USING (source)
+            WHERE r.sel_rank < a.a
         """,
         # winnowing (MOSS) selection — shared CTE chain (_WINNOW_CTES)
         # (pipelines/corpus.py winnow_fingerprints)

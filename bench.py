@@ -250,6 +250,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("quality_classifier", IN.quality_classifier),
         ("winnow_fingerprints", C.winnow_fingerprints),
         ("winnow_pairs", C.winnow_pairs),
+        ("source_temperature_mix", T.source_temperature_mix),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -500,3 +500,58 @@ def test_fixture_text_is_ascii():
     for chunk in t.column("text").chunks:
         arr = chunk.to_pylist()
         assert all(s.isascii() for s in arr if s is not None)
+
+
+def test_source_temperature_mix_bruteforce(ray_session):
+    """Engine == pure-python apportionment + rank selection, plus the
+    temperature property: a small source's selected share exceeds its
+    proportional share (tau < 1 flattens the head)."""
+    import numpy as np
+
+    from web_crawler_search_engine_ray.functions.hashing import mix32_batch
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        SHUFFLE_SEED,
+        TEMP_BUDGET_DEN,
+        TEMP_BUDGET_NUM,
+        TEMP_TAU,
+        source_temperature_mix,
+    )
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    ids = np.asarray(docs.column("doc_id"), dtype=np.int64)
+    srcs = np.array(docs.column("source").to_pylist())
+    uniq, counts = np.unique(srcs, return_counts=True)
+    n_total = int(counts.sum())
+    budget = TEMP_BUDGET_NUM * n_total // TEMP_BUDGET_DEN
+    wm = np.floor(np.power(counts.astype(np.float64), TEMP_TAU) * 1000.0 + 0.5
+                  ).astype(np.int64)
+    w_tot = int(wm.sum())
+    base = budget * wm // w_tot
+    rem = (budget * wm) % w_tot
+    order = sorted(range(len(uniq)), key=lambda i: (-int(rem[i]), uniq[i]))
+    alloc = {s: int(b) for s, b in zip(uniq, base)}
+    for i in order[: budget - int(base.sum())]:
+        alloc[uniq[i]] += 1
+    for s, n in zip(uniq, counts):
+        alloc[s] = min(alloc[s], int(n))
+    key = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
+    exp = set()
+    for s in uniq:
+        m = srcs == s
+        order_s = np.lexsort((ids[m], key[m]))
+        for r, i in enumerate(order_s[: alloc[s]]):
+            exp.add((int(ids[m][i]), s, r))
+    got = {
+        (r["doc_id"], r["source"], r["sel_rank"])
+        for r in source_temperature_mix(SF).take_all()
+    }
+    assert got == exp
+    assert len(got) == min(budget, n_total)
+    # flattening: smallest source over-represented vs proportional share
+    smallest = uniq[np.argmin(counts)]
+    prop = counts.min() / n_total
+    sel_share = alloc[smallest] / budget
+    if counts.min() < counts.max():  # only meaningful when sizes differ
+        assert sel_share >= prop

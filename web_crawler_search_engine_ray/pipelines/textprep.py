@@ -1443,3 +1443,139 @@ def quality_c4(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+# --- temperature-based source mixing -----------------------------------------
+
+TEMP_TAU = 0.7  # the multilingual-pretraining rebalancing exponent
+TEMP_BUDGET_NUM, TEMP_BUDGET_DEN = 2, 5  # budget B = 2N // 5
+
+
+@empty_guard(
+    "documents", doc_id=pa.int64(), source=pa.string(), sel_rank=pa.int64()
+)
+def source_temperature_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Temperature-based source rebalancing (the XLM-R / mT5 sampling
+    rule): per-source budget ∝ N_s^τ (τ=0.7 flattens the head so
+    low-resource sources are over-represented), integerized by
+    largest-remainder apportionment over a total budget B = 2N//5 and
+    capped at N_s; each source then contributes its first alloc_s
+    documents in the seeded global shuffle order (mix32(doc_id, seed) —
+    the shuffle_order key, so the selection is a deterministic sample
+    without replacement). Output: one row per selected doc
+    (doc_id, source, sel_rank).
+
+    Exactness: the ONLY float step is floor(pow(N_s, 0.7)·1000 + 0.5) —
+    one libm pow per SOURCE, bit-identical between numpy and DuckDB on
+    the verified platform (same contract as doc_surprisal's ln); every
+    other step (apportionment, remainder ranking, rank-vs-alloc gate) is
+    int64.
+
+    100 TB design: pass 1 is a per-source count partial + one tiny
+    exchange (sources are bounded — thousands, not corpus-scale), and
+    the apportionment is a driver epilogue over that small table. Pass 2
+    routes (doc_id, source) by source-hash and ranks within source by
+    the mix key per bucket — one narrow exchange, no global sort; the
+    broadcast state is the alloc dict (one int per source)."""
+    import numpy as np
+
+    from ..functions.hashing import mix32_batch
+    from ..functions.urls import hash64_batch
+    from ..stages.util import bucket_exchange, exchange_group_agg
+    from .corpus import collect_table
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch.column("source").to_pylist())
+        return pa.table(
+            {
+                "source": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = collect_table(
+        exchange_group_agg(
+            _docs(sf_dir, ["source"]).map_batches(
+                cnt_partial, batch_format="pyarrow"
+            ),
+            ["source"],
+            [("n", "sum")],
+            nbuck=4,
+        )
+    )
+    srcs = counts.column("source").to_pylist()
+    ns = counts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_total = int(ns.sum())
+    budget = TEMP_BUDGET_NUM * n_total // TEMP_BUDGET_DEN
+    wm = np.floor(np.power(ns.astype(np.float64), TEMP_TAU) * 1000.0 + 0.5).astype(
+        np.int64
+    )
+    w_tot = int(wm.sum())
+    base = budget * wm // w_tot
+    rem = (budget * wm) % w_tot
+    # largest-remainder: top-k remainders get +1 (ties: remainder desc,
+    # source asc — the oracle's ORDER BY rem DESC, source)
+    order = sorted(range(len(srcs)), key=lambda i: (-int(rem[i]), srcs[i]))
+    k = budget - int(base.sum())
+    alloc = {s: int(b) for s, b in zip(srcs, base)}
+    for i in order[:k]:
+        alloc[srcs[i]] += 1
+    for s, n in zip(srcs, ns):
+        alloc[s] = min(alloc[s], int(n))  # never oversample a source
+
+    NBUCK = 8
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        key = mix32_batch(ids.astype(np.uint64), SHUFFLE_SEED).astype(np.int64)
+        h = hash64_batch(batch.column("source").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "mixh": pa.array(key, pa.int64()),
+                "__sbucket": pa.array(
+                    (h % np.uint64(NBUCK)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def select(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "sel_rank": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = np.array(group.column("source").to_pylist())
+        m = group.column("mixh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, m, s))
+        ss, dd, mm = s[order], d[order], m[order]
+        first = np.concatenate(([True], ss[1:] != ss[:-1]))
+        seg = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(ss), dtype=np.int64) - starts[seg]
+        amax = np.array([alloc.get(x, 0) for x in ss[starts]], np.int64)
+        keep = rank < amax[seg]
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(dd[keep], pa.int64()),
+                "source": pa.array(ss[keep], pa.string()),
+                "sel_rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return bucket_exchange(
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .materialize(),
+        "__sbucket",
+        NBUCK,
+        select,
+    )
