@@ -216,6 +216,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_pagerank(sf_dir)
 
+    def _link_hits(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.graph import link_hits
+
+        return link_hits(sf_dir)
+
     def _anchor_texts(sf_dir: str) -> Any:
         from web_crawler_search_engine_ray.pipelines.graph import anchor_texts
 
@@ -660,6 +665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature-based source rebalancing (N_s^0.7, largest-remainder
         # apportionment, seeded-shuffle-order selection)
         "source_temperature_mix": T.source_temperature_mix,
+        # HITS hubs & authorities (Kleinberg): max-normalized fixed-point
+        # power iteration over both edge orientations
+        "link_hits": _link_hits,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -686,7 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # noted in the tail comment below)
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "quality_classifier", "winnow_fingerprints", "winnow_pairs",
-        "source_temperature_mix",
+        "source_temperature_mix", "link_hits",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -695,7 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_returns", "pii_redact", "keyword_topk", "source_stats",
         "dedup_keep_list", "link_triangles", "event_transitions",
         "events_funnel", "pricing_rollup", "stratified_sample",
-        "search_topk_bm25", "quality_scores",
+        "search_topk_bm25",
         "subdomain_counts", "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
         "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
@@ -711,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      (tests/test_tail_conformance.py). ----
         "embedding_covariance", "corpus_funnel", "top_words",
         "longest_pages", "events_rolling", "ann_topk", "doc_token_counts",
+        "quality_scores",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -961,6 +970,59 @@ SELECT d.doc_id,
          AS avg_symbols_milli
 FROM docw d JOIN nsym n ON d.t = n.word
 GROUP BY 1"""
+    )
+
+
+def _hits_sql(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled fixed-point HITS replay (pipelines/graph.py hits): per
+    iteration a = Σ_in h then max-normalize to ``scale`` (integer floor
+    division — the engine's exact arithmetic), h = Σ_out a then
+    max-normalize. Same synthetic edge head as _pagerank_sql."""
+    head = f"""
+WITH cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT node AS src, 3*node+1 AS dst FROM nodes WHERE 3*node+1 < (SELECT n FROM cnt)
+    UNION ALL SELECT node, 3*node+2 FROM nodes WHERE 3*node+2 < (SELECT n FROM cnt)
+    UNION ALL SELECT node, 3*node+3 FROM nodes WHERE 3*node+3 < (SELECT n FROM cnt)
+    UNION ALL SELECT node, (7*node+3) % (SELECT n FROM cnt) FROM nodes
+  )
+),
+h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS v
+  FROM edges e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst
+),
+am{k} AS MATERIALIZED (SELECT max(v) AS m FROM ar{k}),
+a{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.v, 0) * {scale} // NULLIF((SELECT m FROM am{k}), 0)
+              AS BIGINT) AS v
+  FROM nodes n LEFT JOIN ar{k} r ON r.node = n.node
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS v
+  FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+),
+hm{k} AS MATERIALIZED (SELECT max(v) AS m FROM hr{k}),
+h{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.v, 0) * {scale} // NULLIF((SELECT m FROM hm{k}), 0)
+              AS BIGINT) AS v
+  FROM nodes n LEFT JOIN hr{k} r ON r.node = n.node
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT h.node AS doc_id, COALESCE(h.v, 0) AS hub_fp, COALESCE(a.v, 0) AS auth_fp
+FROM h{iters} h JOIN a{iters} a USING (node) ORDER BY doc_id"""
     )
 
 
@@ -1952,6 +2014,9 @@ FROM per p JOIN mr m USING (doc_id)
             CROSS JOIN (VALUES (256), (1024), (4096), (16384)) AS vs(v)
             GROUP BY v
         """,
+        # HITS: 3 max-normalized fixed-point iterations over the same
+        # synthetic edge head as link_pagerank (pipelines/graph.py hits)
+        "link_hits": _hits_sql(),
         # temperature rebalancing: per-source budget ∝ floor(pow(n,0.7)
         # *1000+0.5) (the one float step — libm pow, platform-verified
         # bit-equal), largest-remainder apportionment capped at n, then

@@ -251,6 +251,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("winnow_fingerprints", C.winnow_fingerprints),
         ("winnow_pairs", C.winnow_pairs),
         ("source_temperature_mix", T.source_temperature_mix),
+        ("link_hits", G.link_hits),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

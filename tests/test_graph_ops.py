@@ -186,3 +186,48 @@ def test_link_triangles_multibucket_equals_single(ray_session):
     )
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_link_hits_matches_bruteforce(ray_session):
+    """Engine HITS == dense numpy replay of the same max-normalized
+    fixed-point iteration, and hubs/authorities separate structurally
+    (the chain-link 3d+i pattern makes low ids strong hubs)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        link_hits,
+    )
+
+    tbl = link_hits(SF)
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = set()
+    for d in range(n):
+        for t in (3 * d + 1, 3 * d + 2, 3 * d + 3):
+            if t < n:
+                edges.add((d, t))
+        edges.add((d, (7 * d + 3) % n))
+    h = np.full(n, HITS_SCALE, dtype=object)  # python ints: exact // math
+    a = None
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    for _ in range(HITS_ITERS):
+        a_raw = [0] * n
+        for s, d in zip(src, dst):
+            a_raw[d] += int(h[s])
+        am = max(a_raw)
+        a = [(v * HITS_SCALE) // am if am else 0 for v in a_raw]
+        h_raw = [0] * n
+        for s, d in zip(src, dst):
+            h_raw[s] += a[d]
+        hm = max(h_raw)
+        h = [(v * HITS_SCALE) // hm if hm else 0 for v in h_raw]
+    got_h = tbl.column("hub_fp").to_pylist()
+    got_a = tbl.column("auth_fp").to_pylist()
+    assert tbl.column("doc_id").to_pylist() == list(range(n))
+    assert got_h == list(h)
+    assert got_a == list(a)
+    # normalization: some node sits at exactly HITS_SCALE on each axis
+    assert max(got_h) == HITS_SCALE and max(got_a) == HITS_SCALE

@@ -598,3 +598,260 @@ def link_triangles(sf_dir: str, n_buckets: int = 0) -> "ray.data.Dataset":
     both = wedge_rows.union(edge_rows).materialize()
     partials = bucket_exchange(both, "bucket", nb, close)
     return exchange_sum_by_key(partials, "node", nbuck=4)
+
+
+# --- HITS (hubs & authorities) ------------------------------------------------
+
+HITS_SCALE = 10**6  # max-normalized each half-step, so sums stay < 2^53
+HITS_ITERS = 3
+
+
+@ray.remote
+def _hits_part_by(tbl: pa.Table, col: str, nbuck: int):
+    """Route (already-deduped) edge rows to ``col % nbuck`` slices."""
+    if nbuck == 1:
+        return tbl
+    k = tbl.column(col).to_numpy(zero_copy_only=False)
+    b = (k % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    t = tbl.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    return tuple(
+        t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(nbuck)
+    )
+
+
+@ray.remote
+def _hits_concat(*parts: pa.Table) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables([t.select(["src", "dst"]) for t in tables])
+
+
+@ray.remote
+def _hits_send(edges: pa.Table, vals: pa.Table, join_col: str, emit_col: str, nbuck: int):
+    """Half-iteration send: join vals[join_col] (co-partitioned by the
+    same % rule, nodes sorted) onto the bucket's edges, emit per-emit_col
+    -bucket (node, val) slices."""
+    j = edges.column(join_col).to_numpy(zero_copy_only=False)
+    if not len(j):
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+        )
+        return tuple(empty for _ in range(nbuck)) if nbuck > 1 else empty
+    e = edges.column(emit_col).to_numpy(zero_copy_only=False)
+    nk = vals.column("node").to_numpy(zero_copy_only=False)
+    nv = vals.column("v").to_numpy(zero_copy_only=False)
+    contrib = nv[np.searchsorted(nk, j)]
+    b = (e % nbuck).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    e2, c2 = e[order], contrib[order]
+    bounds = np.searchsorted(b[order], np.arange(nbuck + 1))
+    out = tuple(
+        pa.table(
+            {
+                "node": pa.array(e2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()),
+                "val": pa.array(c2[int(bounds[i]) : int(bounds[i + 1])], pa.int64()),
+            }
+        )
+        for i in range(nbuck)
+    )
+    return out if nbuck > 1 else out[0]
+
+
+@ray.remote
+def _hits_sum(node_tbl: pa.Table, *contribs: pa.Table) -> pa.Table:
+    nodes = node_tbl.column("node").to_numpy(zero_copy_only=False)  # sorted
+    acc = np.zeros(len(nodes), np.float64)  # exact: values < 2^53
+    for c in contribs:
+        if not c.num_rows:
+            continue
+        idx = np.searchsorted(nodes, c.column("node").to_numpy(zero_copy_only=False))
+        acc += np.bincount(
+            idx,
+            weights=c.column("val").to_numpy(zero_copy_only=False),
+            minlength=len(nodes),
+        )
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "v": pa.array(acc.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _hits_bucket_max(tbl: pa.Table) -> int:
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    return int(v.max()) if len(v) else 0
+
+
+@ray.remote
+def _hits_rescale(tbl: pa.Table, gmax: int) -> pa.Table:
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    if gmax <= 0:
+        out = np.zeros(len(v), np.int64)
+    else:
+        out = (v * HITS_SCALE) // gmax
+    return pa.table({"node": tbl.column("node"), "v": pa.array(out, pa.int64())})
+
+
+@ray.remote
+def _hits_init(node_tbl: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "node": node_tbl.column("node"),
+            "v": pa.array(
+                np.full(node_tbl.num_rows, HITS_SCALE, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+@ray.remote
+def _hits_zip(h: pa.Table, a: pa.Table) -> pa.Table:
+    # same sorted node column in both
+    return pa.table(
+        {
+            "node": h.column("node"),
+            "hub_fp": h.column("v"),
+            "auth_fp": a.column("v"),
+        }
+    )
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    iters: int = HITS_ITERS,
+    nodes: Optional["ray.data.Dataset"] = None,
+    n_edges_hint: Optional[int] = None,
+) -> pa.Table:
+    """Fixed-point HITS (Kleinberg 1999) over an ``(src, dst)`` edge
+    Dataset, same Pregel shape as :func:`pagerank` but with BOTH edge
+    orientations partitioned once (``src % B`` for the authority send,
+    ``dst % B`` for the hub send — built from the deduped forward
+    buckets, so dedup happens exactly once). Per iteration:
+    a = Σ_in h, max-normalize to ``HITS_SCALE``; h = Σ_out a,
+    max-normalize — integer floor division everywhere, so the result is
+    bit-identical on any block layout and in the unrolled SQL oracle
+    (max-normalization replaces the classic L2 norm to stay in exact
+    int64; the ranking it induces per step is the same). The driver sees
+    one int per bucket per half-step (the max reduction) — never
+    per-node state."""
+    edges_mat = edges.materialize()
+    n_edges = n_edges_hint if n_edges_hint is not None else int(edges_mat.count())
+    nbuck = int(max(1, min(_PAIR_BUCKETS, n_edges // 16384 + 1)))
+
+    from ..stages.util import refs_and_counts
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "hub_fp": pa.array([], pa.int64()),
+            "auth_fp": pa.array([], pa.int64()),
+        }
+    )
+    erefs, _ = refs_and_counts(edges_mat)
+    if not erefs:
+        return empty
+    eparts = [
+        _pr_part_edges.options(num_returns=nbuck).remote(r, nbuck) for r in erefs
+    ]
+    if nbuck == 1:
+        eparts = [[p] for p in eparts]
+    E_src = [
+        _pr_build_bucket.remote(*[pl[b] for pl in eparts]) for b in range(nbuck)
+    ]
+    # backward orientation from the already-deduped forward buckets
+    dstparts = [
+        _hits_part_by.options(num_returns=nbuck).remote(e, "dst", nbuck)
+        for e in E_src
+    ]
+    if nbuck == 1:
+        dstparts = [[p] for p in dstparts]
+    E_dst = [
+        _hits_concat.remote(*[pl[b] for pl in dstparts]) for b in range(nbuck)
+    ]
+
+    if nodes is None:
+        raise ValueError("hits() requires the vertex set (nodes Dataset)")
+    nodes_mat = nodes.materialize()
+    nrefs, _ = refs_and_counts(nodes_mat)
+    nparts = [
+        _pr_part_nodes.options(num_returns=nbuck).remote(r, nbuck) for r in nrefs
+    ]
+    if nbuck == 1:
+        nparts = [[p] for p in nparts]
+    N = [_pr_node_union.remote(*[pl[b] for pl in nparts]) for b in range(nbuck)]
+    if int(nodes_mat.count()) == 0:
+        return empty
+
+    H = [_hits_init.remote(N[b]) for b in range(nbuck)]
+    A = H
+    for _ in range(iters):
+        # authority half-step: a = sum of h over in-edges
+        sends = [
+            _hits_send.options(num_returns=nbuck).remote(
+                E_src[b], H[b], "src", "dst", nbuck
+            )
+            for b in range(nbuck)
+        ]
+        if nbuck == 1:
+            sends = [[s] for s in sends]
+        A_raw = [
+            _hits_sum.remote(N[b], *[sl[b] for sl in sends]) for b in range(nbuck)
+        ]
+        amax = max(ray.get([_hits_bucket_max.remote(t) for t in A_raw]))
+        A = [_hits_rescale.remote(t, amax) for t in A_raw]
+        # hub half-step: h = sum of a over out-edges
+        sends = [
+            _hits_send.options(num_returns=nbuck).remote(
+                E_dst[b], A[b], "dst", "src", nbuck
+            )
+            for b in range(nbuck)
+        ]
+        if nbuck == 1:
+            sends = [[s] for s in sends]
+        H_raw = [
+            _hits_sum.remote(N[b], *[sl[b] for sl in sends]) for b in range(nbuck)
+        ]
+        hmax = max(ray.get([_hits_bucket_max.remote(t) for t in H_raw]))
+        H = [_hits_rescale.remote(t, hmax) for t in H_raw]
+
+    tbl = pa.concat_tables(ray.get([_hits_zip.remote(H[b], A[b]) for b in range(nbuck)]))
+    node = tbl.column("node").to_numpy(zero_copy_only=False)
+    order = np.argsort(node, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(node[order], pa.int64()),
+            "hub_fp": pa.array(
+                tbl.column("hub_fp").to_numpy(zero_copy_only=False)[order],
+                pa.int64(),
+            ),
+            "auth_fp": pa.array(
+                tbl.column("auth_fp").to_numpy(zero_copy_only=False)[order],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+@empty_guard("documents", doc_id=pa.int64(), hub_fp=pa.int64(), auth_fp=pa.int64())
+def link_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs & authorities over the documents link graph: 3
+    max-normalized fixed-point iterations, scale 10^6.  Returns
+    (doc_id, hub_fp, auth_fp) per doc."""
+    from .corpus import _docs
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = int(docs.count())
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    return hits(
+        _doc_link_edges(sf_dir), iters=HITS_ITERS, nodes=nodes, n_edges_hint=4 * n
+    )
