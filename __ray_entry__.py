@@ -668,6 +668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs & authorities (Kleinberg): max-normalized fixed-point
         # power iteration over both edge orientations
         "link_hits": _link_hits,
+        # incremental dedup: new batch (doc_id%3==0) vs existing snapshot,
+        # first-wins within the batch; one side-tagged digest exchange
+        "dedup_incremental": T.dedup_incremental,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -694,7 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # noted in the tail comment below)
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "quality_classifier", "winnow_fingerprints", "winnow_pairs",
-        "source_temperature_mix", "link_hits",
+        "source_temperature_mix", "link_hits", "dedup_incremental",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -704,7 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list", "link_triangles", "event_transitions",
         "events_funnel", "pricing_rollup", "stratified_sample",
         "search_topk_bm25",
-        "subdomain_counts", "token_count_bpe", "doc_fingerprints",
+        "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
         "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
         # ---- positions 51+ (r4-green; kernels unchanged in r5).
@@ -719,7 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      (tests/test_tail_conformance.py). ----
         "embedding_covariance", "corpus_funnel", "top_words",
         "longest_pages", "events_rolling", "ann_topk", "doc_token_counts",
-        "quality_scores",
+        "quality_scores", "subdomain_counts",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -1062,6 +1065,13 @@ sel AS (
 
 def oracle_sql() -> dict[str, str]:
     from web_crawler_search_engine_ray import conformance_sql as _CSQL
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        FUNNEL_DUP_TEXT,
+        INCR_BATCH_DUP_TEXT,
+    )
+
+    _FUNNEL_DUP_SQL_TEXT = FUNNEL_DUP_TEXT.replace("'", "''")
+    _INCR_BATCH_SQL_TEXT = INCR_BATCH_DUP_TEXT.replace("'", "''")
 
     # Conformance-web media spans (one image per doc, sources/
     # conformance_web.py): doc_id/media_ref derived arithmetically from
@@ -2017,6 +2027,32 @@ FROM per p JOIN mr m USING (doc_id)
         # HITS: 3 max-normalized fixed-point iterations over the same
         # synthetic edge head as link_pagerank (pipelines/graph.py hits)
         "link_hits": _hits_sql(),
+        # incremental snapshot dedup: the oracle keys on the text itself
+        # (engine keys the 128-bit digest — identical unless blake2b
+        # collides); same corpus_funnel duplicate augmentation
+        # (pipelines/textprep.py dedup_incremental)
+        "dedup_incremental": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 41 = 7 THEN '{_FUNNEL_DUP_SQL_TEXT}'
+                          WHEN doc_id % 51 = 0 THEN '{_INCR_BATCH_SQL_TEXT}'
+                          ELSE text END AS text,
+                     (doc_id % 3 != 0) AS is_base
+              FROM documents
+            ),
+            inc AS (SELECT doc_id, text FROM t WHERE NOT is_base),
+            basetext AS (SELECT DISTINCT text FROM t WHERE is_base),
+            firsts AS (
+              SELECT text, min(doc_id) AS keeper FROM inc GROUP BY text
+            )
+            SELECT i.doc_id,
+                   CASE WHEN b.text IS NOT NULL THEN 'dup_base'
+                        WHEN i.doc_id = f.keeper THEN 'novel'
+                        ELSE 'dup_batch' END AS status
+            FROM inc i
+            LEFT JOIN basetext b ON b.text = i.text
+            JOIN firsts f ON f.text = i.text
+        """,
         # temperature rebalancing: per-source budget ∝ floor(pow(n,0.7)
         # *1000+0.5) (the one float step — libm pow, platform-verified
         # bit-equal), largest-remainder apportionment capped at n, then

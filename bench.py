@@ -252,6 +252,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("winnow_pairs", C.winnow_pairs),
         ("source_temperature_mix", T.source_temperature_mix),
         ("link_hits", G.link_hits),
+        ("dedup_incremental", T.dedup_incremental),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -555,3 +555,45 @@ def test_source_temperature_mix_bruteforce(ray_session):
     sel_share = alloc[smallest] / budget
     if counts.min() < counts.max():  # only meaningful when sizes differ
         assert sel_share >= prop
+
+
+def test_dedup_incremental_bruteforce(ray_session):
+    """Engine == python replay over the augmented corpus, and all three
+    verdicts fire (dup_base via the %41 family whose members span both
+    sides; dup_batch via the %51 family that lands entirely incoming)."""
+    from collections import Counter
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        INCR_BASE_MOD,
+        _incr_augment,
+        dedup_incremental,
+    )
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = {
+        int(d): _incr_augment(int(d), t)
+        for d, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    base_texts = {t for d, t in texts.items() if d % INCR_BASE_MOD != 0}
+    incoming = sorted(d for d in texts if d % INCR_BASE_MOD == 0)
+    first_seen: dict = {}
+    exp = {}
+    for d in incoming:
+        t = texts[d]
+        if t in base_texts:
+            exp[d] = "dup_base"
+        elif t in first_seen:
+            exp[d] = "dup_batch"
+        else:
+            first_seen[t] = d
+            exp[d] = "novel"
+    got = {
+        r["doc_id"]: r["status"] for r in dedup_incremental(SF).take_all()
+    }
+    assert got == exp
+    dist = Counter(got.values())
+    assert dist["dup_base"] > 0 and dist["dup_batch"] > 0 and dist["novel"] > 0

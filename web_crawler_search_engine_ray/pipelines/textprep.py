@@ -1579,3 +1579,131 @@ def source_temperature_mix(sf_dir: str) -> "ray.data.Dataset":
         NBUCK,
         select,
     )
+
+
+# --- incremental (snapshot) dedup --------------------------------------------
+
+INCR_BASE_MOD = 3  # doc_id % 3 != 0 -> existing snapshot; == 0 -> new batch
+# second injection family: 51 ≡ 0 (mod 3), so every doc_id % 51 == 0 doc
+# lands in the INCOMING batch — guaranteeing the dup_batch verdict fires
+# (the % 41 family always has snapshot members, so it only exercises
+# dup_base). Precedence: the % 41 replacement wins when both match
+# (first CRT collision is doc_id 663; mirrored by the oracle's CASE).
+INCR_BATCH_DUP_MOD = 51
+INCR_BATCH_DUP_TEXT = (
+    "batch only duplicate body red orange yellow green blue indigo violet"
+    " crimson amber teal navy maroon olive silver golden copper bronze"
+    " shared within one incoming wave only never in the snapshot side"
+)
+
+
+def _incr_augment(doc_id: int, text: str) -> str:
+    if doc_id % FUNNEL_DUP_MOD == FUNNEL_DUP_REM:
+        return FUNNEL_DUP_TEXT
+    if doc_id % INCR_BATCH_DUP_MOD == 0:
+        return INCR_BATCH_DUP_TEXT
+    return text
+
+
+@empty_guard("documents", doc_id=pa.int64(), status=pa.string())
+def dedup_incremental(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental dedup of a NEW crawl batch against an EXISTING corpus
+    snapshot — the steady-state shape of a resumable 10^10-URL crawl,
+    where every wave dedups against everything already ingested, not
+    against itself alone. The deterministic split: ``doc_id % 3 != 0`` is
+    the snapshot, ``% 3 == 0`` is the incoming batch; the corpus_funnel
+    duplicate augmentation (doc_id % 41 == 7 → one shared body) supplies
+    guaranteed cross-side duplicates at every scale. Per incoming doc:
+
+    - ``dup_base``  — its content already exists in the snapshot;
+    - ``dup_batch`` — new content, but an earlier (smaller doc_id)
+      incoming doc in the same batch has it (first-wins);
+    - ``novel``     — first appearance anywhere.
+
+    100 TB design: ONE side-tagged digest-bucket exchange (the
+    dedup_exact shape) — snapshot rows carry only (digest, is_base), so
+    the wire is narrow; the per-bucket kernel is a numpy segment scan
+    (any-base flag + min-incoming-id per digest). Text equality is keyed
+    by the 128-bit content digest; the oracle joins on the text itself —
+    identical verdicts unless blake2b collides."""
+    import numpy as np
+
+    from ..functions.hashing import stable_text_digest
+    from ..stages.util import bucket_exchange
+
+    NBUCK = 16
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [
+            _incr_augment(int(d), t)
+            for d, t in zip(ids, batch.column("text").to_pylist())
+        ]
+        dig = np.frombuffer(
+            b"".join(stable_text_digest(texts)), dtype=np.uint64
+        ).reshape(-1, 2)
+        key = dig[:, 0] ^ dig[:, 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dkey": pa.array(key.view(np.int64), pa.int64()),
+                "dkey2": pa.array(dig[:, 0].view(np.int64), pa.int64()),
+                "is_base": pa.array(ids % INCR_BASE_MOD != 0, pa.bool_()),
+                "__dbucket": pa.array(
+                    (key % np.uint64(NBUCK)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def verdicts(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "status": pa.array([], pa.string()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        k1 = group.column("dkey").to_numpy(zero_copy_only=False)
+        k2 = group.column("dkey2").to_numpy(zero_copy_only=False)
+        isb = group.column("is_base").to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((d, k2, k1))
+        ds, k1s, k2s, bs = d[order], k1[order], k2[order], isb[order]
+        first = np.concatenate(
+            ([True], (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]))
+        )
+        seg = np.cumsum(first) - 1
+        nseg = int(seg[-1]) + 1
+        base_in_seg = np.zeros(nseg, bool)
+        np.logical_or.at(base_in_seg, seg, bs)
+        # first INCOMING doc per segment, vectorized: incoming rows are
+        # doc_id-sorted within a segment, so the first element of each
+        # run of inc_seg is the min-doc incoming row
+        inc = ~bs
+        inc_idx = np.flatnonzero(inc)
+        first_inc = np.zeros(len(ds), bool)
+        if len(inc_idx):
+            inc_seg = seg[inc_idx]
+            run_start = np.concatenate(([True], inc_seg[1:] != inc_seg[:-1]))
+            first_inc[inc_idx[run_start]] = True
+        status = np.where(
+            base_in_seg[seg],
+            "dup_base",
+            np.where(first_inc, "novel", "dup_batch"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ds[inc], pa.int64()),
+                "status": pa.array(status[inc].tolist(), pa.string()),
+            }
+        )
+
+    return bucket_exchange(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize(),
+        "__dbucket",
+        NBUCK,
+        verdicts,
+    )
