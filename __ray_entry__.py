@@ -671,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental dedup: new batch (doc_id%3==0) vs existing snapshot,
         # first-wins within the batch; one side-tagged digest exchange
         "dedup_incremental": T.dedup_incremental,
+        # bigram-LM surprisal: route by the CONTEXT token so C2(a,b) and
+        # C1(a) are both bucket-local — no broadcast at any order
+        "doc_bigram_surprisal": V.doc_bigram_surprisal,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -698,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "quality_classifier", "winnow_fingerprints", "winnow_pairs",
         "source_temperature_mix", "link_hits", "dedup_incremental",
+        "doc_bigram_surprisal",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -709,7 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk_bm25",
         "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
-        "sample_lineitem", "supplier_topk", "heavy_hitters_cms",
+        "supplier_topk", "heavy_hitters_cms",
         # ---- positions 51+ (r4-green; kernels unchanged in r5).
         #      embedding_covariance / corpus_funnel moved here to make
         #      room for the three new-in-r5 ops above: both hold r4
@@ -722,7 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      (tests/test_tail_conformance.py). ----
         "embedding_covariance", "corpus_funnel", "top_words",
         "longest_pages", "events_rolling", "ann_topk", "doc_token_counts",
-        "quality_scores", "subdomain_counts",
+        "quality_scores", "subdomain_counts", "sample_lineitem",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -2167,6 +2171,39 @@ FROM per p JOIN mr m USING (doc_id)
              AND e.ts < p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY 1, 2
+        """,
+        # bigram-LM surprisal: Σ -ln P(b|a) in milli fixed point, same
+        # double-ln contract as doc_surprisal; C1(a) = a's count as
+        # bigram context (pipelines/vocab.py doc_bigram_surprisal)
+        "doc_bigram_surprisal": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+            bg AS (
+              SELECT doc_id, ts[CAST(i AS INT)] AS a,
+                     ts[CAST(i AS INT) + 1] AS b
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+              WHERE len(ts) >= 2
+            ),
+            tf2 AS (
+              SELECT doc_id, a, b, count(*)::BIGINT AS f
+              FROM bg GROUP BY 1, 2, 3
+            ),
+            c2 AS (SELECT a, b, CAST(sum(f) AS BIGINT) AS c FROM tf2 GROUP BY 1, 2),
+            c1 AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM c2 GROUP BY 1),
+            dl AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS nb FROM tf2 GROUP BY 1),
+            parts AS (
+              SELECT t.doc_id,
+                     CAST(floor(CAST(t.f AS DOUBLE)
+                                * ln(CAST(c1.ca AS DOUBLE) / CAST(c2.c AS DOUBLE))
+                                * 1000.0 + 0.5) AS BIGINT) AS p
+              FROM tf2 t
+              JOIN c2 ON t.a = c2.a AND t.b = c2.b
+              JOIN c1 ON t.a = c1.a
+            )
+            SELECT d.doc_id, d.nb AS n_bigrams,
+                   CAST(SUM(p) AS BIGINT) AS surprisal_milli,
+                   CAST(SUM(p) // d.nb AS BIGINT) AS avg_surprisal_milli
+            FROM parts JOIN dl d USING (doc_id) GROUP BY 1, 2
         """,
         # fixed-point Gram/second-moment matrix, upper triangle in long
         # form, 1-based indices (pipelines/cluster.py embedding_covariance;

@@ -253,6 +253,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("source_temperature_mix", T.source_temperature_mix),
         ("link_hits", G.link_hits),
         ("dedup_incremental", T.dedup_incremental),
+        ("doc_bigram_surprisal", V.doc_bigram_surprisal),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -384,3 +384,45 @@ def test_merge_pair_semantics():
     assert merge_pair(["a", "ab"], "a", "a") == ["a", "ab"]
     # merged symbol is not rescanned within the round
     assert merge_pair(["a", "b", "b"], "a", "b") == ["ab", "b"]
+
+
+def test_doc_bigram_surprisal_bruteforce(ray_session):
+    """Engine == dense python replay of sum of -ln P(b|a) milli terms,
+    and the bigram model orders the injected repetitive doc below (more
+    predictable than) typical docs."""
+    from web_crawler_search_engine_ray.pipelines.vocab import (
+        doc_bigram_surprisal,
+    )
+
+    texts = _texts()
+    tf2: Counter = Counter()
+    doc_bg = {}
+    for d, t in texts.items():
+        toks = _TOK.findall(t.lower())
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        doc_bg[d] = Counter(pairs)
+        tf2.update(pairs)
+    c1: Counter = Counter()
+    for (a, _), c in tf2.items():
+        c1[a] += c
+    got = {r["doc_id"]: r for r in doc_bigram_surprisal(SF).take_all()}
+    assert set(got) == set(doc_bg)
+    for d, bgs in doc_bg.items():
+        nb = sum(bgs.values())
+        s = sum(
+            int(
+                np.floor(
+                    float(f) * np.log(float(c1[a]) / float(tf2[(a, b)])) * 1000.0
+                    + 0.5
+                )
+            )
+            for (a, b), f in bgs.items()
+        )
+        r = got[d]
+        assert r["n_bigrams"] == nb
+        assert r["surprisal_milli"] == s
+        assert r["avg_surprisal_milli"] == s // nb
+    # every term is non-negative (C1 >= C2), so surprisal >= 0
+    assert all(r["surprisal_milli"] >= 0 for r in got.values())

@@ -54,6 +54,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode_stats",
     "vocab_coverage",
+    "doc_bigram_surprisal",
 ]
 
 # '\n' (codepoint 10) can never appear inside a [a-z0-9]+ token, so it is
@@ -702,3 +703,150 @@ def vocab_coverage(sf_dir: str, sizes=VOCAB_SIZES) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=schema)
+
+
+# --- doc_bigram_surprisal -----------------------------------------------------
+
+
+@empty_guard(
+    "documents",
+    doc_id=pa.int64(),
+    n_bigrams=pa.int64(),
+    surprisal_milli=pa.int64(),
+    avg_surprisal_milli=pa.int64(),
+)
+def doc_bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
+    """Bigram-LM surprisal per document — the next-order CCNet filter
+    statistic above :func:`doc_surprisal`'s unigram model, with the
+    corpus as its own LM: surprisal(d) = Σ_{(a,b)∈d} tf₂(d,a,b) ·
+    ln(C₁(a) / C₂(a,b)), where C₂ is the corpus bigram count and
+    C₁(a) = Σ_b C₂(a,b) is a's count as a bigram CONTEXT — i.e. the sum
+    is Σ −ln P(b|a) in exact milli fixed point (each term ≥ 0 since
+    C₁ ≥ C₂). Documents with < 2 tokens are absent.
+
+    100 TB design: the routing trick that kills the broadcast gets
+    BETTER at bigram order — rows hash-route by the FIRST token, so one
+    reduce bucket holds every bigram starting with its contexts and
+    computes both C₂(a,b) AND C₁(a) locally; no vocabulary- or
+    bigram-table-sized structure is ever collected or broadcast. One
+    token-hash exchange + one narrow doc-keyed re-exchange, the
+    doc_surprisal shape exactly."""
+    import pyarrow.compute as pc
+
+    from ..functions.urls import hash64_batch
+    from ..stages.util import bucket_exchange
+
+    nbuck = 8
+
+    def tf2_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        doc, aa, bb, tfs, nbs = [], [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = _TOK_RE.findall((t or "").lower())
+            if len(toks) < 2:
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            nb = len(toks) - 1
+            for (a, b), f in c.items():
+                doc.append(d)
+                aa.append(a)
+                bb.append(b)
+                tfs.append(f)
+                nbs.append(nb)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "a": pa.array(aa, pa.string()),
+                "b": pa.array(bb, pa.string()),
+                "f": pa.array(tfs, pa.int64()),
+                "nb": pa.array(nbs, pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return t.append_column("tbucket", pa.array([], pa.int64()))
+        enc = pc.dictionary_encode(t.column("a").combine_chunks())
+        hu = hash64_batch(enc.dictionary.to_pylist())
+        h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column(
+            "tbucket",
+            pa.array((h % np.uint64(nbuck)).astype(np.int64), pa.int64()),
+        )
+
+    def ctx_reduce(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("p", pa.int64()), ("nb", pa.int64())]
+        )
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        # every bigram starting with this bucket's contexts is here:
+        # local sums ARE the global C2(a, b) and C1(a)
+        g2 = tbl.group_by(["a", "b"]).aggregate([("f", "sum")])
+        key2 = np.asarray(
+            [
+                x + "\x00" + y
+                for x, y in zip(
+                    g2.column("a").to_pylist(), g2.column("b").to_pylist()
+                )
+            ]
+        )
+        c2 = g2.column("f_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        o2 = np.argsort(key2)
+        g1 = g2.group_by(["a"]).aggregate([("f_sum", "sum")])
+        key1 = np.asarray(g1.column("a").to_pylist())
+        c1 = (
+            g1.column("f_sum_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        o1 = np.argsort(key1)
+        row_key2 = np.asarray(
+            [
+                x + "\x00" + y
+                for x, y in zip(
+                    tbl.column("a").to_pylist(), tbl.column("b").to_pylist()
+                )
+            ]
+        )
+        row_key1 = np.asarray(tbl.column("a").to_pylist())
+        c2_row = c2[o2[np.searchsorted(key2[o2], row_key2)]]
+        c1_row = c1[o1[np.searchsorted(key1[o1], row_key1)]]
+        f = tbl.column("f").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.floor(
+            f
+            * np.log(c1_row.astype(np.float64) / c2_row.astype(np.float64))
+            * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "p": pa.array(p, pa.int64()),
+                "nb": tbl.column("nb"),
+            }
+        )
+
+    mat = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tf2_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    parts = bucket_exchange(mat, "tbucket", nbuck, ctx_reduce)
+
+    # narrow doc-keyed re-exchange: p sums; nb rides as max (constant per
+    # doc — a doc's rows span buckets, so it must NOT sum)
+    summed = exchange_group_agg(
+        parts, ["doc_id"], [("p", "sum"), ("nb", "max")], nbuck=nbuck
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "surprisal_milli": pa.array(s, pa.int64()),
+                "avg_surprisal_milli": pa.array(s // nb, pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
