@@ -216,6 +216,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_pagerank(sf_dir)
 
+    def _embedding_project_rp(sf_dir: str) -> Any:
+        from web_crawler_search_engine_ray.pipelines.cluster import (
+            embedding_project_rp,
+        )
+
+        return embedding_project_rp(sf_dir)
+
     def _link_hits(sf_dir: str) -> Any:
         from web_crawler_search_engine_ray.pipelines.graph import link_hits
 
@@ -674,6 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram-LM surprisal: route by the CONTEXT token so C2(a,b) and
         # C1(a) are both bucket-local — no broadcast at any order
         "doc_bigram_surprisal": V.doc_bigram_surprisal,
+        # Johnson-Lindenstrauss ±1 random projection to 16 dims (exact
+        # int64; the pre-ANN dimensionality-reduction step)
+        "embedding_project_rp": _embedding_project_rp,
     }
     # --- round-5 driver-window rotation -----------------------------------
     # Head (first 50, the driver-checked window):
@@ -701,7 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "quality_classifier", "winnow_fingerprints", "winnow_pairs",
         "source_temperature_mix", "link_hits", "dedup_incremental",
-        "doc_bigram_surprisal",
+        "doc_bigram_surprisal", "embedding_project_rp",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -712,7 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel", "pricing_rollup", "stratified_sample",
         "search_topk_bm25",
         "token_count_bpe", "doc_fingerprints",
-        "ngram_jaccard_pairs", "events_hourly", "brand_part_stats",
+        "ngram_jaccard_pairs", "brand_part_stats",
         "supplier_topk", "heavy_hitters_cms",
         # ---- positions 51+ (r4-green; kernels unchanged in r5).
         #      embedding_covariance / corpus_funnel moved here to make
@@ -727,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance", "corpus_funnel", "top_words",
         "longest_pages", "events_rolling", "ann_topk", "doc_token_counts",
         "quality_scores", "subdomain_counts", "sample_lineitem",
+        "events_hourly",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -2170,6 +2181,33 @@ FROM per p JOIN mr m USING (doc_id)
              AND e.ts >= p.ts - INTERVAL 1 HOUR
              AND e.ts < p.ts
             WHERE p.event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
+        # JL ±1 random projection: sign matrix from the mix32 avalanche
+        # on j*16+c, q = shared milli fixed point, exact int64 sums
+        # (pipelines/cluster.py embedding_project_rp)
+        "embedding_project_rp": f"""
+            WITH p0 AS (SELECT unnest(generate_series(0, 64*16 - 1)) AS idx),
+            {_mix_sql("p0", "idx", "4099", sfx="rp")},
+            pm AS (
+              SELECT idx // 16 AS j, idx % 16 AS k,
+                     CASE WHEN mixh % 2 = 0 THEN 1 ELSE -1 END AS w
+              FROM s5rp
+            ),
+            q AS (
+              SELECT vec_id,
+                     list_transform(
+                       embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)
+                     ) AS qe
+              FROM embeddings
+            ),
+            terms AS (
+              SELECT vec_id, j, qe[CAST(j AS INT) + 1] AS qv
+              FROM q, LATERAL (SELECT unnest(generate_series(0, 63)) AS j)
+            )
+            SELECT t.vec_id, CAST(p.k AS BIGINT) AS dim,
+                   CAST(sum(t.qv * p.w) AS BIGINT) AS v
+            FROM terms t JOIN pm p ON p.j = t.j
             GROUP BY 1, 2
         """,
         # bigram-LM surprisal: Σ -ln P(b|a) in milli fixed point, same

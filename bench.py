@@ -254,6 +254,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("link_hits", G.link_hits),
         ("dedup_incremental", T.dedup_incremental),
         ("doc_bigram_surprisal", V.doc_bigram_surprisal),
+        ("embedding_project_rp", CL.embedding_project_rp),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

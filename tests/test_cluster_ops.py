@@ -162,3 +162,55 @@ def test_semantic_dedup_matches_bruteforce(ray_session):
     assert got == want
     assert removed  # fixture has semantic near-dups
     assert len(got) < len(ids)
+
+
+def test_embedding_project_rp_bruteforce(ray_session):
+    """Engine == dense numpy replay, and the JL property holds loosely:
+    projected distances correlate with original distances."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.functions.hashing import mix32_batch
+    from web_crawler_search_engine_ray.pipelines.cluster import (
+        COV_SCALE,
+        RP_OUT_DIM,
+        RP_SEED,
+        embedding_project_rp,
+    )
+
+    emb = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(emb.column("vec_id"), dtype=np.int64)
+    m = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    d = m.shape[1]
+    k = RP_OUT_DIM
+    signs = np.where(
+        mix32_batch(np.arange(d * k, dtype=np.uint64), RP_SEED)
+        % np.uint64(2)
+        == 0,
+        1,
+        -1,
+    ).astype(np.int64)
+    P = signs.reshape(d, k)
+    q = np.floor(m * COV_SCALE + 0.5).astype(np.int64)
+    exp = q @ P
+    got = np.zeros((len(ids), k), np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    n_rows = 0
+    for r in embedding_project_rp(SF).take_all():
+        got[pos[r["vec_id"]], r["dim"]] = r["v"]
+        n_rows += 1
+    assert n_rows == len(ids) * k
+    assert (got == exp).all()
+    # JL sanity: projected pairwise sq-distances correlate with originals
+    rng = np.random.RandomState(0)
+    pairs = rng.randint(0, len(ids), (200, 2))
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    d_orig = ((q[pairs[:, 0]] - q[pairs[:, 1]]) ** 2).sum(axis=1)
+    d_proj = ((exp[pairs[:, 0]] - exp[pairs[:, 1]]) ** 2).sum(axis=1)
+    corr = np.corrcoef(d_orig.astype(float), d_proj.astype(float))[0, 1]
+    # a 64->16 ±1 projection preserves distances only in expectation —
+    # on this fixture the observed correlation is ~0.35; the bound just
+    # pins "positively correlated", not a JL epsilon
+    assert corr > 0.15

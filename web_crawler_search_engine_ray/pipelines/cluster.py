@@ -453,3 +453,61 @@ def embedding_covariance(sf_dir: str) -> "ray.data.Dataset":
         [("s", "sum")],
         nbuck=8,
     )
+
+
+# --- random projection (Johnson–Lindenstrauss) --------------------------------
+
+RP_OUT_DIM = 16
+RP_SEED = 4099
+
+
+@empty_guard("embeddings", vec_id=pa.int64(), dim=pa.int64(), v=pa.int64())
+def embedding_project_rp(sf_dir: str, k: int = RP_OUT_DIM) -> "ray.data.Dataset":
+    """Johnson–Lindenstrauss random projection of the embedding column to
+    ``k`` dimensions with a deterministic ±1 matrix (Achlioptas 2003 sign
+    variant): P[j,c] = +1 if mix32(j·k + c, seed) is even else −1, and
+    out[c] = Σ_j q[j]·P[j,c] over the shared milli fixed point
+    q = floor(e·10³ + 0.5) — exact int64 end to end, so the DuckDB
+    replay is bit-identical. Output long form (vec_id, dim, v), dim
+    0-based. The pre-ANN dimensionality-reduction step (16 dims ≈ 4×
+    cheaper distance math for the LSH/IVF stages downstream).
+
+    100 TB design: ONE streaming ``map_batches`` pass, zero shuffle —
+    the projection matrix is d×k ints built per batch call from the mix
+    (cheaper than shipping it), and the per-batch kernel is a single
+    int64 matmul. Output is k rows per vector (a 4× reduction of the
+    embedding payload at d=64, k=16)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _list_col_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        d = m.shape[1]
+        idx = np.arange(d * k, dtype=np.uint64)
+        signs = np.where(
+            mix32_batch(idx, RP_SEED) % np.uint64(2) == 0, 1, -1
+        ).astype(np.int64)
+        P = signs.reshape(d, k)
+        q = np.floor(m * COV_SCALE + 0.5).astype(np.int64)
+        out = q @ P  # (n, k) int64 — exact
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(k, dtype=np.int64), n), pa.int64()
+                ),
+                "v": pa.array(out.reshape(-1), pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
