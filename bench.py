@@ -743,10 +743,16 @@ def _compact(result: dict) -> dict:
         len(json.dumps(out, separators=(",", ":"))) > 3500
         and len(out["queries"]) > 10
     ):
-        items = sorted(out["queries"].items(), key=lambda kv: kv[1])
+        qs = dict(out["queries"])
+        # a previous fold's aggregate must ACCUMULATE, not be overwritten
+        # (and must never itself be folded as if it were a query)
+        prev_total = qs.pop("_fast_queries_total", 0.0)
+        items = sorted(qs.items(), key=lambda kv: kv[1])
         folded = dict(items[len(items) // 2 :])
         fast = items[: len(items) // 2]
-        folded["_fast_queries_total"] = round(sum(v for _, v in fast), 1)
+        folded["_fast_queries_total"] = round(
+            prev_total + sum(v for _, v in fast), 1
+        )
         out["queries"] = folded
     return out
 

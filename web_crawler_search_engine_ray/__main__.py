@@ -162,17 +162,28 @@ def cmd_query(args) -> int:
         tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
         res = ray.data.from_arrow(tbl)
     if args.out:
+        # Snapshot pre-existing files: write_parquet APPENDS uniquely-named
+        # files into an existing dir, so a rerun would otherwise double the
+        # footer-summed row count with the previous run's output.
+        def _parquet_files(d: str) -> set:
+            found = set()
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        found.add(os.path.join(root, f))
+            return found
+
+        before = _parquet_files(args.out) if os.path.isdir(args.out) else set()
         res.write_parquet(args.out)
-        # Row count from the written parquet footers: counting via
+        # Row count from the NEW files' parquet footers: counting via
         # res.count() would re-execute the whole (lazy) pipeline a
         # second time — doubly expensive for multi-pass operators.
         import pyarrow.parquet as pq
 
-        n = 0
-        for root, _dirs, files in os.walk(args.out):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += pq.read_metadata(os.path.join(root, f)).num_rows
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in _parquet_files(args.out) - before
+        )
         print(json.dumps({"query": args.name, "rows": n, "out": args.out}))
     else:
         # take(head) pulls only the displayed rows to the driver; no

@@ -695,8 +695,18 @@ def _hits_rescale(tbl: pa.Table, gmax: int) -> pa.Table:
     v = tbl.column("v").to_numpy(zero_copy_only=False)
     if gmax <= 0:
         out = np.zeros(len(v), np.int64)
+    elif gmax < (1 << 62) // HITS_SCALE:
+        out = (v * HITS_SCALE) // gmax  # vectorized fast path, no overflow
     else:
-        out = (v * HITS_SCALE) // gmax
+        # giant-degree regime (a node with ≳9e6 in-links pushes v·SCALE
+        # past int64): exact python-int arithmetic per node — bounded by
+        # the bucket's node count, and only ever taken on such graphs.
+        # The oracle stays exact too (HUGEINT multiply in _hits_sql).
+        out = np.fromiter(
+            ((int(x) * HITS_SCALE) // gmax for x in v),
+            dtype=np.int64,
+            count=len(v),
+        )
     return pa.table({"node": tbl.column("node"), "v": pa.array(out, pa.int64())})
 
 
@@ -726,8 +736,8 @@ def _hits_zip(h: pa.Table, a: pa.Table) -> pa.Table:
 
 def hits(
     edges: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
     iters: int = HITS_ITERS,
-    nodes: Optional["ray.data.Dataset"] = None,
     n_edges_hint: Optional[int] = None,
 ) -> pa.Table:
     """Fixed-point HITS (Kleinberg 1999) over an ``(src, dst)`` edge
@@ -742,6 +752,8 @@ def hits(
     int64; the ranking it induces per step is the same). The driver sees
     one int per bucket per half-step (the max reduction) — never
     per-node state."""
+    if nodes is None:
+        raise ValueError("hits() requires the vertex set (nodes Dataset)")
     edges_mat = edges.materialize()
     n_edges = n_edges_hint if n_edges_hint is not None else int(edges_mat.count())
     nbuck = int(max(1, min(_PAIR_BUCKETS, n_edges // 16384 + 1)))
@@ -777,8 +789,6 @@ def hits(
         _hits_concat.remote(*[pl[b] for pl in dstparts]) for b in range(nbuck)
     ]
 
-    if nodes is None:
-        raise ValueError("hits() requires the vertex set (nodes Dataset)")
     nodes_mat = nodes.materialize()
     nrefs, _ = refs_and_counts(nodes_mat)
     nparts = [

@@ -406,9 +406,13 @@ def bpe_train(sf_dir: str, rounds: int = BPE_ROUNDS) -> pa.Table:
     with count = the pair's pre-merge occurrence total. Argmax ties break
     count desc, then (a, b) lexicographically — fully deterministic.
 
-    Not SQL-expressible (a stateful left-to-right string rewrite per
-    iteration), so correctness is pinned by the pure-Python reference
-    trainer in tests/test_vocab_ops.py instead of a DuckDB oracle.
+    Correctness is pinned TWICE: by the pure-Python reference trainer in
+    tests/test_vocab_ops.py, and (since round 5) by a driver-checkable
+    DuckDB oracle — the merge loop unrolls into MATERIALIZED CTEs over a
+    fully-NUL-delimited symbol string where plain replace() is exactly
+    this kernel's left-to-right non-overlapping whole-symbol merge
+    (__ray_entry__._bpe_train_sql). Changing the merge semantics here
+    requires the same change there.
 
     100 TB design: classic BPE trains on the UNIQUE-WORD frequency table,
     not the corpus — one corpus-scale exchange builds (word, freq) and
