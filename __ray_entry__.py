@@ -684,6 +684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Johnson-Lindenstrauss ±1 random projection to 16 dims (exact
         # int64; the pre-ANN dimensionality-reduction step)
         "embedding_project_rp": _embedding_project_rp,
+        # power-of-2 sequence-length histogram (length-grouped batching
+        # planning statistic; constant-size partials)
+        "length_buckets": T.length_buckets,
     }
     # --- round-5 driver-window rotation (FINAL layout) --------------------
     # Head (first 50, the driver-checked window):
@@ -715,7 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution", "vocab_coverage", "bpe_encode_stats",
         "quality_classifier", "winnow_fingerprints", "winnow_pairs",
         "source_temperature_mix", "link_hits", "dedup_incremental",
-        "doc_bigram_surprisal", "embedding_project_rp",
+        "doc_bigram_surprisal", "embedding_project_rp", "length_buckets",
         "bpe_pair_counts", "token_cooccurrence", "doc_surprisal",
         "events_pivot",
         "url_normalize_validate", "dedup_simhash", "dedup_components",
@@ -727,7 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk_bm25",
         "token_count_bpe", "doc_fingerprints",
         "ngram_jaccard_pairs", "brand_part_stats",
-        "supplier_topk", "heavy_hitters_cms",
+        "heavy_hitters_cms",
         # ---- positions 51+ (r4-green; kernels unchanged in r5).
         #      embedding_covariance / corpus_funnel moved here to make
         #      room for the three new-in-r5 ops above: both hold r4
@@ -741,7 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance", "corpus_funnel", "top_words",
         "longest_pages", "events_rolling", "ann_topk", "doc_token_counts",
         "quality_scores", "subdomain_counts", "sample_lineitem",
-        "events_hourly",
+        "events_hourly", "supplier_topk",
         "word_frequencies", "postings_tfidf", "search_topk",
         "lang_profile", "repetition_ngrams", "dedup_exact",
         "dedup_minhash_lsh", "link_pagerank", "embedding_neardup",
@@ -2188,6 +2191,24 @@ FROM per p JOIN mr m USING (doc_id)
              AND e.ts < p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY 1, 2
+        """,
+        # power-of-2 length histogram: exact integer bucket via binary
+        # string length (floor(log2) rounds up at 2^k - 1 boundaries)
+        # (pipelines/textprep.py length_buckets)
+        "length_buckets": f"""
+            WITH n AS (
+              SELECT len({_TOK}) AS c FROM documents
+            ),
+            b AS (
+              SELECT CAST(length(printf('%b', c)) - 1 AS BIGINT) AS bucket, c
+              FROM n WHERE c > 0
+            )
+            SELECT bucket,
+                   CAST(1 << bucket AS BIGINT) AS lo,
+                   CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM b GROUP BY bucket
         """,
         # JL ±1 random projection: sign matrix from the mix32 avalanche
         # on j*16+c, q = shared milli fixed point, exact int64 sums

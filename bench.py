@@ -255,6 +255,7 @@ def _bench_queries(sf_dir: str) -> dict:
         ("dedup_incremental", T.dedup_incremental),
         ("doc_bigram_surprisal", V.doc_bigram_surprisal),
         ("embedding_project_rp", CL.embedding_project_rp),
+        ("length_buckets", T.length_buckets),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

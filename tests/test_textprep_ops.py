@@ -597,3 +597,48 @@ def test_dedup_incremental_bruteforce(ray_session):
     assert got == exp
     dist = Counter(got.values())
     assert dist["dup_base"] > 0 and dist["dup_batch"] > 0 and dist["novel"] > 0
+
+
+def test_length_buckets_bruteforce(ray_session):
+    """Engine == python bit_length histogram; bucket boundaries exact at
+    2^k and 2^k - 1 (the floor(log2) rounding trap)."""
+    from collections import Counter
+
+    from web_crawler_search_engine_ray.pipelines.textprep import length_buckets
+
+    tok = re.compile(r"[a-z0-9]+")
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    nd: Counter = Counter()
+    nt: Counter = Counter()
+    total_docs = 0
+    for t in texts.column("text").to_pylist():
+        n = len(tok.findall(t.lower()))
+        if n == 0:
+            continue
+        b = n.bit_length() - 1
+        nd[b] += 1
+        nt[b] += n
+        total_docs += 1
+    got = {r["bucket"]: r for r in length_buckets(SF).take_all()}
+    assert set(got) == set(nd)
+    for b in nd:
+        r = got[b]
+        assert r["n_docs"] == nd[b] and r["n_tokens"] == nt[b]
+        assert r["lo"] == 1 << b and r["hi"] == (1 << (b + 1)) - 1
+    assert sum(r["n_docs"] for r in got.values()) == total_docs
+
+
+def test_length_buckets_boundaries(ray_session, tmp_path):
+    """Docs with exactly 2^k and 2^k - 1 tokens land in adjacent buckets."""
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.pipelines.textprep import length_buckets
+
+    rows = []
+    for i, n in enumerate((1, 2, 3, 4, 7, 8, 15, 16, 31, 32)):
+        rows.append({"doc_id": i, "text": " ".join(["tok"] * n)})
+    tbl = pa.Table.from_pylist(rows)
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {r["bucket"]: r["n_docs"] for r in length_buckets(str(tmp_path)).take_all()}
+    # n=1 -> b0; 2,3 -> b1; 4,7 -> b2; 8,15 -> b3; 16,31 -> b4; 32 -> b5
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 1}

@@ -1707,3 +1707,82 @@ def dedup_incremental(sf_dir: str) -> "ray.data.Dataset":
         NBUCK,
         verdicts,
     )
+
+
+# --- sequence-length bucketing ------------------------------------------------
+
+
+@empty_guard(
+    "documents",
+    bucket=pa.int64(),
+    lo=pa.int64(),
+    hi=pa.int64(),
+    n_docs=pa.int64(),
+    n_tokens=pa.int64(),
+)
+def length_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """Power-of-2 sequence-length histogram — the planning statistic
+    behind length-grouped batching (docs of similar token count batch
+    together to minimize padding): bucket b holds docs with token count
+    in [2^b, 2^(b+1)) (bucket 0 additionally holds n = 1; zero-token
+    docs are absent, the house convention). Output per non-empty bucket:
+    (bucket, lo, hi, n_docs, n_tokens).
+
+    100 TB design: per-batch int partials (one row per ~30 buckets at
+    most) + one integer-keyed exchange — constant-size wire regardless
+    of corpus size."""
+    import numpy as np
+
+    from ..stages.util import exchange_sum_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = np.array(
+            [
+                len(_TOK_RE.findall((t or "").lower()))
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        counts = counts[counts > 0]
+        if not len(counts):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        # exact integer bucket = bit_length(n) - 1: frexp's exponent is
+        # exact for ints < 2^53, unlike floor(log2(n)) which can round up
+        # at 2^k - 1 boundaries; the oracle uses printf('%b') length
+        b = (np.frexp(counts.astype(np.float64))[1] - 1).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(
+                    np.bincount(inv, weights=counts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    summed = exchange_sum_by_key(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        "bucket",
+        nbuck=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "lo": pa.array((np.int64(1) << b), pa.int64()),
+                "hi": pa.array((np.int64(1) << (b + 1)) - 1, pa.int64()),
+                "n_docs": batch.column("n_docs"),
+                "n_tokens": batch.column("n_tokens"),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
