@@ -693,19 +693,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   1-8   the flagship crawl/index/search/multimodal conformance
     #         surface (always head — guaranteed fresh rows);
     #   9     bpe_train — first hash-checked driver row (oracle new in r5);
-    #   10-20 the ELEVEN new-in-r5 operators (purchase_attribution …
-    #         embedding_project_rp) — first driver rows;
-    #   21-24 r4-green queries whose engine code changed in round 5 and so
+    #   10-21 the TWELVE new-in-r5 operators (purchase_attribution …
+    #         length_buckets) — first driver rows;
+    #   22-25 r4-green queries whose engine code changed in round 5 and so
     #         must be re-checked (vocab.py char_pair_counts vectorization
     #         → bpe_pair_counts/token_cooccurrence/doc_surprisal; the
     #         events_pivot NULL fix);
-    #   25-50 queries whose most recent driver row dated from r02/r03,
+    #   26-50 queries whose most recent driver row dated from r02/r03,
     #         refreshed on current code.
-    # Tail (51+): 47 queries that are r4-driver-green or were
+    # Tail (51+): 48 queries that are r4-driver-green or were
     # judge-verified/sweep-verified on current code — and since r5 the
     # tail is NOT a coverage gap at all: tests/test_tail_conformance.py
     # oracle-checks every tail entry at sf0.001 on every pytest run, and
-    # the shipped round ran a full 97/97 sf0.01 sweep (BASELINE.md).
+    # the shipped round ran full-registry sf0.01 sweeps (BASELINE.md).
     # The whole registry therefore holds a green conformance signal on
     # the exact shipped code.
     _R5_ORDER = [
