@@ -433,3 +433,58 @@ def test_purchase_attribution_bruteforce(ray_session):
         assert r["user_id"] == p["user_id"]
         assert r["n_prior_1h"] == int(mask.sum())
         assert r["sum_value_milli"] == int(milli[mask.to_numpy()].sum())
+
+
+def test_purchase_attribution_random_streams(ray_session, tmp_path):
+    """Prefix-rank kernel vs brute force on adversarial random streams:
+    duplicate timestamps (forcing the boundary/tie rules), bursts inside
+    and outside the window, many users per bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_search_engine_ray.pipelines.relational import (
+        ATTRIB_WINDOW_US,
+        purchase_attribution,
+    )
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n = 400
+        user = rng.randint(0, 12, n).astype(np.int64)
+        # coarse time grid -> many exact duplicate timestamps
+        base = np.int64(1_700_000_000_000_000)
+        t_us = base + rng.randint(0, 5, n).astype(np.int64) * ATTRIB_WINDOW_US // 2
+        t_us += rng.randint(0, 4, n).astype(np.int64)  # micro jitter, collisions kept
+        types = np.where(rng.rand(n) < 0.3, "purchase", "click")
+        value = rng.rand(n) * 10
+        value[rng.rand(n) < 0.1] = np.nan  # NULLs
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(t_us, pa.timestamp("us")),
+                "user_id": pa.array(user, pa.int64()),
+                "event_type": pa.array(types.tolist(), pa.string()),
+                "value": pa.array(
+                    [None if np.isnan(v) else float(v) for v in value],
+                    pa.float64(),
+                ),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        got = {
+            r["event_id"]: (r["n_prior_1h"], r["sum_value_milli"])
+            for r in purchase_attribution(str(d)).take_all()
+        }
+        milli = np.floor(np.nan_to_num(value) * 1000.0 + 0.5).astype(np.int64)
+        exp = {}
+        for i in np.flatnonzero(types == "purchase"):
+            m = (
+                (user == user[i])
+                & (t_us >= t_us[i] - ATTRIB_WINDOW_US)
+                & (t_us < t_us[i])
+            )
+            exp[int(i)] = (int(m.sum()), int(milli[m].sum()))
+        assert got == exp, f"seed {seed}"
