@@ -705,3 +705,35 @@ def test_winnow_pairs_bruteforce(ray_session):
     }
     assert got == exp and len(got) > 0
     assert all(a < b for a, b in got)
+
+
+def test_winnow_short_documents(ray_session, tmp_path):
+    """Docs with fewer grams than one window: <k tokens absent, k tokens
+    = 1 gram = 1 fingerprint, k..w+k-1 tokens = one whole-range window."""
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.functions.hashing import poly_hash
+    from web_crawler_search_engine_ray.pipelines.corpus import (
+        WINNOW_K,
+        winnow_fingerprints,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta".split()
+    rows = [
+        {"doc_id": n, "text": " ".join(words[:n])} for n in range(0, 7)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = {}
+    for r in winnow_fingerprints(str(tmp_path)).take_all():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    # < k tokens -> absent entirely
+    for n in range(0, WINNOW_K):
+        assert n not in got
+    # exactly k tokens -> the single gram is the fingerprint at pos 1
+    g = " ".join(words[:WINNOW_K])
+    assert got[WINNOW_K] == [(1, poly_hash(g))]
+    # k..w+k-1 tokens: exactly ONE selection (a single whole-range window)
+    for n in range(WINNOW_K, 7):
+        m = n - WINNOW_K + 1
+        if m <= 4:
+            assert len(got[n]) == 1, n

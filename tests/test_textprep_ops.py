@@ -642,3 +642,45 @@ def test_length_buckets_boundaries(ray_session, tmp_path):
     got = {r["bucket"]: r["n_docs"] for r in length_buckets(str(tmp_path)).take_all()}
     # n=1 -> b0; 2,3 -> b1; 4,7 -> b2; 8,15 -> b3; 16,31 -> b4; 32 -> b5
     assert got == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 1}
+
+
+def test_dedup_incremental_random_collisions(ray_session, tmp_path):
+    """Randomized stress: texts drawn from a tiny pool force heavy
+    cross-side and batch-only collisions; engine == hash-free replay."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        INCR_BASE_MOD,
+        _incr_augment,
+        dedup_incremental,
+    )
+
+    for seed in (11, 12):
+        rng = np.random.RandomState(seed)
+        pool = [f"text body variant {i} filler words here" for i in range(6)]
+        n = 300
+        rows = [
+            {"doc_id": i, "text": pool[rng.randint(len(pool))]}
+            for i in range(n)
+        ]
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        texts = {r["doc_id"]: _incr_augment(r["doc_id"], r["text"]) for r in rows}
+        base = {t for i, t in texts.items() if i % INCR_BASE_MOD != 0}
+        exp, first = {}, {}
+        for i in sorted(i for i in texts if i % INCR_BASE_MOD == 0):
+            t = texts[i]
+            if t in base:
+                exp[i] = "dup_base"
+            elif t in first:
+                exp[i] = "dup_batch"
+            else:
+                first[t] = i
+                exp[i] = "novel"
+        got = {
+            r["doc_id"]: r["status"]
+            for r in dedup_incremental(str(d)).take_all()
+        }
+        assert got == exp, f"seed {seed}"
