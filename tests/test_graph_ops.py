@@ -231,3 +231,47 @@ def test_link_hits_matches_bruteforce(ray_session):
     assert got_a == list(a)
     # normalization: some node sits at exactly HITS_SCALE on each axis
     assert max(got_h) == HITS_SCALE and max(got_a) == HITS_SCALE
+
+
+def test_hits_rescale_overflow_fallback(ray_session):
+    """The giant-degree rescale path: when gmax * SCALE would exceed
+    int64, the exact python-int fallback must produce the same floor
+    values the vectorized path produces in the safe regime."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from web_crawler_search_engine_ray.pipelines.graph import (
+        HITS_SCALE,
+        _hits_rescale,
+    )
+
+    # safe regime: both paths agree
+    tbl = pa.table(
+        {
+            "node": pa.array([0, 1, 2], pa.int64()),
+            "v": pa.array([5, 10, 3], pa.int64()),
+        }
+    )
+    out = ray.get(_hits_rescale.remote(tbl, 10))
+    assert out.column("v").to_pylist() == [
+        (5 * HITS_SCALE) // 10,
+        HITS_SCALE,
+        (3 * HITS_SCALE) // 10,
+    ]
+    # overflow regime: v * SCALE would exceed int64 — fallback is exact
+    big = (1 << 62) // HITS_SCALE + 5  # past the vectorized guard
+    tbl2 = pa.table(
+        {
+            "node": pa.array([0, 1], pa.int64()),
+            "v": pa.array([big, big // 2], pa.int64()),
+        }
+    )
+    out2 = ray.get(_hits_rescale.remote(tbl2, big))
+    assert out2.column("v").to_pylist() == [
+        HITS_SCALE,
+        ((big // 2) * HITS_SCALE) // big,  # python-int exact
+    ]
+    # gmax <= 0: all zeros
+    out3 = ray.get(_hits_rescale.remote(tbl, 0))
+    assert out3.column("v").to_pylist() == [0, 0, 0]

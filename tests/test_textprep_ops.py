@@ -684,3 +684,37 @@ def test_dedup_incremental_random_collisions(ray_session, tmp_path):
             for r in dedup_incremental(str(d)).take_all()
         }
         assert got == exp, f"seed {seed}"
+
+
+def test_source_temperature_mix_caps_small_sources(ray_session, tmp_path):
+    """A tiny source whose tau-boosted allocation exceeds its size is
+    capped at N_s (never oversampled), and the freed budget is NOT
+    reassigned (the documented apportionment semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.pipelines.textprep import (
+        source_temperature_mix,
+    )
+
+    # source 'rare' has 2 docs vs 298 in 'bulk': tau=0.7 boosts rare far
+    # beyond 2/300, so its pre-cap allocation of the 120-doc budget
+    # (2*300//5) would exceed 2
+    rows = []
+    for i in range(300):
+        rows.append(
+            {
+                "doc_id": i,
+                "text": f"doc {i} words",
+                "source": "rare" if i < 2 else "bulk",
+            }
+        )
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = {}
+    for r in source_temperature_mix(str(tmp_path)).take_all():
+        got.setdefault(r["source"], []).append(r["sel_rank"])
+    # capped: every rare doc selected, none duplicated
+    assert sorted(got["rare"]) == [0, 1]
+    # bulk got its own allocation; total <= budget (cap shrinks, never grows)
+    assert len(got["bulk"]) + len(got["rare"]) <= 2 * 300 // 5
+    assert sorted(got["bulk"]) == list(range(len(got["bulk"])))
