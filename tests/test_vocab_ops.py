@@ -426,3 +426,61 @@ def test_doc_bigram_surprisal_bruteforce(ray_session):
         assert r["avg_surprisal_milli"] == s // nb
     # every term is non-negative (C1 >= C2), so surprisal >= 0
     assert all(r["surprisal_milli"] >= 0 for r in got.values())
+
+
+def test_bpe_fewer_merges_than_rounds(ray_session, tmp_path):
+    """A tiny-alphabet corpus exhausts its merge pairs before 8 rounds:
+    the engine breaks early and the oracle's NULL-guard CASE (a round
+    with no merge leaves sequences untouched) must replay it exactly —
+    for BOTH bpe_train and bpe_encode_stats."""
+    import duckdb
+    import pyarrow as pa
+
+    from web_crawler_search_engine_ray.pipelines.vocab import (
+        bpe_encode_stats,
+        bpe_train,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "ab ab ab ba"},
+        {"doc_id": 1, "text": "ab ba ba"},
+        {"doc_id": 2, "text": "b a"},  # 1-char words: encoded, never trained
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__wcse_entry_bpe__",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py",
+        ),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    merges = bpe_train(str(tmp_path))
+    assert 0 < merges.num_rows < 8  # genuinely exhausted early
+    sql_m = con.execute(entry.oracle_sql()["bpe_train"]).fetchall()
+    assert [
+        (r["rank"], r["a"], r["b"], r["count"]) for r in merges.to_pylist()
+    ] == [tuple(r) for r in sql_m]
+
+    enc = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_bpe_tokens"], r["avg_symbols_milli"])
+        for r in bpe_encode_stats(str(tmp_path)).take_all()
+    )
+    sql_e = sorted(
+        tuple(r)
+        for r in con.execute(
+            entry.oracle_sql()["bpe_encode_stats"]
+        ).fetchall()
+    )
+    assert enc == sql_e
